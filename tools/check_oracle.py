@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+
+Reads every result parquet under <outDir>/<name>/ (written by graft.Verify),
+runs the matching oracle SQL from <outDir>/oracle_sql.json in DuckDB with
+views over <sfDir>'s parquet tables, and compares: columns sorted by name,
+rows sorted by all columns, exact value equality (doubles must be
+bit-identical — the engine routes aggregate sums through DECIMAL to
+guarantee that).
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # make list/array cells comparable + sortable
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                else (tuple(v) if isinstance(v, list) else v))
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
+    problems = []
+    g, w = normalize(got), normalize(want)
+    if list(g.columns) != list(w.columns):
+        problems.append(f"columns differ: spark={list(g.columns)} oracle={list(w.columns)}")
+        return problems
+    if len(g) != len(w):
+        problems.append(f"row count differs: spark={len(g)} oracle={len(w)}")
+        return problems
+    for c in g.columns:
+        a, b = g[c].to_numpy(), w[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            af = a.astype(float); bf = b.astype(float)
+            eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
+            if not eq.all():
+                i = int(np.argmin(eq))
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} mismatches, first at row {i}: "
+                    f"spark={af[i]!r} oracle={bf[i]!r} (diff={af[i]-bf[i]!r})")
+        else:
+            try:
+                eq = (pd.Series(a).astype(str) == pd.Series(b).astype(str)).to_numpy()
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"col {c}: compare failed: {e}")
+                continue
+            if not eq.all():
+                i = int(np.argmin(eq))
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} mismatches, first at row {i}: "
+                    f"spark={a[i]!r} oracle={b[i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_weak = 0
+    result_dirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
+    for d in result_dirs:
+        name = os.path.basename(d)
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet output")
+            n_fail += 1
+            continue
+        got = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet({files!r})").df()
+        if name not in oracle:
+            status = "WEAK" if len(got) > 0 else "WEAK-EMPTY"
+            print(f"{status} {name}: rows={len(got)} (no oracle)")
+            n_weak += 1
+            continue
+        try:
+            want = con.execute(oracle[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, got, want)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}:")
+            for p in problems:
+                print(f"  - {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)")
+    declared = set(oracle) - {os.path.basename(d) for d in result_dirs}
+    for name in sorted(declared):
+        print(f"FAIL {name}: oracle declared but no result written")
+        n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
