@@ -1,0 +1,150 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function coverage batch (SURVEY.md §7.2 M2): string, date, math,
+  * array and JSON functions — all codegen'd built-ins, zero UDFs, so every
+  * expression stays inside whole-stage codegen.
+  *
+  * Oracle-parity notes:
+  *  - ln/sqrt are the only transcendentals; sqrt is IEEE-correctly-rounded
+  *    (identical everywhere) and ln is rounded to 6 dp (1-ulp libm skew vs a
+  *    1e-6 grid is a ~1e-9 collision risk);
+  *  - round(double, k) is avoided on money columns — Spark rounds the
+  *    shortest decimal representation, DuckDB rescales in binary, and they
+  *    disagree on midpoints; decimal casts are used instead (see
+  *    Relational.dsum);
+  *  - arrays are emitted as joined strings so the driver's value hash never
+  *    sees a nested type.
+  */
+object ScalarQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- Q19
+    Q("q19_string_funcs", Some("""
+      SELECT p_partkey,
+        upper(p_name) AS up, lower(p_brand) AS lo,
+        CAST(length(p_name) AS BIGINT) AS len,
+        substring(p_name, 1, 5) AS pre,
+        replace(p_name, ' ', '_') AS snake,
+        split_part(p_name, ' ', 1) AS tok1,
+        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        concat(p_type, ':', p_brand) AS typed_brand,
+        contains(p_name, 'red') AS has_red,
+        starts_with(p_type, 'ECO') AS is_eco,
+        CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS lev
+      FROM part ORDER BY p_partkey""")) { (s, dir) =>
+      Tables.t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+        length(col("p_name")).cast("long").as("len"),
+        substring(col("p_name"), 1, 5).as("pre"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("tok1"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        concat(col("p_type"), lit(":"), col("p_brand")).as("typed_brand"),
+        col("p_name").contains("red").as("has_red"),
+        col("p_type").startsWith("ECO").as("is_eco"),
+        levenshtein(col("p_name"), lit("red widget")).cast("long").as("lev"))
+        .orderBy("p_partkey")
+    },
+
+    // ---------------------------------------------------------------- Q20
+    Q("q20_date_funcs", Some("""
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INT)    AS y,
+        CAST(month(o_orderdate) AS INT)   AS m,
+        CAST(day(o_orderdate) AS INT)     AS d,
+        CAST(quarter(o_orderdate) AS INT) AS qtr,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        CAST(o_orderdate AS DATE) + 30 AS plus_30,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end
+      FROM orders ORDER BY o_orderkey""")) { (s, dir) =>
+      Tables.t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus_30"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---------------------------------------------------------------- Q21
+    Q("q21_math_funcs", Some("""
+      SELECT l_orderkey, l_linenumber,
+        abs(l_quantity - 25)                        AS dist25,
+        CAST(ceil(l_extendedprice)  AS BIGINT)      AS price_ceil,
+        CAST(floor(l_extendedprice) AS BIGINT)      AS price_floor,
+        sqrt(l_extendedprice)                       AS price_sqrt,
+        round(ln(l_extendedprice + 1), 6)           AS price_ln,
+        l_quantity * l_quantity                     AS qty_sq,
+        CAST(l_quantity AS BIGINT) % 7              AS qty_mod,
+        greatest(l_quantity, l_discount * 100)      AS g,
+        least(l_tax, l_discount)                    AS l
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber LIMIT 5000""")) { (s, dir) =>
+      Tables.t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("dist25"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        sqrt(col("l_extendedprice")).as("price_sqrt"),
+        round(log(col("l_extendedprice") + 1), 6).as("price_ln"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+        (col("l_quantity").cast("long") % 7).as("qty_mod"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+        least(col("l_tax"), col("l_discount")).as("l"))
+        .orderBy("l_orderkey", "l_linenumber").limit(5000)
+    },
+
+    // ---------------------------------------------------------------- Q22
+    // Array higher-order functions over tokenized document text.
+    Q("q22_array_funcs", Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        string_split(text, ' ')[1] AS first_tok,
+        list_contains(string_split(text, ' '), 'table') AS has_table,
+        array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS sorted3,
+        CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS char_sum,
+        array_to_string(list_filter(string_split(text, ' '), t -> length(t) > 5), ',') AS long_toks
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      Tables.t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        try_element_at(toks, lit(1)).as("first_tok"),
+        array_contains(toks, "table").as("has_table"),
+        array_join(slice(array_sort(toks), 1, 3), ",").as("sorted3"),
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+          (acc, x) => acc + x).as("char_sum"),
+        array_join(filter(toks, t => length(t) > 5), ",").as("long_toks"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- Q23
+    // JSON extraction from the events.props column.
+    Q("q23_json_funcs", Some("""
+      SELECT event_id,
+        json_extract_string(props, '$.k') AS k_str,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+      FROM events ORDER BY event_id""")) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k")
+      Tables.t(s, dir, "events").select(
+        col("event_id"),
+        k.as("k_str"),
+        k.cast("long").as("k_val"),
+        (k.cast("long") % 10).as("k_mod"))
+        .orderBy("event_id")
+    }
+  )
+}
