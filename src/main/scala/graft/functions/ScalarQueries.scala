@@ -48,7 +48,6 @@ object ScalarQueries {
         col("p_name").contains("red").as("has_red"),
         col("p_type").startsWith("ECO").as("is_eco"),
         levenshtein(col("p_name"), lit("red widget")).cast("long").as("lev"))
-        .orderBy("p_partkey")
     },
 
     // ---------------------------------------------------------------- Q20
@@ -73,7 +72,6 @@ object ScalarQueries {
         datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
         date_add(col("o_orderdate").cast("date"), 30).as("plus_30"),
         last_day(col("o_orderdate").cast("date")).as("month_end"))
-        .orderBy("o_orderkey")
     },
 
     // ---------------------------------------------------------------- Q21
@@ -114,7 +112,7 @@ object ScalarQueries {
         list_contains(string_split(text, ' '), 'table') AS has_table,
         array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS sorted3,
         CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS char_sum,
-        array_to_string(list_filter(string_split(text, ' '), t -> length(t) > 5), ',') AS long_toks
+        COALESCE(array_to_string(list_filter(string_split(text, ' '), t -> length(t) > 5), ','), '') AS long_toks
       FROM documents ORDER BY doc_id""")) { (s, dir) =>
       val toks = split(col("text"), " ")
       Tables.t(s, dir, "documents").select(
@@ -127,7 +125,6 @@ object ScalarQueries {
         aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
           (acc, x) => acc + x).as("char_sum"),
         array_join(filter(toks, t => length(t) > 5), ",").as("long_toks"))
-        .orderBy("doc_id")
     },
 
     // ---------------------------------------------------------------- Q23
@@ -144,7 +141,6 @@ object ScalarQueries {
         k.as("k_str"),
         k.cast("long").as("k_val"),
         (k.cast("long") % 10).as("k_mod"))
-        .orderBy("event_id")
     }
   )
 }

@@ -60,7 +60,6 @@ object Relational {
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10).as("sum_disc_price"),
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 10).as("sum_charge"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
     // ----------------------------------------------------------------- Q2
@@ -78,13 +77,13 @@ object Relational {
           col("l_shipdate") < ntz("1999-01-01 00:00:00") &&
           col("l_quantity") < 10)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // ----------------------------------------------------------------- Q3
-    // TPC-H Q3 shape: fact-fact shuffle join on l_orderkey, dimension side
-    // (customer) broadcast — at 100 TB the orders⋈lineitem shuffle is
-    // unavoidable but key-partitioned; customer fits executor memory.
+    // TPC-H Q3 shape: fact-fact shuffle join on l_orderkey. customer is
+    // SF-proportional (~1.5M rows/SF) so it gets NO broadcast hint — AQE
+    // picks broadcast vs shuffle from measured size at runtime; a forced
+    // hint would OOM executors at 100 TB.
     Q("q3_top_revenue", Some(s"""
       SELECT l_orderkey,
         ${sqlDsum("l_extendedprice * (1 - l_discount)", 10)} AS revenue,
@@ -100,7 +99,7 @@ object Relational {
       val o = Tables.t(s, dir, "orders").filter(col("o_orderdate") < ntz("1998-07-01 00:00:00"))
       val l = Tables.t(s, dir, "lineitem").filter(col("l_shipdate") > ntz("1998-07-01 00:00:00"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
@@ -124,12 +123,13 @@ object Relational {
       val l = Tables.t(s, dir, "lineitem").filter(col("l_quantity") > 48)
       o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("order_count"))
-        .orderBy(col("o_orderpriority"))
     },
 
     // ----------------------------------------------------------------- Q5
-    // TPC-H Q5 shape: 6-way join; all dimensions broadcast, facts shuffle
-    // once on orderkey. Catalyst reorders + AQE re-plans at runtime.
+    // TPC-H Q5 shape: 6-way join. Only genuinely bounded dims (nation=25,
+    // region=5 rows) carry broadcast hints; customer and supplier are
+    // SF-proportional, so their join strategy is left to AQE's measured
+    // sizes. Facts shuffle once on orderkey; Catalyst reorders.
     Q("q5_nation_revenue", Some(s"""
       SELECT n_name,
         ${sqlDsum("l_extendedprice * (1 - l_discount)", 10)} AS revenue
@@ -152,14 +152,13 @@ object Relational {
       val n = Tables.t(s, dir, "nation")
       val r = Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
           c("c_nationkey") === su("s_nationkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
     },
 
     // ----------------------------------------------------------------- Q6
@@ -189,7 +188,7 @@ object Relational {
       val c = Tables.t(s, dir, "customer")
       val o = Tables.t(s, dir, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name").orderBy("c_custkey")
+        .select("c_custkey", "c_name")
     },
 
     // ----------------------------------------------------------------- Q8
@@ -207,25 +206,29 @@ object Relational {
     },
 
     // ----------------------------------------------------------------- Q9
-    // Window rank: partition-local sort after one shuffle on the partition
-    // key; rank ties impossible (order includes the unique custkey).
+    // Top-k per group via a bounded two-phase Aggregator (not a window
+    // rank): a window PARTITION BY c_nationkey caps parallelism at 25
+    // nations and sorts every customer of a nation in one task. The
+    // TopKByValue aggregate keeps ≤3 rows per nation per map task, shuffles
+    // only candidates, and merges — scale-safe at any SF. Rank ties are
+    // impossible (ordering includes the unique custkey) so rk = position.
     Q("q9_top_customers_by_nation", Some("""
       SELECT * FROM (
         SELECT n_name, c_custkey, c_acctbal,
                RANK() OVER (PARTITION BY c_nationkey
                             ORDER BY c_acctbal DESC, c_custkey) AS rk
         FROM customer JOIN nation ON c_nationkey = n_nationkey) t
-      WHERE rk <= 3 ORDER BY n_name, rk, c_custkey""")) { (s, dir) =>
+      WHERE rk <= 3""")) { (s, dir) =>
       val c = Tables.t(s, dir, "customer")
       val n = Tables.t(s, dir, "nation")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("c_nationkey"))
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .withColumn("rk", rank().over(w))
-        .filter(col("rk") <= 3)
-        .select("n_name", "c_custkey", "c_acctbal", "rk")
-        .orderBy("n_name", "rk", "c_custkey")
+      val top3 = udaf(new graft.functions.TopKByValue(3))
+      c.groupBy(col("c_nationkey"))
+        .agg(top3(col("c_acctbal"), col("c_custkey")).as("top"))
+        .select(col("c_nationkey"), posexplode(col("top")).as(Seq("pos", "vk")))
+        .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+        .select(col("n_name"), col("vk.key").as("c_custkey"),
+          col("vk.value").as("c_acctbal"),
+          (col("pos") + 1).cast("int").as("rk"))
     },
 
     // ---------------------------------------------------------------- Q10
@@ -245,27 +248,33 @@ object Relational {
       Tables.t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           wsum(col("o_totalprice"), w).as("running_spend"))
-        .orderBy("o_custkey", "o_orderkey")
     },
 
     // ---------------------------------------------------------------- Q11
     // lag/lead over event time (BIGINT nanos — see Tables.sessionConf).
+    // Gaps are compared at MICROSECOND granularity: Spark reads exact nanos
+    // (nanosAsLong) while DuckDB's parquet reader quantizes TIMESTAMP(NANOS)
+    // to µs, so raw-ns outputs can never hash-match. µs floor-div on the
+    // Spark side == epoch_us on the oracle side. Window order stays on the
+    // exact ns value (no (user_id, ts) ties exist at µs precision, so both
+    // orders agree).
     Q("q11_event_lag_lead", Some("""
       SELECT event_id, user_id, value,
         LAG(value)  OVER w AS prev_value,
         LEAD(value) OVER w AS next_value,
-        epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w AS gap_ns
+        epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
-      ORDER BY event_id""")) { (s, dir) =>
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""")) { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // integer division — `/` would promote the ~1.7e18 ns BIGINT to double
+      // and lose the low bits (2^53 < 1.7e18), off by ±1 µs
+      val tsUs = expr("ts div 1000")
       Tables.t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"),
           lag(col("value"), 1).over(w).as("prev_value"),
           lead(col("value"), 1).over(w).as("next_value"),
-          (col("ts") - lag(col("ts"), 1).over(w)).as("gap_ns"))
-        .orderBy("event_id")
+          (tsUs - lag(tsUs, 1).over(w)).as("gap_us"))
     },
 
     // ---------------------------------------------------------------- Q12
@@ -286,7 +295,6 @@ object Relational {
         .select(col("event_id"), col("user_id"),
           (sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double") /
             count(lit(1)).over(w).cast("double")).as("mov_avg"))
-        .orderBy("event_id")
     },
 
     // ---------------------------------------------------------------- Q13
@@ -315,7 +323,6 @@ object Relational {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag")
     },
 
     // ---------------------------------------------------------------- Q15
@@ -332,8 +339,6 @@ object Relational {
           grouping(col("l_linestatus")).as("g_status"),
           count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty")
-        .orderBy(col("g_flag"), col("g_status"),
-          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
     // ---------------------------------------------------------------- Q16
@@ -350,8 +355,6 @@ object Relational {
           grouping(col("o_orderpriority")).as("g_p"),
           count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .select("o_orderstatus", "o_orderpriority", "g_s", "g_p", "n", "sum_price")
-        .orderBy(col("g_s"), col("g_p"),
-          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
     // ---------------------------------------------------------------- Q17
@@ -367,8 +370,7 @@ object Relational {
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
           ${sqlDsum("l_extendedprice")} AS sum_price
         FROM graft_q17_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
     },
 
     // ---------------------------------------------------------------- Q18
@@ -393,7 +395,7 @@ object Relational {
       val finished = o.filter(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("custkey"))
       building.intersect(withOrders).union(negative).distinct()
-        .except(finished).orderBy("custkey")
+        .except(finished)
     },
 
     // ---------------------------------------------------------------- Q26
@@ -410,7 +412,7 @@ object Relational {
           col("o_orderdate") < ntz("1998-01-01 00:00:00"))
       val c = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
-        .select("o_orderkey", "o_custkey", "o_totalprice").orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
     },
 
     // ---------------------------------------------------------------- Q27
@@ -431,7 +433,7 @@ object Relational {
           count(lit(1)).cast("double")).as("nation_avg"))
       c.join(broadcast(avgs), c("c_nationkey") === avgs("nk"))
         .filter(col("c_acctbal") > col("nation_avg"))
-        .select("c_custkey", "c_nationkey", "c_acctbal").orderBy("c_custkey")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
     },
 
     // ---------------------------------------------------------------- Q25
@@ -442,7 +444,7 @@ object Relational {
       ORDER BY o_custkey""")) { (s, dir) =>
       Tables.t(s, dir, "orders")
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 12).orderBy("o_custkey")
+        .filter(col("n_orders") >= 12)
     },
 
     // ---------------------------------------------------------------- Q24
@@ -460,7 +462,6 @@ object Relational {
             .otherwise("high"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
-        .orderBy("bucket")
     },
 
     // ---------------------------------------------------------------- Q28
@@ -475,8 +476,9 @@ object Relational {
         .groupBy(col("l_suppkey"))
         .agg(countDistinct(col("l_partkey")).as("n_parts"))
         .filter(col("n_parts") >= 10)
-      breadth.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
-        .select("s_suppkey", "s_name", "n_parts").orderBy("s_suppkey")
+      // supplier is SF-proportional: no forced broadcast, AQE decides.
+      breadth.join(su, col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_parts")
     }
   )
 }
