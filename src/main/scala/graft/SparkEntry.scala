@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    operators.Relational.all ++ functions.ScalarQueries.all
+    operators.Relational.all ++ functions.ScalarQueries.all ++
+      operators.RecordQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.kpl.KplCodec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record-stream transforms: the kitkat consumer/producer data path
+  * re-expressed as composable `DataFrame => DataFrame` / `Column` pieces
+  * (SURVEY.md §2 rows C3–C9, B2–B4). Works identically on batch frames and
+  * Structured Streaming frames — the transforms are stateless narrow ops.
+  *
+  * The KPL decode is a Scala UDF rather than a codegen'd Expression because
+  * there is no builtin protobuf path (see KplCodec); it is a per-record
+  * flatMap (explode) off the relational hot path, and the UDF boundary cost
+  * is dwarfed by the MD5/varint work itself.
+  */
+object RecordPipeline {
+
+  /** Child rows produced by de-aggregation. */
+  final case class KplChild(partitionKey: String, data: Array[Byte])
+
+  private val deaggUdf = udf { (data: Array[Byte]) =>
+    KplCodec.deaggregate(data).map { case (k, d) => KplChild(k, d) }
+  }
+
+  private val isAggUdf = udf { (data: Array[Byte]) => KplCodec.isAggregated(data) }
+
+  /** De-aggregation flatMap — consumer.go:156-191 (§2 C3+C4+C5+C6).
+    *
+    * Expects columns `data: binary` and `partitionKey: string`; every other
+    * column is a parent attribute and is inherited by children (the
+    * reference carries arrival ts, sequence number and encryption type
+    * through — consumer.go:183-188).
+    *
+    *  - KPL-framed records (magic prefix) explode into N children with the
+    *    looked-up partition keys; a decode error yields an empty array and
+    *    `explode` drops the parent row — the reference's silent whole-record
+    *    drop.
+    *  - Plain records pass through 1:1 with their own key and data.
+    */
+  def deaggregate(df: DataFrame): DataFrame = {
+    val parentCols = df.columns.filterNot(c => c == "data" || c == "partitionKey")
+    val subs = when(isAggUdf(col("data")), deaggUdf(col("data")))
+      .otherwise(array(struct(col("partitionKey").as("partitionKey"), col("data").as("data"))))
+    df.withColumn("__subs", subs)
+      .select(parentCols.map(col) :+ explode(col("__subs")).as("__sub"): _*)
+      .withColumn("partitionKey", col("__sub.partitionKey"))
+      .withColumn("data", col("__sub.data"))
+      .drop("__sub")
+  }
+
+  /** zlib inflate with raw-bytes-on-error passthrough — consumer.go:211-224
+    * (§2 C7). Any failure (bad header, truncation, corrupt stream) returns
+    * the input unchanged; the reference treats not-actually-compressed data
+    * as plain payload.
+    */
+  val inflateZlib = udf { (data: Array[Byte]) =>
+    if (data == null) null
+    else
+      try {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(data)
+        val out = new java.io.ByteArrayOutputStream(data.length * 4)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+          out.write(buf, 0, n)
+        }
+        inf.end()
+        out.toByteArray
+      } catch { case _: Exception => data }
+  }
+
+  /** zlib deflate — the encode side (test fixture + produce path). */
+  val deflateZlib = udf { (data: Array[Byte]) =>
+    if (data == null) null
+    else {
+      val buf = new java.io.ByteArrayOutputStream()
+      val dos = new java.util.zip.DeflaterOutputStream(buf)
+      dos.write(data); dos.close()
+      buf.toByteArray
+    }
+  }
+
+  /** Payload bytes → message string with ONLY a trailing `\n` trimmed —
+    * consumer.go:203 (§2 C8). `rtrim`/`trim` would strip all trailing
+    * newlines and whitespace, and a bare `$` anchor matches before a final
+    * line terminator too (Java regex), which would strip "a\n\n" to "a";
+    * `\z` anchors at the absolute end so exactly one suffix is removed.
+    */
+  def message(data: Column): Column =
+    regexp_replace(data.cast("string"), "\n\\z", "")
+
+  /** Arrival-timestamp render `yyyy-MM-dd HH:mm:ss` — consumer.go:193 (§2 C9). */
+  def arrivalTs(ts: Column): Column = date_format(ts, "yyyy-MM-dd HH:mm:ss")
+
+  /** Console sink projection, plain mode — consumer.go:195-208 (§2 B3):
+    * `"<ts> <message>"`.
+    */
+  def consolePlain(df: DataFrame): DataFrame =
+    df.select(concat_ws(" ",
+      arrivalTs(col("approximateArrivalTimestamp")), message(col("data"))).as("line"))
+
+  /** Console sink projection, verbose mode — consumer.go:204-208 (§2 B4):
+    * `"<ts> <stream> <shardId> <sequenceNumber> <message>"`.
+    */
+  def consoleVerbose(df: DataFrame): DataFrame =
+    df.select(concat_ws(" ",
+      arrivalTs(col("approximateArrivalTimestamp")),
+      col("stream"), col("shardId"), col("sequenceNumber"),
+      message(col("data"))).as("line"))
+
+  /** Produce-side partition key — producer.go:54-63 (§2 B2): explicit key if
+    * set, else a random 32-hex-char key (16 random bytes, hex-encoded).
+    * `uuid()` supplies the per-row randomness (32 hex chars after dash
+    * removal), matching the reference's key width.
+    */
+  def partitionKey(explicit: Option[String]): Column = explicit match {
+    case Some(k) if k.nonEmpty => lit(k)
+    case _ => lower(regexp_replace(uuid(), "-", ""))
+  }
+
+  /** Deterministic partition-key variant for oracle-checked tests: same
+    * 32-hex-char shape, derived from the payload (md5) instead of a RNG.
+    */
+  def partitionKeyDeterministic(data: Column): Column = md5(data.cast("binary"))
+}
