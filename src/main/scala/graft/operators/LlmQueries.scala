@@ -1,0 +1,365 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline operators (SURVEY.md §7.2 M4; BASELINE.json
+  * north star): deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+  * similarity search over embeddings (brute-force top-k + IVF-bucketed
+  * near-dup), and text analysis (quality scoring, language-ID heuristic,
+  * token counting, fingerprinting).
+  *
+  * Every query is deterministic and oracle-checked: the hash family is
+  * md5-based (present and bit-identical in both Spark and DuckDB), float
+  * math is double-routed with identical fold order, and similarity scores
+  * are rounded to 6 dp before ranking.
+  *
+  * 100 TB posture, per operator:
+  *  - exact dedup: hash-groupBy with partial aggregation — one shuffle on
+  *    the content hash, no sort;
+  *  - MinHash/LSH: banded signatures → shuffle on (band, band_key) buckets →
+  *    candidate pairs verified by true Jaccard. NEVER all-pairs: the only
+  *    join is bucket-equality, whose fan-out is the bucket collision rate;
+  *  - SimHash: narrow per-row computation, embarrassingly parallel;
+  *  - cosine top-k: the query set is broadcast (bounded by construction),
+  *    the corpus side streams — a linear scan per query batch. The IVF
+  *    variant buckets by coarse-quantizer cell (label) so candidate pairs
+  *    shuffle on the cell id, not the cross product;
+  *  - text analysis: codegen'd narrow ops over the scan, no shuffle.
+  */
+object LlmQueries {
+
+  /** documents + exact duplicates (doc_id%7==0 re-keyed +10000) — built
+    * in-query so the dedup operators have real duplicates to collapse; the
+    * fixture itself has 500 distinct texts.
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+  private val dupCorpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0"""
+
+  /** documents + near-duplicates (doc_id%10==0 re-keyed +10000 with 3 extra
+    * tokens appended — token-3-gram Jaccard vs the original ≈ (n-2)/(n+1)).
+    */
+  private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" xtr tok end")).as("text")))
+  }
+  private val nearCorpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 10000, text || ' xtr tok end'
+       FROM documents WHERE doc_id % 10 = 0"""
+
+  /** 3-token shingles, 1-based window starts (mirrors DuckDB range(1, n-1)). */
+  private val shinglesExpr = """
+    CASE WHEN size(toks) >= 3 THEN
+      transform(sequence(1, size(toks) - 2), i ->
+        concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))
+    ELSE array() END"""
+  private val shinglesSql = """
+    [ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      for i in range(1, len(toks) - 1) ]"""
+
+  /** 16-permutation MinHash signature over md5-keyed hash family:
+    * sig_i = min over shingles of first-8-hex(md5(i ++ ':' ++ shingle)).
+    * Fixed-width lowercase hex, so string min == numeric min.
+    */
+  private val sigExpr = """
+    transform(sequence(0, 15), i ->
+      array_min(transform(sh, s -> substring(md5(concat(cast(i AS string), ':', s)), 1, 8))))"""
+  private val sigSql = """
+    [ list_aggregate([ substr(md5(cast(i AS varchar) || ':' || s), 1, 8) for s in sh ], 'min')
+      for i in range(0, 16) ]"""
+
+  /** doc → (doc_id, band, band_key): 4 bands × 4 signature rows. */
+  private def bandTable(corpus: DataFrame): DataFrame =
+    corpus
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", s"$shinglesExpr AS sh")
+      .selectExpr("doc_id", s"$sigExpr AS sig")
+      .selectExpr("doc_id", """
+        explode(transform(sequence(0, 3), j -> struct(
+          j AS band,
+          concat(element_at(sig, 4*j + 1), element_at(sig, 4*j + 2),
+                 element_at(sig, 4*j + 3), element_at(sig, 4*j + 4)) AS band_key))) AS b""")
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_key").as("band_key"))
+
+  private def bandTableSql(corpus: String): String = s"""
+    WITH corpus AS ($corpus),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    shg AS (SELECT doc_id, $shinglesSql AS sh FROM tok),
+    sigs AS (SELECT doc_id, $sigSql AS sig FROM shg)
+    SELECT doc_id, j AS band,
+      sig[4*j + 1] || sig[4*j + 2] || sig[4*j + 3] || sig[4*j + 4] AS band_key
+    FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS j) t"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- Q40
+    // Exact deduplication: content-hash groupBy keeping the lowest doc_id.
+    // One shuffle on md5(text); partial agg collapses map-side.
+    Q("q40_exact_dedup", Some(s"""
+      WITH corpus AS ($dupCorpusSql)
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+             COUNT(*) AS n_copies
+      FROM corpus GROUP BY md5(text)""")) { (s, dir) =>
+      dupCorpus(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // ---------------------------------------------------------------- Q41
+    // MinHash signatures + LSH banding: the per-document bucket table that
+    // drives fuzzy dedup. 16 hash family members, 4 bands of 4 rows.
+    Q("q41_minhash_bands", Some(bandTableSql("SELECT doc_id, text FROM documents"))) {
+      (s, dir) => bandTable(Tables.t(s, dir, "documents").select(col("doc_id"), col("text")))
+    },
+
+    // ---------------------------------------------------------------- Q42
+    // Fuzzy dedup end-to-end: LSH candidate pairs (bucket-equality join on
+    // (band, band_key) — never all-pairs) verified by true token-3-gram
+    // Jaccard >= 0.5. Finds the planted near-duplicates.
+    Q("q42_lsh_neardup", Some(s"""
+      WITH bands AS (${bandTableSql(nearCorpusSql)}),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+      corpus AS ($nearCorpusSql),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      shs AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM tok)
+      SELECT doc_id1, doc_id2,
+        len(list_intersect(x.sh, y.sh)) /
+          (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+      FROM cand JOIN shs x ON doc_id1 = x.doc_id JOIN shs y ON doc_id2 = y.doc_id
+      WHERE len(list_intersect(x.sh, y.sh)) /
+          (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5""")) { (s, dir) =>
+      val bands = bandTable(nearCorpus(s, dir))
+      val a = bands.select(col("doc_id").as("doc_id1"), col("band"), col("band_key"))
+      val b = bands.select(col("doc_id").as("doc_id2"), col("band").as("band2"),
+        col("band_key").as("band_key2"))
+      val cand = a.join(b,
+        a("band") === b("band2") && a("band_key") === b("band_key2") &&
+          a("doc_id1") < b("doc_id2"))
+        .select("doc_id1", "doc_id2").distinct()
+      val shs = nearCorpus(s, dir)
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", s"array_distinct($shinglesExpr) AS sh")
+      val x = shs.select(col("doc_id").as("xid"), col("sh").as("xsh"))
+      val y = shs.select(col("doc_id").as("yid"), col("sh").as("ysh"))
+      cand.join(x, col("doc_id1") === col("xid")).join(y, col("doc_id2") === col("yid"))
+        .withColumn("inter", size(array_intersect(col("xsh"), col("ysh"))))
+        .withColumn("jaccard",
+          col("inter") / (size(col("xsh")) + size(col("ysh")) - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_id1", "doc_id2", "jaccard")
+    },
+
+    // ---------------------------------------------------------------- Q43
+    // SimHash document fingerprints: 64-bit signature from per-token md5
+    // bit-majorities, emitted as a 64-char bit string. Narrow per-row op.
+    Q("q43_simhash", Some("""
+      WITH tok AS (SELECT doc_id, [md5(t) for t in string_split(text, ' ')] AS hs
+                   FROM documents)
+      SELECT doc_id, array_to_string(
+        [ CASE WHEN list_sum([ CASE WHEN
+              ((strpos('0123456789abcdef', substr(h, 1 + CAST(floor(b/4) AS INT), 1)) - 1)
+                >> (3 - b % 4)) % 2 = 1
+            THEN 1 ELSE -1 END for h in hs ]) >= 0 THEN '1' ELSE '0' END
+          for b in range(0, 64) ], '') AS simhash
+      FROM tok""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .selectExpr("doc_id", "transform(split(text, ' '), t -> md5(t)) AS hs")
+        .selectExpr("doc_id", """
+          array_join(transform(sequence(0, 63), b ->
+            CASE WHEN aggregate(hs, 0, (acc, h) -> acc + (CASE WHEN
+                ((instr('0123456789abcdef', substring(h, 1 + CAST(floor(b/4) AS INT), 1)) - 1)
+                  >> (3 - b % 4)) % 2 = 1
+              THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END), '') AS simhash""")
+    },
+
+    // ---------------------------------------------------------------- Q44
+    // Exact n-gram Jaccard similarity between consecutive documents —
+    // the verification metric of q42 exercised standalone, int/int division
+    // is bit-exact on both engines.
+    Q("q44_ngram_jaccard", Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      shs AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM tok)
+      SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+        len(list_intersect(a.sh, b.sh)) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM shs a JOIN shs b ON b.doc_id = a.doc_id + 1""")) { (s, dir) =>
+      val shs = Tables.t(s, dir, "documents")
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", s"array_distinct($shinglesExpr) AS sh")
+      val a = shs.select(col("doc_id").as("doc_id1"), col("sh").as("xsh"))
+      val b = shs.select(col("doc_id").as("doc_id2"), col("sh").as("ysh"))
+      a.join(b, col("doc_id2") === col("doc_id1") + 1)
+        .withColumn("inter", size(array_intersect(col("xsh"), col("ysh"))))
+        .select(col("doc_id1"), col("doc_id2"),
+          (col("inter") / (size(col("xsh")) + size(col("ysh")) - col("inter")))
+            .as("jaccard"))
+    },
+
+    // ---------------------------------------------------------------- Q45
+    // Brute-force cosine top-10 for a bounded query set (vec_id < 10): the
+    // exact-ANN baseline. Query side broadcast, corpus side a linear scan;
+    // similarity rounded to 6 dp BEFORE ranking so order is deterministic.
+    Q("q45_cosine_topk", Some("""
+      WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings)
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim,
+          CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                     c.vec_id) AS INT) AS rk
+        FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+      WHERE rk <= 10""")) { (s, dir) =>
+      val n = Tables.t(s, dir, "embeddings")
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
+        .selectExpr("vec_id", "v",
+          "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) AS nrm")
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .selectExpr("query_id", "vec_id AS neighbor_id",
+          "round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qn * nrm), 6) AS sim")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+    },
+
+    // ---------------------------------------------------------------- Q46
+    // IVF-bucketed near-duplicate embeddings: candidate pairs only within a
+    // coarse-quantizer cell (label), cosine >= 0.9. Planted near-dups
+    // (vec_id%20==0, coordinate 1 zeroed, same cell) must surface. At scale
+    // the join shuffles on the cell id — candidate count is sum of squared
+    // cell sizes, never the corpus cross product.
+    Q("q46_ivf_neardup", Some("""
+      WITH base AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, label,
+          [ CASE WHEN i = 1 THEN 0 ELSE v[i] END
+            for i in range(1, len(v) + 1) ]
+        FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        WHERE vec_id % 20 = 0),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM base)
+      SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9""")) { (s, dir) =>
+      val e = Tables.t(s, dir, "embeddings")
+        .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v")
+      val planted = e.filter(col("vec_id") % 20 === 0)
+        .selectExpr("vec_id + 10000 AS vec_id", "label",
+          "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
+      val n = e.unionByName(planted)
+        .selectExpr("vec_id", "label", "v",
+          "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) AS nrm")
+      val a = n.select(col("vec_id").as("vec_id1"), col("label"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("vec_id2"), col("label").as("label2"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("label") === col("label2") && col("vec_id1") < col("vec_id2"))
+        .selectExpr("vec_id1", "vec_id2",
+          "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (na * nb), 6) AS sim")
+        .filter(col("sim") >= 0.9)
+    },
+
+    // ---------------------------------------------------------------- Q47
+    // Text quality scoring: type-token ratio, punctuation density, stopword
+    // ratio, composite score — the standard pre-training quality filters.
+    // All narrow codegen'd ops; identical expression order on both engines.
+    Q("q47_text_quality", Some("""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id,
+        len(toks) AS n_tok,
+        round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+        round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text), 6) AS punct_ratio,
+        round(len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t)))
+          / len(toks), 6) AS stop_ratio,
+        round(0.3 * (len(list_distinct(toks)) / len(toks))
+            + 0.4 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text))
+            + 0.3 * least(len(toks) / 100.0, 1.0), 6) AS quality
+      FROM t""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
+        .selectExpr("doc_id",
+          "size(toks) AS n_tok",
+          "round(size(array_distinct(toks)) / size(toks), 6) AS ttr",
+          "round(length(regexp_replace(text, '[a-z0-9 ]', '')) / length(text), 6) AS punct_ratio",
+          """round(size(filter(toks, t -> array_contains(array('the','a','of','and','to'), t)))
+             / size(toks), 6) AS stop_ratio""",
+          """round(0.3 * (size(array_distinct(toks)) / size(toks))
+              + 0.4 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '')) / length(text))
+              + 0.3 * least(size(toks) / 100.0, 1.0), 6) AS quality""")
+    },
+
+    // ---------------------------------------------------------------- Q48
+    // Language-ID heuristic: stopword-profile hit ratios per candidate
+    // language, argmax with a fixed priority tie-break. (The fixture's lang
+    // column is a synthetic label over a shared vocabulary, so the oracle
+    // checks scorer parity, not ground-truth recovery.)
+    Q("q48_lang_id", Some("""
+      WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      s AS (SELECT doc_id, lang,
+        round(len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) / len(toks), 6) AS s_en,
+        round(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t))) / len(toks), 6) AS s_de,
+        round(len(list_filter(toks, t -> list_contains(['el','la','de','que','los'], t))) / len(toks), 6) AS s_es,
+        round(len(list_filter(toks, t -> list_contains(['le','la','et','les','des'], t))) / len(toks), 6) AS s_fr
+      FROM t)
+      SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+        CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS predicted
+      FROM s""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", "lang",
+          "round(size(filter(toks, t -> array_contains(array('the','a','of','and','to'), t))) / size(toks), 6) AS s_en",
+          "round(size(filter(toks, t -> array_contains(array('der','die','und','das','ist'), t))) / size(toks), 6) AS s_de",
+          "round(size(filter(toks, t -> array_contains(array('el','la','de','que','los'), t))) / size(toks), 6) AS s_es",
+          "round(size(filter(toks, t -> array_contains(array('le','la','et','les','des'), t))) / size(toks), 6) AS s_fr")
+        .selectExpr("doc_id", "lang", "s_en", "s_de", "s_es", "s_fr",
+          """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted""")
+    },
+
+    // ---------------------------------------------------------------- Q49
+    // Token counting (whitespace + BPE-ish regex) and a winnowing-style
+    // content fingerprint (min md5 over 5-token shingles).
+    Q("q49_token_fingerprint", Some("""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id,
+        len(toks) AS ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+        list_aggregate(
+          [ md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+            for i in range(1, len(toks) - 3) ], 'min') AS fingerprint
+      FROM t""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
+        .selectExpr("doc_id",
+          "size(toks) AS ws_tokens",
+          "CAST(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS BIGINT) AS bpe_tokens",
+          """array_min(transform(sequence(1, size(toks) - 4), i ->
+               md5(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                 element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4)))))
+             AS fingerprint""")
+    }
+  )
+}
