@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.TextHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -68,13 +69,13 @@ object LlmQueries {
     [ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       for i in range(1, len(toks) - 1) ]"""
 
-  /** 16-permutation MinHash signature over md5-keyed hash family:
+  /** 16-permutation MinHash signature over an md5-keyed hash family:
     * sig_i = min over shingles of first-8-hex(md5(i ++ ':' ++ shingle)).
-    * Fixed-width lowercase hex, so string min == numeric min.
+    * Fixed-width lowercase hex, so string min == numeric min. The Spark
+    * side computes this with [[TextHash.minhash16]] (JVM kernel — the HOF
+    * formulation is interpreter-bound, see TextHash scaladoc); the oracle
+    * keeps the equivalent SQL.
     */
-  private val sigExpr = """
-    transform(sequence(0, 15), i ->
-      array_min(transform(sh, s -> substring(md5(concat(cast(i AS string), ':', s)), 1, 8))))"""
   private val sigSql = """
     [ list_aggregate([ substr(md5(cast(i AS varchar) || ':' || s), 1, 8) for s in sh ], 'min')
       for i in range(0, 16) ]"""
@@ -84,7 +85,7 @@ object LlmQueries {
     corpus
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"$shinglesExpr AS sh")
-      .selectExpr("doc_id", s"$sigExpr AS sig")
+      .select(col("doc_id"), TextHash.minhash16(col("sh")).as("sig"))
       .selectExpr("doc_id", """
         explode(transform(sequence(0, 3), j -> struct(
           j AS band,
@@ -177,13 +178,8 @@ object LlmQueries {
           for b in range(0, 64) ], '') AS simhash
       FROM tok""")) { (s, dir) =>
       Tables.t(s, dir, "documents")
-        .selectExpr("doc_id", "transform(split(text, ' '), t -> md5(t)) AS hs")
-        .selectExpr("doc_id", """
-          array_join(transform(sequence(0, 63), b ->
-            CASE WHEN aggregate(hs, 0, (acc, h) -> acc + (CASE WHEN
-                ((instr('0123456789abcdef', substring(h, 1 + CAST(floor(b/4) AS INT), 1)) - 1)
-                  >> (3 - b % 4)) % 2 = 1
-              THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END), '') AS simhash""")
+        .select(col("doc_id"),
+          TextHash.simhash64(split(col("text"), " ")).as("simhash"))
     },
 
     // ---------------------------------------------------------------- Q44
@@ -227,13 +223,14 @@ object LlmQueries {
       WHERE rk <= 10""")) { (s, dir) =>
       val n = Tables.t(s, dir, "embeddings")
         .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
-        .selectExpr("vec_id", "v",
-          "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) AS nrm")
+        .select(col("vec_id"), col("v"),
+          sqrt(TextHash.dotProduct(col("v"), col("v"))).as("nrm"))
       val q = n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .selectExpr("query_id", "vec_id AS neighbor_id",
-          "round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qn * nrm), 6) AS sim")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(TextHash.dotProduct(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+            .as("sim"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
@@ -265,15 +262,16 @@ object LlmQueries {
         .selectExpr("vec_id + 10000 AS vec_id", "label",
           "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
       val n = e.unionByName(planted)
-        .selectExpr("vec_id", "label", "v",
-          "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) AS nrm")
+        .select(col("vec_id"), col("label"), col("v"),
+          sqrt(TextHash.dotProduct(col("v"), col("v"))).as("nrm"))
       val a = n.select(col("vec_id").as("vec_id1"), col("label"),
         col("v").as("va"), col("nrm").as("na"))
       val b = n.select(col("vec_id").as("vec_id2"), col("label").as("label2"),
         col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("label") === col("label2") && col("vec_id1") < col("vec_id2"))
-        .selectExpr("vec_id1", "vec_id2",
-          "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (na * nb), 6) AS sim")
+        .select(col("vec_id1"), col("vec_id2"),
+          round(TextHash.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("sim"))
         .filter(col("sim") >= 0.9)
     },
 

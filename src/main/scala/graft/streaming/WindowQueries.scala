@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-time window operators (SURVEY.md §7.2 M3) in their batch form so
+  * they stay oracle-checkable (§7.3 risk 6): `window`/`session_window` work
+  * identically under `groupBy` in batch and under watermarked streaming
+  * aggregation — the streaming variants (watermark + late-data drop) are
+  * exercised in StreamingSpec over MemoryStream.
+  *
+  * events.ts is BIGINT nanos (nanosAsLong); both engines window over the
+  * µs-truncated timestamp. Window bounds are emitted as epoch_us BIGINTs.
+  *
+  * 100 TB posture: tumbling/sliding windows are plain hash aggregations on
+  * (window, key) — two-phase, no sort; session windows shuffle once on the
+  * session key (user) and Spark's session-window exec merges sorted runs
+  * per key, which is the textbook distributed gaps-and-islands plan.
+  */
+object WindowQueries {
+
+  private val tsUs = "timestamp_micros(ts div 1000)"
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- Q50
+    // Tumbling 1-hour counts per event type.
+    Q("q50_tumbling_window", Some("""
+      SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2""")) { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .selectExpr(s"$tsUs AS tss", "event_type")
+        .groupBy(window(col("tss"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"))
+    },
+
+    // ---------------------------------------------------------------- Q51
+    // Session windows: 30-minute inactivity gap per user. A new event at
+    // exactly start+gap opens a NEW session (Spark's window is [start,
+    // start+gap)), hence the `>=` break in the oracle's gaps-and-islands.
+    Q("q51_session_window", Some("""
+      WITH m AS (SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      g AS (SELECT user_id, ts,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m)
+      SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+             epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+             COUNT(*) AS n_events
+      FROM g GROUP BY user_id, sid""")) { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .selectExpr(s"$tsUs AS tss", "user_id")
+        .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))
+    },
+
+    // ---------------------------------------------------------------- Q52
+    // Sliding window: 1-hour windows every 30 minutes — each event lands in
+    // exactly 2 windows; the oracle materializes both via unnest([0,1]).
+    Q("q52_sliding_window", Some("""
+      SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, ts) - k * (INTERVAL 30 MINUTE))
+               AS window_start_us,
+             COUNT(*) AS n
+      FROM events, (SELECT unnest([0, 1]) AS k) t
+      GROUP BY 1""")) { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .selectExpr(s"$tsUs AS tss")
+        .groupBy(window(col("tss"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("window_start_us"), col("n"))
+    }
+  )
+}
