@@ -1,0 +1,193 @@
+package graft
+
+import graft.operators.RecordPipeline
+import graft.streaming._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI entry point mirroring the reference's command surface (SURVEY.md §3;
+  * command/root.go, command/consume.go, command/produce.go):
+  *
+  * {{{
+  *   graft.Cli consume|c --stream a,b [--iterator I] [--since t] [--limit n]
+  *                       [--interval ms] [--compress zlib] [--verbose]
+  *                       [--spool dir]
+  *   graft.Cli produce|p --stream s [--key k] [--aggregated] [--verbose]
+  *                       [--spool dir]
+  * }}}
+  *
+  * Control semantics preserved:
+  *  - no subcommand → help, exit 0 (command/root.go:11-17);
+  *  - missing --stream → help + exit 1 (§2 D3, command/consume.go:34-37);
+  *  - invalid RFC3339 --since fails fast before any stream starts (§2 C10);
+  *  - first stream error terminates the process (§2 D1) — Structured
+  *    Streaming's awaitTermination rethrows the first task failure, the
+  *    exact analog of the reference's buffered errChan (consumer.go:57-61);
+  *  - produce reads newline-delimited messages from stdin (§2 A1/C1,
+  *    producer/producer.go:30-36).
+  *
+  * `--region` is accepted for flag parity but is a no-op: the emulated
+  * transport is the spool directory.
+  */
+object Cli {
+
+  final case class ConsumeConfig(
+      streams: Seq[String],
+      region: String = "us-west-2",
+      iterator: String = "LATEST",
+      since: Option[String] = None,
+      seq: Option[Long] = None,
+      limit: Int = 500,
+      interval: Long = 100,
+      compress: Option[String] = None,
+      verbose: Boolean = false,
+      spool: String = "./spool")
+
+  final case class ProduceConfig(
+      stream: String,
+      region: String = "us-west-2",
+      key: Option[String] = None,
+      aggregated: Boolean = false,
+      verbose: Boolean = false,
+      spool: String = "./spool")
+
+  sealed trait Parsed
+  final case class Consume(cfg: ConsumeConfig) extends Parsed
+  final case class Produce(cfg: ProduceConfig) extends Parsed
+  case object Help extends Parsed
+
+  val helpText: String =
+    """graft — Kinesis-semantics stream producer and consumer on Spark
+      |
+      |Usage:
+      |  consume, c   read records from stream(s) and print to stdout
+      |  produce, p   read stdin lines and put each as one record
+      |
+      |Flags (consume): -s/--stream (required, comma-separable) -r/--region
+      |  -I/--iterator LATEST|TRIM_HORIZON|AT_SEQUENCE_NUMBER|AT_TIMESTAMP
+      |  -t/--since RFC3339  --seq N  -l/--limit N  -i/--interval MS
+      |  -c/--compress zlib  -v/--verbose  --spool DIR
+      |Flags (produce): -s/--stream (required) -r/--region -k/--key
+      |  -a/--aggregated -v/--verbose --spool DIR""".stripMargin
+
+  /** Parse argv. Left((message, exitCode)) on validation failure — missing
+    * --stream prints help and exits 1, exactly like the reference (D3).
+    */
+  def parse(args: Seq[String]): Either[(String, Int), Parsed] = {
+    if (args.isEmpty) return Right(Help)
+    val (cmd, rest) = (args.head, args.tail)
+
+    def flags(rest: Seq[String]): Either[(String, Int), Map[String, String]] = {
+      val acc = scala.collection.mutable.Map[String, String]()
+      var i = 0
+      val boolFlags = Set("-v", "--verbose", "-a", "--aggregated")
+      while (i < rest.length) {
+        val a = rest(i)
+        if (!a.startsWith("-")) return Left((s"unexpected argument $a\n$helpText", 1))
+        if (boolFlags(a)) { acc(a) = "true"; i += 1 }
+        else if (i + 1 >= rest.length) return Left((s"flag $a needs a value\n$helpText", 1))
+        else { acc(a) = rest(i + 1); i += 2 }
+      }
+      Right(acc.toMap)
+    }
+
+    def get(m: Map[String, String], short: String, long: String): Option[String] =
+      m.get(short).orElse(m.get(long))
+
+    cmd match {
+      case "consume" | "c" =>
+        flags(rest).flatMap { m =>
+          get(m, "-s", "--stream") match {
+            case None | Some("") => Left((s"--stream is required\n$helpText", 1))
+            case Some(s) => Right(Consume(ConsumeConfig(
+              streams = s.split(",").toSeq,
+              region = get(m, "-r", "--region").getOrElse("us-west-2"),
+              iterator = get(m, "-I", "--iterator").getOrElse("LATEST"),
+              since = get(m, "-t", "--since"),
+              seq = m.get("--seq").map(_.toLong),
+              limit = get(m, "-l", "--limit").map(_.toInt).getOrElse(500),
+              interval = get(m, "-i", "--interval").map(_.toLong).getOrElse(100),
+              compress = get(m, "-c", "--compress"),
+              verbose = m.contains("-v") || m.contains("--verbose"),
+              spool = m.getOrElse("--spool", "./spool"))))
+          }
+        }
+      case "produce" | "p" =>
+        flags(rest).flatMap { m =>
+          get(m, "-s", "--stream") match {
+            case None | Some("") => Left((s"--stream is required\n$helpText", 1))
+            case Some(s) => Right(Produce(ProduceConfig(
+              stream = s,
+              region = get(m, "-r", "--region").getOrElse("us-west-2"),
+              key = get(m, "-k", "--key"),
+              aggregated = m.contains("-a") || m.contains("--aggregated"),
+              verbose = m.contains("-v") || m.contains("--verbose"),
+              spool = m.getOrElse("--spool", "./spool"))))
+          }
+        }
+      case other => Left((s"unknown command $other\n$helpText", 1))
+    }
+  }
+
+  /** Consumer pipeline: source → deaggregate → optional zlib inflate →
+    * console projection — the full flagship lifecycle of SURVEY §3.1.
+    */
+  def consumeFrame(spark: SparkSession, cfg: ConsumeConfig,
+      batch: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val start = StartPosition.parse(cfg.iterator, cfg.since, cfg.seq) // fail-fast
+    val reader = new StreamReader(StreamReaderConfig(
+      cfg.spool, cfg.streams, start, cfg.limit, cfg.interval))
+    val raw = if (batch) reader.loadBatch(spark) else reader.load(spark)
+    val deagg = RecordPipeline.deaggregate(raw)
+    val decoded =
+      if (cfg.compress.contains("zlib"))
+        deagg.withColumn("data", RecordPipeline.inflateZlib(col("data")))
+      else deagg
+    if (cfg.verbose) RecordPipeline.consoleVerbose(decoded)
+    else RecordPipeline.consolePlain(decoded)
+  }
+
+  def main(args: Array[String]): Unit = parse(args.toSeq) match {
+    case Left((msg, code)) =>
+      System.err.println(msg)
+      sys.exit(code)
+    case Right(Help) =>
+      println(helpText)
+    case Right(Consume(cfg)) =>
+      val spark = session()
+      val q = consumeFrame(spark, cfg).writeStream
+        .format("console").option("truncate", "false")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(cfg.interval))
+        .start()
+      q.awaitTermination() // D1: first stream error surfaces here and kills the process
+    case Right(Produce(cfg)) =>
+      val spark = session()
+      // A1/C1: stdin, one message per newline-delimited line
+      val lines = scala.io.Source.stdin.getLines().toSeq
+      import spark.implicits._
+      val records = lines.toDF("value")
+        .select(RecordPipeline.partitionKey(cfg.key).as("partitionKey"),
+          col("value").cast("binary").as("data"))
+      val toWrite =
+        if (cfg.aggregated) ProduceSink.aggregateRecords(records)
+        else records
+      val writer = new ProduceSink.PutRecordWriter(
+        cfg.spool, cfg.stream, nShards = 4, verbose = cfg.verbose)
+      writer.open(0, 0)
+      // the reference producer is a synchronous record-at-a-time loop over
+      // stdin (producer.go:30-36) — driver-side by design, not a data scan
+      toWrite.collect().foreach(writer.process)
+      writer.close(null)
+      spark.stop()
+  }
+
+  private def session(): SparkSession = {
+    val b = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConf.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
