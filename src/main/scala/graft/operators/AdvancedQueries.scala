@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced relational operators beyond the core M2 suite: as-of join,
+  * range join, pivot, UDTF-shaped explode, map functions, exact
+  * percentiles. Each has a DuckDB oracle (ASOF JOIN is native there, which
+  * makes it a strong independent check of the Spark formulation).
+  */
+object AdvancedQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- Q53
+    // AS-OF JOIN: for every event, the user's most recent order at or
+    // before the event time. Spark has no native as-of join; the scale-safe
+    // formulation is the union-merge: tag both inputs, shuffle ONCE on the
+    // key, sort within partition by (time, tag), and carry the latest order
+    // forward with last_value(ignoreNulls). That is the textbook
+    // distributed as-of merge — one shuffle, one partition-local sort, no
+    // range explosion, works at any SF. The oracle is DuckDB's native
+    // `ASOF LEFT JOIN` (ties on order time pre-collapsed to max orderkey,
+    // since the reference semantics of "which order at exactly t" would
+    // otherwise be engine-defined).
+    Q("q53_asof_join", Some("""
+      WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                  FROM orders GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, od.o_orderkey AS last_orderkey,
+             epoch_us(od.o_orderdate) AS last_orderdate_us
+      FROM events e ASOF LEFT JOIN od
+        ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate""")) { (s, dir) =>
+      val od = Tables.t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      val orderSide = od.select(
+        col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        lit(0).as("is_event"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+      val eventSide = Tables.t(s, dir, "events").select(
+        col("user_id"),
+        expr("ts div 1000").as("t"),
+        lit(1).as("is_event"),
+        col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("long").as("od_us"))
+      // at equal t the order row sorts first (is_event 0 < 1) so `>=`
+      // includes an order placed exactly at the event timestamp
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("is_event"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      orderSide.unionByName(eventSide)
+        .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("last_orderdate_us", last(col("od_us"), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1)
+        .select("event_id", "user_id", "last_orderkey", "last_orderdate_us")
+    },
+
+    // ---------------------------------------------------------------- Q54
+    // Range join: price-band classification via a non-equi join against a
+    // literal band table. The band side is bounded by construction →
+    // broadcast nested-loop with an interval predicate; at scale this stays
+    // a broadcast (bands are static metadata), never a cross product.
+    Q("q54_range_join", Some(s"""
+      WITH bands AS (SELECT * FROM (VALUES
+          ('b0_under25k',   0.0,  25000.0),
+          ('b1_25to50k', 25000.0, 50000.0),
+          ('b2_50to75k', 50000.0, 75000.0),
+          ('b3_75kplus', 75000.0, 1e18)) t(band, lo, hi))
+      SELECT band, COUNT(*) AS n,
+        ${Relational.sqlDsum("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN bands
+        ON l_extendedprice >= lo AND l_extendedprice < hi
+      GROUP BY band""")) { (s, dir) =>
+      import s.implicits._
+      val bands = Seq(
+        ("b0_under25k", 0.0, 25000.0),
+        ("b1_25to50k", 25000.0, 50000.0),
+        ("b2_50to75k", 50000.0, 75000.0),
+        ("b3_75kplus", 75000.0, 1e18)).toDF("band", "lo", "hi")
+      Tables.t(s, dir, "lineitem").select("l_extendedprice")
+        .join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), Relational.dsum(col("l_extendedprice")).as("sum_price"))
+    },
+
+    // ---------------------------------------------------------------- Q55
+    // Pivot: order counts and exact sums per status × priority. Spark's
+    // relational pivot compiles to one hash aggregation with a conditional
+    // agg per pivot value (the oracle spells those FILTER clauses out).
+    Q("q55_pivot", Some("""
+      SELECT o_orderstatus,
+        COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent_n,
+        COUNT(*) FILTER (o_orderpriority = '5-LOW')    AS low_n,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+          FILTER (o_orderpriority = '1-URGENT'), 2) AS DOUBLE) AS urgent_sum,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+          FILTER (o_orderpriority = '5-LOW'), 2) AS DOUBLE)    AS low_sum
+      FROM orders GROUP BY o_orderstatus""")) { (s, dir) =>
+      val p = Tables.t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "5-LOW"))
+        .agg(count(lit(1)).as("n"), Relational.dsum(col("o_totalprice")).as("sum"))
+      p.select(col("o_orderstatus"),
+        col("1-URGENT_n").as("urgent_n"), col("5-LOW_n").as("low_n"),
+        col("1-URGENT_sum").as("urgent_sum"), col("5-LOW_sum").as("low_sum"))
+    },
+
+    // ---------------------------------------------------------------- Q56
+    // UDTF surface: posexplode of the token array with 1-based positions —
+    // the Generate operator (same machinery the KPL de-aggregation rides).
+    Q("q56_posexplode", Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE doc_id < 50)
+      SELECT doc_id, u.s.pos AS pos, u.s.tok AS tok
+      FROM (SELECT doc_id,
+              [{'tok': toks[i], 'pos': i} for i in range(1, len(toks) + 1)] AS ss
+            FROM t), unnest(ss) AS u(s)""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    },
+
+    // ---------------------------------------------------------------- Q57
+    // Map functions: build token→length maps, extract keys/values. Keys are
+    // the first 5 SORTED distinct tokens — DuckDB's list_distinct does not
+    // preserve first-occurrence order, so ordering must be imposed before
+    // slicing. (DuckDB map extraction returns a single-element list — [1].)
+    Q("q57_map_funcs", Some("""
+      WITH t AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' ')))[1:5] AS ks
+                 FROM documents)
+      SELECT doc_id,
+        CAST(cardinality(map(ks, [length(k) for k in ks])) AS INT) AS n_keys,
+        array_to_string(list_sort(map_keys(map(ks, [length(k) for k in ks]))), ',') AS keys_sorted,
+        CAST(map(ks, [length(k) for k in ks])[ks[1]][1] AS INT) AS first_val
+      FROM t""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .selectExpr("doc_id", "slice(array_sort(array_distinct(split(text, ' '))), 1, 5) AS ks")
+        .selectExpr("doc_id", "map_from_arrays(ks, transform(ks, k -> length(k))) AS m", "ks")
+        .selectExpr("doc_id",
+          "size(m) AS n_keys",
+          "array_join(array_sort(map_keys(m)), ',') AS keys_sorted",
+          "element_at(m, element_at(ks, 1)) AS first_val")
+    },
+
+    // ---------------------------------------------------------------- Q58
+    // Exact percentiles with linear interpolation — Spark `percentile` and
+    // DuckDB `quantile_cont` share the (1-h)·lo + h·hi definition; rounded
+    // to 6 dp to absorb any final-ulp skew.
+    Q("q58_percentiles", Some("""
+      SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        round(quantile_cont(l_extendedprice, 0.5),  6) AS p50,
+        round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+      FROM lineitem GROUP BY l_returnflag""")) { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+    }
+  )
+}

@@ -147,7 +147,11 @@ object LlmQueries {
       val a = bands.select(col("doc_id").as("doc_id1"), col("band"), col("band_key"))
       val b = bands.select(col("doc_id").as("doc_id2"), col("band").as("band2"),
         col("band_key").as("band_key2"))
-      val cand = a.join(b,
+      // merge hint: both sides shuffle on the bucket key with identical
+      // child plans, so ReusedExchange computes the MinHash signatures ONCE
+      // (a broadcast self-join would evaluate the UDF on both sides) — and
+      // a shuffle join is what this bucket join must be at 100 TB anyway.
+      val cand = a.hint("merge").join(b,
         a("band") === b("band2") && a("band_key") === b("band_key2") &&
           a("doc_id1") < b("doc_id2"))
         .select("doc_id1", "doc_id2").distinct()
@@ -268,7 +272,10 @@ object LlmQueries {
         col("v").as("va"), col("nrm").as("na"))
       val b = n.select(col("vec_id").as("vec_id2"), col("label").as("label2"),
         col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("label") === col("label2") && col("vec_id1") < col("vec_id2"))
+      // merge hint → identical shuffles on the cell id on both sides →
+      // ReusedExchange evaluates the norm computation once; the inequality
+      // pair predicate applies inside each cell partition.
+      a.hint("merge").join(b, col("label") === col("label2") && col("vec_id1") < col("vec_id2"))
         .select(col("vec_id1"), col("vec_id2"),
           round(TextHash.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
             .as("sim"))
