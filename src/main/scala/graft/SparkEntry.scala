@@ -13,7 +13,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     operators.Relational.all ++ functions.ScalarQueries.all ++
       operators.RecordQueries.all ++ operators.LlmQueries.all ++
-      streaming.WindowQueries.all ++ operators.AdvancedQueries.all
+      streaming.WindowQueries.all ++ operators.AdvancedQueries.all ++
+      operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

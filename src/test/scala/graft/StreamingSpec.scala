@@ -242,6 +242,26 @@ class StreamingSpec extends SparkSpec {
     assert(restored.toSet == (1 to 25).map(i => (s"key${i % 3}", s"payload$i")).toSet)
   }
 
+  test("checkpoint restart resumes from committed offsets, no reprocessing") {
+    val dir = tmp()
+    val ckpt = s"$dir/_ckpt"
+    val name = s"t${System.nanoTime()}"
+    spool(dir, "s1", Seq(rec("shardId-000000000000", 1, "2024-01-01 00:00:00", "k1", "r1")))
+    val r = new StreamReader(StreamReaderConfig(dir, Seq("s1"), StartPosition.TrimHorizon))
+    def run(): Unit = {
+      val q = r.load(spark).writeStream.format("parquet")
+        .option("path", s"$dir/_out").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    run() // processes seq 1
+    spool(dir, "s1", Seq(rec("shardId-000000000000", 2, "2024-01-01 01:00:00", "k2", "r2")))
+    run() // NextShardIterator analog: resumes at the checkpointed offset
+    val out = spark.read.parquet(s"$dir/_out")
+      .select("sequenceNumber").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 2L), "each record delivered exactly once across restarts")
+  }
+
   test("stream-info table renders the 6-row descriptor (consumer.go:88-114)") {
     val dir = baseSpool()
     val r = new StreamReader(StreamReaderConfig(dir, Seq("s1"), StartPosition.TrimHorizon))
