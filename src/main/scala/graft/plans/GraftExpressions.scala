@@ -1,0 +1,108 @@
+package graft.plans
+
+import graft.kpl.KplCodec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+
+/** Native Catalyst expressions for the two hot byte-level kernels, plus the
+  * [[SparkSessionExtensions]] injector that registers them as SQL functions
+  * (`graft_is_kpl`, `graft_inflate_zlib`).
+  *
+  * Versus the ScalaUDF path ([[graft.operators.RecordPipeline]] keeps UDF
+  * variants for the plain Column API), a native expression:
+  *  - participates in whole-stage codegen — `defineCodeGen` emits a direct
+  *    static call, no ScalaUDF closure dispatch, no encoder boundary;
+  *  - propagates nulls for free (generated null checks);
+  *  - is foldable when its input is a literal, so Catalyst constant-folds
+  *    `graft_is_kpl(X'F3899AC2...')` at plan time.
+  */
+object ZlibOps {
+  /** zlib inflate; ANY failure returns the raw input (consumer.go:211-224).
+    * Static so generated code can call it directly.
+    */
+  def inflateOrRaw(data: Array[Byte]): Array[Byte] =
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    } catch { case _: Exception => data }
+}
+
+/** `graft_is_kpl(binary) → boolean`: KPL magic-prefix detect (§2 C3). */
+final case class IsKplAggregated(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a BINARY argument")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_is_kpl"
+  override protected def nullSafeEval(input: Any): Any =
+    KplCodec.isAggregated(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.kpl.KplCodec.isAggregated($c)")
+  override protected def withNewChildInternal(newChild: Expression): IsKplAggregated =
+    copy(child = newChild)
+}
+
+/** `graft_inflate_zlib(binary) → binary`: conditional inflate with
+  * raw-on-error passthrough (§2 C7).
+  */
+final case class InflateZlibExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a BINARY argument")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_inflate_zlib"
+  override protected def nullSafeEval(input: Any): Any =
+    ZlibOps.inflateOrRaw(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ZlibOps.inflateOrRaw($c)")
+  override protected def withNewChildInternal(newChild: Expression): InflateZlibExpr =
+    copy(child = newChild)
+}
+
+/** Injector: `SparkSession.builder.withExtensions(new GraftExtensions)` at
+  * session build time, or [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def one(args: Seq[Expression], name: String): Expression = {
+    require(args.length == 1, s"$name takes exactly 1 argument")
+    args.head
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_is_kpl",
+      new ExpressionInfo(classOf[IsKplAggregated].getName, "graft_is_kpl"),
+      (args: Seq[Expression]) => IsKplAggregated(one(args, "graft_is_kpl"))),
+    ("graft_inflate_zlib",
+      new ExpressionInfo(classOf[InflateZlibExpr].getName, "graft_inflate_zlib"),
+      (args: Seq[Expression]) => InflateZlibExpr(one(args, "graft_inflate_zlib"))))
+
+  /** Idempotent post-hoc registration for sessions built without
+    * extensions (e.g. the driver-owned Verify/Bench sessions).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}
