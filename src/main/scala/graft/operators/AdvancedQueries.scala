@@ -165,6 +165,34 @@ object AdvancedQueries {
           round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
           round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
           round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+    },
+
+    // ---------------------------------------------------------------- Q59
+    // Salted aggregation — the skew pattern: l_returnflag has only 3 values,
+    // so a naive exact-distinct per flag funnels everything into 3 reducers.
+    // Phase 1 aggregates on (flag, salt16) — 48 partial groups spread across
+    // the cluster — phase 2 merges the 16 salted partials per flag. The salt
+    // is pmod(hash(row-key), 16): internal only, never in the output, so
+    // results are deterministic and the oracle is the plain GROUP BY. (For
+    // the count-distinct, salting BY THE DISTINCT KEY keeps it exact: equal
+    // keys land in the same salt bucket.)
+    Q("q59_salted_agg", Some(s"""
+      SELECT l_returnflag, COUNT(*) AS n,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        ${Relational.sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY l_returnflag""")) { (s, dir) =>
+      val salted = Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"),
+          col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("qty"),
+          pmod(hash(col("l_partkey")), lit(16)).as("salt"))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          countDistinct(col("l_partkey")).as("pparts"),
+          sum(col("qty")).as("pqty"))
+      salted.groupBy(col("l_returnflag"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pparts")).as("n_parts"),
+          round(sum(col("pqty")), 2).cast("double").as("sum_qty"))
     }
   )
 }

@@ -225,15 +225,16 @@ object LlmQueries {
                      c.vec_id) AS INT) AS rk
         FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) t
       WHERE rk <= 10""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // graft_vector_dot
       val n = Tables.t(s, dir, "embeddings")
         .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
         .select(col("vec_id"), col("v"),
-          sqrt(TextHash.dotProduct(col("v"), col("v"))).as("nrm"))
+          sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
       val q = n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(TextHash.dotProduct(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          round(expr("graft_vector_dot(qv, v)") / (col("qn") * col("nrm")), 6)
             .as("sim"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
@@ -265,9 +266,10 @@ object LlmQueries {
       val planted = e.filter(col("vec_id") % 20 === 0)
         .selectExpr("vec_id + 10000 AS vec_id", "label",
           "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
+      graft.plans.GraftExtensions.register(s) // graft_vector_dot
       val n = e.unionByName(planted)
         .select(col("vec_id"), col("label"), col("v"),
-          sqrt(TextHash.dotProduct(col("v"), col("v"))).as("nrm"))
+          sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
       val a = n.select(col("vec_id").as("vec_id1"), col("label"),
         col("v").as("va"), col("nrm").as("na"))
       val b = n.select(col("vec_id").as("vec_id2"), col("label").as("label2"),
@@ -277,7 +279,7 @@ object LlmQueries {
       // pair predicate applies inside each cell partition.
       a.hint("merge").join(b, col("label") === col("label2") && col("vec_id1") < col("vec_id2"))
         .select(col("vec_id1"), col("vec_id2"),
-          round(TextHash.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          round(expr("graft_vector_dot(va, vb)") / (col("na") * col("nb")), 6)
             .as("sim"))
         .filter(col("sim") >= 0.9)
     },

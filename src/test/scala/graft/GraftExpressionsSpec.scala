@@ -63,6 +63,18 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(!optimized.toString.contains("graft_is_kpl"), optimized.toString)
   }
 
+  test("graft_vector_dot equals the left-fold dot product, bit-exact") {
+    registered
+    val df = spark.sql(
+      "SELECT graft_vector_dot(array(1.5D, -2.0D, 0.25D), array(4.0D, 0.5D, 8.0D)) AS d, " +
+        "graft_vector_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) IS NULL AS n")
+    val row = df.collect().head
+    assert(row.getDouble(0) == 1.5 * 4.0 + -2.0 * 0.5 + 0.25 * 8.0)
+    assert(row.getBoolean(1), "null array input must yield null")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+  }
+
   test("ZlibOps static kernel equals the UDF kernel") {
     val payload = Array.tabulate(512)(i => (i * 7).toByte)
     val deflated = {
