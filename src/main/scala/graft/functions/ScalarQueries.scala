@@ -127,6 +127,88 @@ object ScalarQueries {
         array_join(filter(toks, t => length(t) > 5), ",").as("long_toks"))
     },
 
+    // ---------------------------------------------------------------- Q63
+    // Ranking-window suite: row_number / dense_rank / ntile / percent_rank /
+    // cume_dist / first_value / nth_value, one shuffle on the partition key.
+    Q("q63_window_suite", Some("""
+      SELECT o_orderkey, o_custkey,
+        row_number() OVER w AS rn,
+        dense_rank() OVER w AS dr,
+        ntile(4) OVER w AS nt,
+        round(percent_rank() OVER w, 6) AS pr,
+        round(cume_dist() OVER w, 6) AS cd,
+        first_value(o_orderkey) OVER w AS fv,
+        nth_value(o_orderkey, 2) OVER w AS nv
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).cast("long").as("rn"),
+        dense_rank().over(w).cast("long").as("dr"),
+        ntile(4).over(w).cast("long").as("nt"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first_value(col("o_orderkey")).over(w).as("fv"),
+        nth_value(col("o_orderkey"), 2).over(w).as("nv"))
+    },
+
+    // ---------------------------------------------------------------- Q64
+    // String/conditional batch two: translate, reverse, pad, repeat,
+    // ascii/chr, left/right, nullif/coalesce.
+    Q("q64_string_cond_funcs", Some("""
+      SELECT p_partkey,
+        translate(p_name, 'aeiou', 'AEIOU') AS de_voweled,
+        reverse(p_brand) AS rev,
+        lpad(p_brand, 12, '*') AS lp,
+        rpad(p_brand, 12, '*') AS rp,
+        repeat(p_type, 2) AS rep2,
+        CAST(ascii(p_name) AS INT) AS first_code,
+        chr(65 + p_size % 26) AS size_letter,
+        left(p_name, 4) AS l4,
+        right(p_name, 4) AS r4,
+        CAST(nullif(p_size, 10) AS INT) AS size_not10,
+        CAST(coalesce(nullif(p_size, 10), -1) AS INT) AS size_or_neg1
+      FROM part""")) { (s, dir) =>
+      Tables.t(s, dir, "part").select(
+        col("p_partkey"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("de_voweled"),
+        reverse(col("p_brand")).as("rev"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, "*").as("rp"),
+        repeat(col("p_type"), 2).as("rep2"),
+        ascii(col("p_name")).as("first_code"),
+        chr(lit(65) + col("p_size") % 26).as("size_letter"),
+        expr("left(p_name, 4)").as("l4"),
+        expr("right(p_name, 4)").as("r4"),
+        nullif(col("p_size"), lit(10)).as("size_not10"),
+        coalesce(nullif(col("p_size"), lit(10)), lit(-1)).as("size_or_neg1"))
+    },
+
+    // ---------------------------------------------------------------- Q65
+    // Date batch two: month arithmetic with end-of-month clamping (Spark
+    // add_months == DuckDB +INTERVAL), ISO day-of-week/week-of-year,
+    // quarter truncation.
+    Q("q65_date_arith", Some("""
+      SELECT o_orderkey,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+        CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+        last_day(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH) AS next_month_end
+      FROM orders""")) { (s, dir) =>
+      Tables.t(s, dir, "orders").select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        (weekday(col("o_orderdate")) + 1).as("iso_dow"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").as("q_start"),
+        last_day(add_months(col("o_orderdate").cast("date"), 1)).as("next_month_end"))
+    },
+
     // ---------------------------------------------------------------- Q23
     // JSON extraction from the events.props column.
     Q("q23_json_funcs", Some("""

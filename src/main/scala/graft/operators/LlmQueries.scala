@@ -284,6 +284,42 @@ object LlmQueries {
         .filter(col("sim") >= 0.9)
     },
 
+    // ---------------------------------------------------------------- Q66
+    // IVF top-k, probe=1 — the ANN scale path of q45: each query probes
+    // ONLY its own coarse cell (label), so per-query work is cell-sized,
+    // not corpus-sized; recall is traded for the 1/#cells cost cut. One
+    // shuffle on the cell id; candidate lists never leave their cell.
+    Q("q66_ivf_topk", Some("""
+      WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings)
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim,
+          CAST(row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                     c.vec_id) AS INT) AS rk
+        FROM n q JOIN n c ON q.label = c.label AND q.vec_id < 10
+                          AND c.vec_id <> q.vec_id) t
+      WHERE rk <= 5""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // graft_vector_dot
+      val n = Tables.t(s, dir, "embeddings")
+        .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v")
+        .select(col("vec_id"), col("label"), col("v"),
+          sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val scored = n.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(expr("graft_vector_dot(qv, v)") / (col("qn") * col("nrm")), 6)
+            .as("sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+    },
+
     // ---------------------------------------------------------------- Q47
     // Text quality scoring: type-token ratio, punctuation density, stopword
     // ratio, composite score — the standard pre-training quality filters.
