@@ -161,10 +161,13 @@ object AdvancedQueries {
       FROM lineitem GROUP BY l_returnflag""")) { (s, dir) =>
       Tables.t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+        // array form: ONE percentile aggregate (one sort/count-map pass)
+        // instead of three independent ones
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 6).as("p25"),
+          round(element_at(col("ps"), 2), 6).as("p50"),
+          round(element_at(col("ps"), 3), 6).as("p75"))
     },
 
     // ---------------------------------------------------------------- Q59
