@@ -82,6 +82,18 @@ object TextHash {
     }
   }
 
+  /** Hamming distance between two equal-length bit strings ('0'/'1' chars)
+    * — counts differing positions; the oracle mirror is a per-position
+    * substr compare sum.
+    */
+  val hammingBits: UserDefinedFunction = udf { (a: String, b: String) =>
+    var d = 0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
+    d
+  }
+
   /** Ascending-index double dot product — the same left-to-right summation
     * order as DuckDB's `list_dot_product` and Spark's
     * `aggregate(zip_with(...))` fold, so results are bit-identical.

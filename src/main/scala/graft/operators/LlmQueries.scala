@@ -186,6 +186,54 @@ object LlmQueries {
           TextHash.simhash64(split(col("text"), " ")).as("simhash"))
     },
 
+    // ---------------------------------------------------------------- Q67
+    // SimHash near-dup pairing: 64-bit fingerprints split into 8 blocks of
+    // 8 bits; by pigeonhole, any pair within Hamming distance ≤7 shares at
+    // least one identical block, so the bucket-equality join on (block_idx,
+    // block) has guaranteed recall for the ≤5 threshold used here — and is
+    // never all-pairs (planted near-dups sit at ≤5, random pairs at ≥6).
+    Q("q67_simhash_neardup", Some(s"""
+      WITH corpus AS ($nearCorpusSql),
+      sh AS (SELECT doc_id, array_to_string(
+          [ CASE WHEN list_sum([ CASE WHEN
+                ((strpos('0123456789abcdef', substr(md5(t), 1 + CAST(floor(b/4) AS INT), 1)) - 1)
+                  >> (3 - b % 4)) % 2 = 1
+              THEN 1 ELSE -1 END for t in string_split(text, ' ') ]) >= 0
+            THEN '1' ELSE '0' END for b in range(0, 64) ], '') AS sim
+        FROM corpus),
+      blocks AS (SELECT doc_id, j AS block_idx, substr(sim, 1 + 8*j, 8) AS block, sim
+                 FROM sh, (SELECT unnest([0,1,2,3,4,5,6,7]) AS j) t),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+                 a.sim AS sim1, b.sim AS sim2
+               FROM blocks a JOIN blocks b
+                 ON a.block_idx = b.block_idx AND a.block = b.block
+                  AND a.doc_id < b.doc_id)
+      SELECT doc_id1, doc_id2,
+        CAST(list_sum([ CASE WHEN substr(sim1, i, 1) <> substr(sim2, i, 1)
+          THEN 1 ELSE 0 END for i in range(1, 65) ]) AS INT) AS hamming
+      FROM cand
+      WHERE list_sum([ CASE WHEN substr(sim1, i, 1) <> substr(sim2, i, 1)
+          THEN 1 ELSE 0 END for i in range(1, 65) ]) <= 5""")) { (s, dir) =>
+      val sh = nearCorpus(s, dir)
+        .select(col("doc_id"), TextHash.simhash64(split(col("text"), " ")).as("sim"))
+      val blocks = sh.selectExpr("doc_id", "sim", """
+          explode(transform(sequence(0, 7), j ->
+            struct(j AS block_idx, substring(sim, 1 + 8*j, 8) AS block))) AS b""")
+        .select(col("doc_id"), col("sim"), col("b.block_idx").as("block_idx"),
+          col("b.block").as("block"))
+      val a = blocks.select(col("doc_id").as("doc_id1"), col("sim").as("sim1"),
+        col("block_idx"), col("block"))
+      val b = blocks.select(col("doc_id").as("doc_id2"), col("sim").as("sim2"),
+        col("block_idx").as("bi2"), col("block").as("bl2"))
+      val cand = a.hint("merge").join(b,
+        a("block_idx") === b("bi2") && a("block") === b("bl2") &&
+          a("doc_id1") < b("doc_id2"))
+        .select("doc_id1", "doc_id2", "sim1", "sim2").distinct()
+      cand.withColumn("hamming", TextHash.hammingBits(col("sim1"), col("sim2")))
+        .filter(col("hamming") <= 5)
+        .select("doc_id1", "doc_id2", "hamming")
+    },
+
     // ---------------------------------------------------------------- Q44
     // Exact n-gram Jaccard similarity between consecutive documents —
     // the verification metric of q42 exercised standalone, int/int division
