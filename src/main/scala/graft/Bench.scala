@@ -36,7 +36,30 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Record-pipeline throughput: synthesize 200k records, KPL-aggregate
+    // them (1000 keys, 100/frame), de-aggregate, render console lines —
+    // the full kitkat consume path. The reference's implied ceiling is
+    // ~5,000 records/s/shard (BASELINE.md); this measures the engine-side
+    // records/s on the same logical work.
+    val rps =
+      try {
+        val n = 200000L
+        import org.apache.spark.sql.functions._
+        val recs = spark.range(n).selectExpr(
+          "concat('key', id % 1000) AS partitionKey",
+          "cast(concat('payload-', id) AS binary) AS data")
+        val framed = streaming.ProduceSink.aggregateRecords(recs, maxPerRecord = 100)
+          .withColumn("approximateArrivalTimestamp",
+            expr("timestamp_micros(1700000000000000 + CAST(crc32(data) AS BIGINT))"))
+        val t0 = System.nanoTime()
+        operators.RecordPipeline.consolePlain(
+          operators.RecordPipeline.deaggregate(framed))
+          .write.format("noop").mode("overwrite").save()
+        n / ((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline_rps FAILED: ${e.getMessage}"); -1.0
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pipeline_rps":${rps.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
