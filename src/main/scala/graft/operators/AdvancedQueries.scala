@@ -170,6 +170,52 @@ object AdvancedQueries {
           round(element_at(col("ps"), 3), 6).as("p75"))
     },
 
+    // ---------------------------------------------------------------- Q68
+    // Bag (multiset) set-ops: EXCEPT ALL / INTERSECT ALL keep duplicate
+    // multiplicity (the DISTINCT variants are q18), plus null-safe equality
+    // semantics — the orderpriority column is nulled for '3-MEDIUM' rows so
+    // NULL rows must match each other under bag semantics.
+    Q("q68_bag_set_ops", Some("""
+      WITH a AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS p FROM orders
+                 WHERE o_orderstatus = 'F'),
+           b AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS p FROM orders
+                 WHERE o_totalprice > 150000)
+      SELECT 'except_all' AS op, p, COUNT(*) AS n
+      FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b) GROUP BY p
+      UNION ALL
+      SELECT 'intersect_all', p, COUNT(*)
+      FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b) GROUP BY p""")) { (s, dir) =>
+      val o = Tables.t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("p"))
+      val b = o.filter(col("o_totalprice") > 150000)
+        .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("p"))
+      val ex = a.exceptAll(b).groupBy(col("p"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val in = a.intersectAll(b).groupBy(col("p"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ex.unionByName(in).select("op", "p", "n")
+    },
+
+    // ---------------------------------------------------------------- Q69
+    // Ordered string aggregation: listagg-style CSV per group. Spark builds
+    // it as sort_array(collect_list) + array_join — collect_list order is
+    // nondeterministic, so the sort is what makes the result stable and
+    // oracle-comparable (DuckDB string_agg with ORDER BY).
+    Q("q69_string_agg", Some("""
+      SELECT l_returnflag,
+        string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        string_agg(DISTINCT CAST(l_linenumber AS VARCHAR), ','
+                   ORDER BY CAST(l_linenumber AS VARCHAR)) AS linenos
+      FROM lineitem GROUP BY l_returnflag""")) { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          array_join(array_sort(collect_set(col("l_linenumber").cast("string"))), ",")
+            .as("linenos"))
+    },
+
     // ---------------------------------------------------------------- Q59
     // Salted aggregation — the skew pattern: l_returnflag has only 3 values,
     // so a naive exact-distinct per flag funnels everything into 3 reducers.
