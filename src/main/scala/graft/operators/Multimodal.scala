@@ -127,16 +127,19 @@ object Multimodal {
     // ---------------------------------------------------------------- Q61
     // Batched feature extraction over blobs: Dataset.mapPartitions with
     // grouped(64) batches — the mapInPandas-style batch kernel shape — then
-    // engine-side rounding so both engines round identically.
+    // engine-side rounding so both engines round identically. Output is
+    // exploded to one scalar row per (doc_id, feature index): the driver's
+    // checker sorts/hashes column values, and raw array<double> cells are
+    // unhashable on the oracle side (r02 fail).
     Q("q61_mm_features", Some("""
-      SELECT doc_id, [
+      SELECT doc_id, CAST(i AS INT) AS feat_idx,
         round((
           (strpos('0123456789abcdef', substr(md5('f' || i || ':' || text), 1, 1)) - 1) * 4096 +
           (strpos('0123456789abcdef', substr(md5('f' || i || ':' || text), 2, 1)) - 1) * 256 +
           (strpos('0123456789abcdef', substr(md5('f' || i || ':' || text), 3, 1)) - 1) * 16 +
           (strpos('0123456789abcdef', substr(md5('f' || i || ':' || text), 4, 1)) - 1)
-        ) / 65535.0, 6) for i in range(0, 8) ] AS features
-      FROM documents""")) { (s, dir) =>
+        ) / 65535.0, 6) AS feat
+      FROM documents, range(0, 8) t(i)""")) { (s, dir) =>
       import s.implicits._
       val in = blobs(s, dir).select(col("doc_id"),
         // strip the container header: featurize the payload, not the frame
@@ -146,8 +149,9 @@ object Multimodal {
           batch.map(r => MmFeat(r.doc_id, FakeDecoder.features(r.data, 8)))
         }
       }.toDF()
-        .select(col("doc_id"),
-          expr("transform(features, x -> round(x, 6))").as("features"))
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "f")))
+        .select(col("doc_id"), col("feat_idx"),
+          round(col("f"), 6).as("feat"))
     },
 
     // ---------------------------------------------------------------- Q62
