@@ -19,18 +19,25 @@ object Bench {
     // noop sink forces full computation of every column (a bare .count()
     // would let Catalyst prune the projections we are trying to measure).
     var failed = List.empty[String]
+    // min of two timed runs per query: one transient GC pause / machine
+    // contention spike would otherwise be indistinguishable from a plan
+    // regression (r02 recorded a 6.2s outlier on a query that steadily
+    // runs <1s).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best =
+        try math.min(once(), once())
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
             failed ::= name
-            false
+            -1.0 // a crashed query must not masquerade as a fast pass
         }
-      // a crashed query must not masquerade as a fast pass: record -1
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -51,11 +58,18 @@ object Bench {
         val framed = streaming.ProduceSink.aggregateRecords(recs, maxPerRecord = 100)
           .withColumn("approximateArrivalTimestamp",
             expr("timestamp_micros(1700000000000000 + CAST(crc32(data) AS BIGINT))"))
-        val t0 = System.nanoTime()
-        operators.RecordPipeline.consolePlain(
-          operators.RecordPipeline.deaggregate(framed))
-          .write.format("noop").mode("overwrite").save()
-        n / ((System.nanoTime() - t0) / 1e9)
+          .persist()
+        framed.count() // materialize: time the consume path, not the synth/aggregate side
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          operators.RecordPipeline.consolePlain(
+            operators.RecordPipeline.deaggregate(framed))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val best = math.min(once(), once())
+        framed.unpersist()
+        n / best
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline_rps FAILED: ${e.getMessage}"); -1.0
       }

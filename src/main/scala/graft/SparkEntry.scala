@@ -14,7 +14,7 @@ object SparkEntry {
     operators.Relational.all ++ functions.ScalarQueries.all ++
       operators.RecordQueries.all ++ operators.LlmQueries.all ++
       streaming.WindowQueries.all ++ operators.AdvancedQueries.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++ operators.StatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

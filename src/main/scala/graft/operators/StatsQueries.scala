@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical / sampling / reshape operator batch (round 3).
+  *
+  * Design notes shared by the batch:
+  *  - Moment statistics (q70) are derived from EXACT decimal moment sums:
+  *    per-row products are computed in IEEE double (deterministic), routed
+  *    through DECIMAL so the aggregation is order-independent (a parallel
+  *    double sum is not), then the closed-form statistics are evaluated in
+  *    double with the IDENTICAL expression text on the Spark and DuckDB
+  *    sides — same ops in the same order → bit-identical results. `pow` is
+  *    deliberately avoided (libm pow may differ across engines by 1 ulp);
+  *    only `*`, `/`, `sqrt` (IEEE-exact) appear.
+  *  - Sampling (q71) is hash-deterministic (md5 prefix), not rand(): it is
+  *    reproducible across engines AND across cluster re-runs, pushes down
+  *    to the scan as a plain filter, and needs no coordination — the right
+  *    100 TB sampling primitive.
+  *  - At 100 TB the moment aggregation is a single scan + 2-phase agg with
+  *    ~6 groups of bounded state; the sample is a scan-side filter.
+  */
+object StatsQueries {
+
+  private def dsum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(28,4))) AS DOUBLE)"
+
+  /** Exact decimal moment sums (identical text runs on both engines). */
+  private val moments = Seq(
+    "COUNT(*) AS n_rows",
+    s"${dsum("l_quantity")} AS sx",
+    s"${dsum("l_quantity * l_quantity")} AS sxx",
+    s"${dsum("l_quantity * l_quantity * l_quantity")} AS sxxx",
+    s"${dsum("l_quantity * l_quantity * l_quantity * l_quantity")} AS sxxxx",
+    s"${dsum("l_extendedprice")} AS sy",
+    s"${dsum("l_extendedprice * l_extendedprice")} AS syy",
+    s"${dsum("l_quantity * l_extendedprice")} AS sxy")
+
+  /** Closed-form statistics over the exact sums — pow-free, shared text. */
+  private val statFormulas = Seq(
+    "l_returnflag",
+    "n_rows",
+    "round(sx / n_rows, 6) AS mean_qty",
+    "round((sxx - sx * sx / n_rows) / n_rows, 6) AS var_pop_qty",
+    "round(sqrt((sxx - sx * sx / n_rows) / (n_rows - 1)), 6) AS stddev_samp_qty",
+    // population skewness g1 = m3 / m2^1.5, via raw-to-central conversion
+    """round((sxxx / n_rows - 3 * (sx / n_rows) * (sxx / n_rows)
+        + 2 * (sx / n_rows) * (sx / n_rows) * (sx / n_rows))
+       / ((sxx - sx * sx / n_rows) / n_rows
+          * sqrt((sxx - sx * sx / n_rows) / n_rows)), 6) AS skew_pop_qty""",
+    // population excess kurtosis g2 = m4 / m2^2 - 3
+    """round((sxxxx / n_rows - 4 * (sx / n_rows) * (sxxx / n_rows)
+        + 6 * (sx / n_rows) * (sx / n_rows) * (sxx / n_rows)
+        - 3 * (sx / n_rows) * (sx / n_rows) * (sx / n_rows) * (sx / n_rows))
+       / (((sxx - sx * sx / n_rows) / n_rows) * ((sxx - sx * sx / n_rows) / n_rows)) - 3,
+       6) AS kurt_pop_qty""",
+    """round((sxy - sx * sy / n_rows)
+       / (sqrt(sxx - sx * sx / n_rows) * sqrt(syy - sy * sy / n_rows)), 6)
+       AS corr_qty_price""",
+    "round((sxy - sx * sy / n_rows) / (sxx - sx * sx / n_rows), 6) AS regr_slope",
+    """round(sy / n_rows
+        - ((sxy - sx * sy / n_rows) / (sxx - sx * sx / n_rows)) * (sx / n_rows), 6)
+       AS regr_intercept""")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- Q70
+    // Moment statistics (mean/variance/stddev/skewness/kurtosis/corr/regr)
+    // per return flag. See object scaladoc for the exactness argument.
+    Q("q70_stats_moments", Some(s"""
+      SELECT ${statFormulas.mkString(",\n        ")}
+      FROM (SELECT l_returnflag, ${moments.mkString(",\n              ")}
+            FROM lineitem GROUP BY l_returnflag) t""")) { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr(moments.head).as("n_rows"),
+          moments.tail.map(expr): _*)
+        .selectExpr(statFormulas: _*)
+    },
+
+    // ---------------------------------------------------------------- Q71
+    // Deterministic hash sampling: a ~25% sample selected by md5 prefix of
+    // the key (identical strings hash identically in every engine), then an
+    // aggregate over the sample. No rand(), no driver coordination; the
+    // predicate is a scan-side filter at any scale.
+    Q("q71_hash_sample", Some(s"""
+      SELECT o_orderpriority,
+        COUNT(*) AS n_sampled,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+      GROUP BY o_orderpriority""")) { (s, dir) =>
+      Tables.t(s, dir, "orders")
+        .where(expr("substr(md5(CAST(o_orderkey AS STRING)), 1, 1)")
+          .isin("0", "1", "2", "3"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum(col("o_totalprice").cast(DecimalType(28, 2))), 2)
+            .cast("double").as("sum_price"))
+    },
+
+    // ---------------------------------------------------------------- Q72
+    // UNPIVOT / melt: wide per-flag aggregate reshaped to (flag, metric,
+    // value) long form — the standard feature-table → training-example
+    // reshape. Spark `Dataset.unpivot` ↔ DuckDB UNPIVOT.
+    Q("q72_unpivot", Some("""
+      WITH w AS (
+        SELECT l_returnflag,
+          CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,2))), 2) AS DOUBLE) AS qty,
+          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,2))), 2) AS DOUBLE) AS price,
+          CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(28,2))), 2) AS DOUBLE) AS disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, value
+      FROM w UNPIVOT (value FOR metric IN (qty, price, disc))""")) { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum(col("l_quantity").cast(DecimalType(28, 2))), 2)
+            .cast("double").as("qty"),
+          round(sum(col("l_extendedprice").cast(DecimalType(28, 2))), 2)
+            .cast("double").as("price"),
+          round(sum(col("l_discount").cast(DecimalType(28, 2))), 2)
+            .cast("double").as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "metric", "value")
+    },
+
+    // ---------------------------------------------------------------- Q73
+    // LATERAL correlated subquery: top-2 orders per order priority by total
+    // price (ties broken by orderkey). The lateral per-group limit is the
+    // relational form of "per-key top-k fetch"; Spark decorrelates it into
+    // a ranked window, so there is no per-group re-scan at scale.
+    Q("q73_lateral_topn", Some("""
+      SELECT p.o_orderpriority, o.o_orderkey, o.o_totalprice
+      FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM orders
+                 WHERE o_orderpriority = p.o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) o""")) { (s, dir) =>
+      Tables.t(s, dir, "orders").createOrReplaceTempView("orders_q73")
+      s.sql("""
+        SELECT p.o_orderpriority, o.o_orderkey, o.o_totalprice
+        FROM (SELECT DISTINCT o_orderpriority FROM orders_q73) p,
+          LATERAL (SELECT o_orderkey, o_totalprice
+                   FROM orders_q73
+                   WHERE o_orderpriority = p.o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   LIMIT 2) o""")
+    },
+
+    // ---------------------------------------------------------------- Q74
+    // Approximate aggregates — the 100 TB scale path for distinct counts
+    // (HyperLogLog++) and quantiles (approx_percentile): single pass,
+    // bounded sketch state, mergeable across partitions. Sketches are not
+    // cross-engine reproducible, so there is no DuckDB oracle (rows-only
+    // check); StatsSpec asserts the estimates against exact values.
+    Q("q74_approx_agg", None) { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+            .as("approx_price_quartiles"),
+          count_distinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"),
+          // scalar columns only: the driver's checker cannot hash arrays
+          col("approx_price_quartiles")(0).as("approx_p25"),
+          col("approx_price_quartiles")(1).as("approx_p50"),
+          col("approx_price_quartiles")(2).as("approx_p75"))
+    },
+
+    // ---------------------------------------------------------------- Q75
+    // Edit-distance near-dup: candidate pairs from a cheap blocking key
+    // (first token + length band) — never all-pairs — verified with exact
+    // levenshtein ≤ 25. Same candidate recall tradeoff as banded LSH: a
+    // pair split across blocks is unseen, which both engines replicate
+    // exactly. At 100 TB the block key is the shuffle key; block sizes are
+    // bounded, so the per-block self-join stays local and skew-safe.
+    Q("q75_edit_neardup", Some("""
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        levenshtein(a.text, b.text) AS edit_dist
+      FROM documents a JOIN documents b
+        ON split_part(a.text, ' ', 1) = split_part(b.text, ' ', 1)
+       AND a.n_chars // 16 = b.n_chars // 16
+       AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.text, b.text) <= 25""")) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          expr("split_part(text, ' ', 1)").as("tok0"),
+          expr("n_chars div 16").as("band"))
+      val a = d.select(col("doc_id").as("left_id"), col("text").as("lt"),
+        col("tok0"), col("band"))
+      val b = d.select(col("doc_id").as("right_id"), col("text").as("rt"),
+        col("tok0"), col("band"))
+      a.join(b, Seq("tok0", "band"))
+        .where(col("left_id") < col("right_id"))
+        .select(col("left_id"), col("right_id"),
+          levenshtein(col("lt"), col("rt")).as("edit_dist"))
+        .where(col("edit_dist") <= 25)
+    },
+
+    // ---------------------------------------------------------------- Q76
+    // Time-series gap-fill: dense (day × event_type) spine via a generated
+    // date series cross-joined with the observed dimension values, left
+    // join of the daily aggregate, missing days zero-filled. The spine is
+    // generated, not scanned — at scale the big side is only the aggregate.
+    Q("q76_gapfill", Some("""
+      SELECT CAST(d.day AS DATE) AS day, t.event_type,
+        COALESCE(c.cnt, 0) AS cnt
+      FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) d(day)
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      LEFT JOIN (
+        SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2) c
+        ON c.day = CAST(d.day AS DATE) AND c.event_type = t.event_type""")) { (s, dir) =>
+      val events = Tables.t(s, dir, "events")
+      val daily = events
+        .select(expr("CAST(timestamp_micros(ts div 1000) AS DATE)").as("day"),
+          col("event_type"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+      val spine = s.range(1)
+        .select(explode(expr(
+          "sequence(DATE '2024-01-01', DATE '2024-01-30', interval 1 day)")).as("day"))
+        .crossJoin(events.select("event_type").distinct())
+      spine.join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+    }
+  )
+}

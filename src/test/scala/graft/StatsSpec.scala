@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 stats/sampling/reshape batch (StatsQueries). */
+class StatsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q70 moment stats agree with Spark's builtin estimators") {
+    val got = run("q70_stats_moments").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val want = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(avg("l_quantity").as("mean"),
+        var_pop("l_quantity").as("varp"),
+        stddev_samp("l_quantity").as("sd"),
+        skewness("l_quantity").as("skew"),
+        kurtosis("l_quantity").as("kurt"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("slope"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("icpt"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == want.keySet)
+    for ((flag, g) <- got) {
+      val w = want(flag)
+      val pairs = Seq( // (ours, builtin, tolerance)
+        (g.getDouble(2), w.getDouble(1), 1e-6), // mean
+        (g.getDouble(3), w.getDouble(2), 1e-4), // var_pop
+        (g.getDouble(4), w.getDouble(3), 1e-6), // stddev_samp
+        (g.getDouble(5), w.getDouble(4), 1e-4), // skewness (population g1)
+        (g.getDouble(6), w.getDouble(5), 1e-3), // kurtosis (excess)
+        (g.getDouble(7), w.getDouble(6), 1e-6), // corr
+        (g.getDouble(8), w.getDouble(7), 1e-4), // regr_slope
+        (g.getDouble(9), w.getDouble(8), 1e-1)) // regr_intercept (~1e4 scale)
+      pairs.zipWithIndex.foreach { case ((ours, builtin, tol), i) =>
+        assert(math.abs(ours - builtin) <= tol * math.max(1.0, math.abs(builtin)),
+          s"flag=$flag stat#$i ours=$ours builtin=$builtin")
+      }
+    }
+  }
+
+  test("q71 hash sample is deterministic and ~25% of rows") {
+    val orders = Tables.t(spark, sf, "orders").count()
+    val sampled = run("q71_hash_sample").agg(sum("n_sampled")).head.getLong(0)
+    val frac = sampled.toDouble / orders
+    assert(frac > 0.15 && frac < 0.35, s"sample fraction $frac out of band")
+    // determinism: second run identical
+    assert(run("q71_hash_sample").collect().toSet ==
+      run("q71_hash_sample").collect().toSet)
+  }
+
+  test("q72 unpivot reshapes 3 wide columns into 3 long rows per flag") {
+    val df = run("q72_unpivot")
+    val flags = df.select("l_returnflag").distinct().count()
+    assert(df.count() == flags * 3)
+    assert(df.select("metric").distinct().collect().map(_.getString(0)).sorted
+      .sameElements(Array("disc", "price", "qty")))
+  }
+
+  test("q73 lateral top-n decorrelates (no per-group re-scan) and keeps 2 per group") {
+    val df = run("q73_lateral_topn")
+    val perGroup = df.groupBy("o_orderpriority").count().collect()
+    assert(perGroup.nonEmpty && perGroup.forall(_.getLong(1) <= 2))
+    // each group's rows are its true top-2 by (price desc, key)
+    val top = Tables.t(spark, sf, "orders")
+      .withColumn("rn", expr(
+        """row_number() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey)"""))
+      .where(col("rn") <= 2)
+      .select("o_orderpriority", "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = df.select("o_orderpriority", "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == top)
+  }
+
+  test("q74 sketch estimates stay within tolerance of exact values") {
+    run("q74_approx_agg").collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact) <= math.max(2.0, 0.05 * exact),
+        s"approx_count_distinct $approx vs exact $exact")
+      val (p25, p50, p75) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p25 <= p50 && p50 <= p75, "quartiles must be ordered")
+    }
+  }
+
+  test("q75 near-dup pairs are ordered, banded, and within the threshold") {
+    val rows = run("q75_edit_neardup").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) <= 25)
+    }
+  }
+
+  test("q76 gap-fill emits a dense day × event_type grid with zero fills") {
+    val df = run("q76_gapfill")
+    val types = df.select("event_type").distinct().count()
+    assert(df.count() == 30 * types)
+    // zero-filled rows exist only where events has no (day, type) row
+    val observed = Tables.t(spark, sf, "events")
+      .selectExpr("CAST(timestamp_micros(ts div 1000) AS DATE) AS day", "event_type")
+      .distinct().count()
+    val nonZero = df.where(col("cnt") > 0).count()
+    assert(nonZero == observed)
+  }
+}
