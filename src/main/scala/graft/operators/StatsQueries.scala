@@ -157,15 +157,19 @@ object StatsQueries {
     // bounded sketch state, mergeable across partitions. Sketches are not
     // cross-engine reproducible, so there is no DuckDB oracle (rows-only
     // check); StatsSpec asserts the estimates against exact values.
+    // NOTE: deliberately sketches-ONLY. Mixing an exact count_distinct into
+    // the same agg plans an Expand + a partial aggregate keyed by
+    // (group, distinct-key), which rebuilds/merges the HLL and t-digest
+    // sketches across ~n_distinct intermediate groups — measured 20×
+    // slower at sf0.1. The exact comparison lives in StatsSpec instead.
     Q("q74_approx_agg", None) { (s, dir) =>
       Tables.t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
           expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
-            .as("approx_price_quartiles"),
-          count_distinct(col("l_orderkey")).as("exact_orders"))
-        .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"),
+            .as("approx_price_quartiles"))
+        .select(col("l_returnflag"), col("approx_orders"),
           // scalar columns only: the driver's checker cannot hash arrays
           col("approx_price_quartiles")(0).as("approx_p25"),
           col("approx_price_quartiles")(1).as("approx_p50"),
@@ -198,8 +202,10 @@ object StatsQueries {
       a.join(b, Seq("tok0", "band"))
         .where(col("left_id") < col("right_id"))
         .select(col("left_id"), col("right_id"),
-          levenshtein(col("lt"), col("rt")).as("edit_dist"))
-        .where(col("edit_dist") <= 25)
+          // threshold form: banded DP early-exits at distance > 25 —
+          // O(len·k) instead of O(len²) per pair (returns -1 above it)
+          levenshtein(col("lt"), col("rt"), 25).as("edit_dist"))
+        .where(col("edit_dist") >= 0)
     },
 
     // ---------------------------------------------------------------- Q76

@@ -77,12 +77,14 @@ class StatsSpec extends SparkSpec {
   }
 
   test("q74 sketch estimates stay within tolerance of exact values") {
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(count_distinct(col("l_orderkey")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     run("q74_approx_agg").collect().foreach { r =>
-      val (approx, exact) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(approx - exact) <= math.max(2.0, 0.05 * exact),
-        s"approx_count_distinct $approx vs exact $exact")
-      val (p25, p50, p75) =
-        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val (flag, approx) = (r.getString(0), r.getLong(1))
+      assert(math.abs(approx - exact(flag)) <= math.max(2.0, 0.05 * exact(flag)),
+        s"approx_count_distinct $approx vs exact ${exact(flag)}")
+      val (p25, p50, p75) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
       assert(p25 <= p50 && p50 <= p75, "quartiles must be ordered")
     }
   }
