@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Relational.all ++ functions.ScalarQueries.all ++
       operators.RecordQueries.all ++ operators.LlmQueries.all ++
       streaming.WindowQueries.all ++ operators.AdvancedQueries.all ++
-      operators.Multimodal.all ++ operators.StatsQueries.all
+      operators.Multimodal.all ++ operators.StatsQueries.all ++
+      operators.VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -479,6 +479,54 @@ object Relational {
       // supplier is SF-proportional: no forced broadcast, AQE decides.
       breadth.join(su, col("l_suppkey") === col("s_suppkey"))
         .select("s_suppkey", "s_name", "n_parts")
+    },
+
+    // ---------------------------------------------------------------- Q29
+    // TPC-H Q8-shaped market share: 8-table join (lineitem⋈orders⋈customer⋈
+    // nation⋈region ⋈ supplier⋈nation ⋈ part) + per-year share via an exact
+    // decimal window sum. Join-order/strategy left entirely to Catalyst+AQE:
+    // region/nation are bounded dims (auto-broadcast), customer/supplier/
+    // part SF-proportional (shuffle or broadcast by measured size), and the
+    // one fact-fact join (lineitem⋈orders) shuffles on the order key.
+    Q("q29_market_share", Some("""
+      WITH base AS (
+        SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+          CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)) AS vol
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region   ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          JOIN part     ON l_partkey = p_partkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'),
+      agg AS (
+        SELECT o_year, supp_nation, SUM(vol) AS rev FROM base GROUP BY 1, 2)
+      SELECT o_year, supp_nation,
+        CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+        round(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY o_year) AS DOUBLE), 6) AS share
+      FROM agg""")) { (s, dir) =>
+      def t(n: String) = Tables.t(s, dir, n)
+      val base = t("lineitem")
+        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t("customer"), col("o_custkey") === col("c_custkey"))
+        .join(t("nation").as("n1"), col("c_nationkey") === col("n1.n_nationkey"))
+        .join(t("region"), col("n1.n_regionkey") === col("r_regionkey"))
+        .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t("nation").as("n2"), col("s_nationkey") === col("n2.n_nationkey"))
+        .join(t("part"), col("l_partkey") === col("p_partkey"))
+        .where(col("r_name") === "ASIA" && col("p_type") === "PROMO")
+        .select(year(col("o_orderdate")).as("o_year"),
+          col("n2.n_name").as("supp_nation"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(28, 10)).as("vol"))
+      val agg = base.groupBy("o_year", "supp_nation").agg(sum("vol").as("rev"))
+      agg.select(col("o_year"), col("supp_nation"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        round(col("rev").cast("double") /
+          sum("rev").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("o_year")).cast("double"), 6).as("share"))
     }
   )
 }

@@ -45,6 +45,20 @@ class SourcesSpec extends SparkSpec {
     assert(filtered.count() == wanted)
   }
 
+  test("malformed CSV records: PERMISSIVE nulls, DROPMALFORMED drops, FAILFAST throws") {
+    val dir = tmp()
+    Files.write(java.nio.file.Paths.get(dir, "in.csv"),
+      "1,alpha\n2,beta\nnot-a-number,gamma\n3,delta\n".getBytes("UTF-8"))
+    val schema = "id INT, name STRING"
+    def read(mode: String) =
+      spark.read.schema(schema).option("mode", mode).csv(dir)
+    assert(read("PERMISSIVE").where(col("id").isNull).count() == 1)
+    // collect, not count: count() skips column parsing entirely, so
+    // malformed rows are never detected and nothing is dropped
+    assert(read("DROPMALFORMED").collect().length == 3)
+    intercept[Exception] { read("FAILFAST").collect() }
+  }
+
   test("text source is one row per newline-delimited line (A1 parity)") {
     val dir = tmp()
     Files.write(java.nio.file.Paths.get(dir, "in.txt"),
