@@ -223,6 +223,34 @@ object ScalarQueries {
         k.as("k_str"),
         k.cast("long").as("k_val"),
         (k.cast("long") % 10).as("k_mod"))
+    },
+
+    // ---------------------------------------------------------------- Q80
+    // Bitwise / integer-exact function batch: AND/OR/XOR, shifts, popcount,
+    // modulo — pure integer arithmetic, so cross-engine parity is exact by
+    // construction (no rounding anywhere). Syntax differs (DuckDB spells
+    // XOR `xor()` — its `^` is exponentiation — and shifts as `<<`), the
+    // semantics are identical.
+    Q("q80_bitwise_funcs", Some("""
+      SELECT l_orderkey, l_partkey,
+        l_orderkey & l_partkey                  AS band,
+        l_orderkey | l_partkey                  AS bor,
+        xor(l_orderkey, l_partkey)              AS bxor,
+        CAST(l_linenumber << 3 AS INT)          AS shl,
+        CAST(l_orderkey >> 2 AS BIGINT)         AS shr,
+        CAST(bit_count(l_orderkey) AS INT)      AS pop,
+        l_orderkey % 97                         AS m
+      FROM lineitem WHERE l_linenumber = 1""")) { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .where(col("l_linenumber") === 1)
+        .selectExpr("l_orderkey", "l_partkey",
+          "l_orderkey & l_partkey AS band",
+          "l_orderkey | l_partkey AS bor",
+          "l_orderkey ^ l_partkey AS bxor",
+          "CAST(shiftleft(l_linenumber, 3) AS INT) AS shl",
+          "CAST(shiftright(l_orderkey, 2) AS BIGINT) AS shr",
+          "CAST(bit_count(l_orderkey) AS INT) AS pop",
+          "l_orderkey % 97 AS m")
     }
   )
 }

@@ -98,16 +98,29 @@ object ShardOffsets {
   }
 }
 
-class ShardSpoolTable(props: Map[String, String]) extends Table with SupportsRead {
+class ShardSpoolTable(props: Map[String, String]) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-shards:${props.getOrElse("stream", "?")}"
   override def schema(): StructType = ShardSpoolSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new ShardSpoolScan(
         options.asScala.toMap.map { case (k, v) => (k.toLowerCase, v) } ++
           props.map { case (k, v) => (k.toLowerCase, v) })
+    }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new ShardSpoolWrite(
+          info.options.asScala.toMap.map { case (k, v) => (k.toLowerCase, v) } ++
+            props.map { case (k, v) => (k.toLowerCase, v) },
+          info.schema())
     }
 }
 
