@@ -49,14 +49,16 @@ class ShardSpoolWrite(opts: Map[String, String], inputSchema: StructType)
     throw new IllegalArgumentException("graft-shards requires option 'stream'"))
   private val shardCount = opts.getOrElse("shardcount", "2").toInt
   private val writeId = java.util.UUID.randomUUID().toString
+  private val keyIdx = inputSchema.fieldIndex("partitionKey")
+  private val dataIdx = inputSchema.fieldIndex("data")
 
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ShardWriterFactory(path, stream, shardCount, writeId,
-      inputSchema.fieldIndex("partitionKey"), inputSchema.fieldIndex("data"))
+    new ShardWriterFactory(path, stream, shardCount, writeId, keyIdx, dataIdx)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  /** Publish staged files into the spool, assigning dense per-shard seqs. */
+  private def publish(messages: Array[WriterCommitMessage]): Unit = {
     val streamDir = new File(path, stream)
     // next sequence number per shard, continuing the existing spool
     val next = scala.collection.mutable.Map.empty[String, Long]
@@ -80,18 +82,63 @@ class ShardSpoolWrite(opts: Map[String, String], inputSchema: StructType)
         }
       case _ => ()
     }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    publish(messages)
     deleteStaging()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = deleteStaging()
+
+  /** Streaming form: per-epoch staged commit; a `_epochs/<id>` marker makes
+    * epoch replay after a restart a no-op (the micro-batch equivalent of
+    * B1's synchronous per-record ack, upgraded to exactly-once).
+    */
+  override def toStreaming:
+      org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      private def epochMarker(epochId: Long) =
+        new File(new File(new File(path, stream), "_epochs"), epochId.toString)
+
+      override def createStreamingWriterFactory(info: PhysicalWriteInfo):
+          org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+        StreamingShardWriterFactory(path, stream, shardCount, writeId, keyIdx, dataIdx)
+
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+        val marker = epochMarker(epochId)
+        if (!marker.exists()) { // replayed epoch after restart: skip
+          publish(messages)
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
+        }
+        deleteStaging()
+      }
+
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        deleteStaging()
+    }
 
   private def deleteStaging(): Unit = {
     def rm(f: File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    rm(new File(new File(path, ".staging"), writeId))
+    Option(new File(path, ".staging").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(writeId)).foreach(rm)
   }
+}
+
+/** Top-level (serializable) streaming factory: stages under
+  * `.staging/<writeId>-<epochId>/` so each epoch commits independently.
+  */
+case class StreamingShardWriterFactory(path: String, stream: String,
+    shardCount: Int, writeId: String, keyIdx: Int, dataIdx: Int)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long):
+      DataWriter[InternalRow] =
+    new ShardWriterFactory(path, stream, shardCount, s"$writeId-$epochId",
+      keyIdx, dataIdx).createWriter(partitionId, taskId)
 }
 
 class ShardWriterFactory(path: String, stream: String, shardCount: Int,

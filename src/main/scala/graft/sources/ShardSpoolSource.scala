@@ -66,10 +66,13 @@ object ShardSpoolSource {
     StructField("partitionKey", StringType),
     StructField("data", BinaryType)))
 
-  /** List open shard dirs (closed = `_closed` marker, skipped at startup). */
+  /** List open shard dirs (closed = `_closed` marker, skipped at startup).
+    * Underscore-prefixed dirs are metadata (`_epochs`), not shards.
+    */
   def openShards(streamDir: java.io.File): Seq[String] = {
     val subs = Option(streamDir.listFiles()).getOrElse(Array.empty)
     subs.filter(_.isDirectory)
+      .filterNot(_.getName.startsWith("_"))
       .filterNot(d => new java.io.File(d, "_closed").exists())
       .map(_.getName).sorted.toSeq
   }
@@ -105,7 +108,7 @@ class ShardSpoolTable(props: Map[String, String]) extends Table
   override def schema(): StructType = ShardSpoolSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new ShardSpoolScan(
