@@ -234,6 +234,61 @@ object StatsQueries {
       spine.join(daily, Seq("day", "event_type"), "left")
         .select(col("day"), col("event_type"),
           coalesce(col("cnt"), lit(0L)).as("cnt"))
+    },
+
+    // ---------------------------------------------------------------- Q81
+    // Time-RANGE window frame: trailing 7-day count/sum per user ordered by
+    // event time — a RANGE (value-based) frame, not a ROWS frame, so peers
+    // at the same timestamp aggregate identically regardless of physical
+    // order. The decimal window sum keeps the trailing total exact.
+    Q("q81_range_window", Some("""
+      SELECT event_id,
+        COUNT(*) OVER w AS cnt_7d,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(28,2))) OVER w, 2) AS DOUBLE) AS sum_7d
+      FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, value
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""")) { (s, dir) =>
+      Tables.t(s, dir, "events")
+        .selectExpr("event_id", "user_id", "ts div 1000000000 AS sec", "value")
+        .createOrReplaceTempView("events_q81")
+      s.sql("""
+        SELECT event_id,
+          COUNT(*) OVER w AS cnt_7d,
+          CAST(ROUND(SUM(CAST(value AS DECIMAL(28,2))) OVER w, 2) AS DOUBLE) AS sum_7d
+        FROM events_q81
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""")
+    },
+
+    // ---------------------------------------------------------------- Q82
+    // Null semantics end-to-end: NULLIF-made null group, COUNT(*) vs
+    // COUNT(col) null skipping, null-safe equality (Spark `<=>` ↔ DuckDB
+    // IS NOT DISTINCT FROM), and a null-safe JOIN where the NULL key row
+    // actually matches a NULL dim row (a plain equi-join would drop it).
+    Q("q82_null_semantics", Some("""
+      WITH t AS (SELECT NULLIF(CAST(o_orderkey % 5 AS INT), 0) AS g FROM orders),
+      agg AS (
+        SELECT g, COUNT(*) AS n_rows, COUNT(g) AS n_nonnull,
+          CAST(SUM(CASE WHEN g IS NOT DISTINCT FROM 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS nsafe_eq3
+        FROM t GROUP BY g),
+      dim AS (SELECT * FROM (VALUES (CAST(NULL AS INT)), (1), (2)) d(v))
+      SELECT agg.g, agg.n_rows, agg.n_nonnull, agg.nsafe_eq3,
+        dim.v IS NOT DISTINCT FROM agg.g AS matched
+      FROM agg LEFT JOIN dim ON agg.g IS NOT DISTINCT FROM dim.v""")) { (s, dir) =>
+      Tables.t(s, dir, "orders")
+        .selectExpr("NULLIF(CAST(o_orderkey % 5 AS INT), 0) AS g")
+        .createOrReplaceTempView("t_q82")
+      s.sql("""
+        WITH agg AS (
+          SELECT g, COUNT(*) AS n_rows, COUNT(g) AS n_nonnull,
+            CAST(SUM(CASE WHEN g <=> 3 THEN 1 ELSE 0 END) AS BIGINT) AS nsafe_eq3
+          FROM t_q82 GROUP BY g),
+        dim AS (SELECT * FROM VALUES (CAST(NULL AS INT)), (1), (2) AS d(v))
+        SELECT agg.g, agg.n_rows, agg.n_nonnull, agg.nsafe_eq3,
+          dim.v <=> agg.g AS matched
+        FROM agg LEFT JOIN dim ON agg.g <=> dim.v""")
     }
   )
 }
