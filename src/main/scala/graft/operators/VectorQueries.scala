@@ -47,6 +47,10 @@ object VectorQueries {
     // floor(x_i * 127 / scale). Emits scalar summaries (sum/min/max of the
     // integer codes) — exact integer arithmetic, order-independent — plus
     // the rounded scale. The codes themselves would be the stored payload.
+    // A zero vector (scale = 0) quantizes to all-zero codes by definition —
+    // the CASE guard keeps the division away from 0/0 NaN, whose BIGINT
+    // cast differs between engines. (The fixture has no zero vectors; a
+    // real corpus can.)
     Q("q78_embed_quantize", Some("""
       WITH q AS (
         SELECT vec_id,
@@ -54,18 +58,18 @@ object VectorQueries {
           embedding::DOUBLE[] AS v
         FROM embeddings)
       SELECT vec_id, round(scale, 6) AS scale,
-        CAST(list_sum(list_transform(v, x -> CAST(floor(x * 127.0 / scale) AS BIGINT))) AS BIGINT) AS qsum,
-        CAST(list_min(list_transform(v, x -> CAST(floor(x * 127.0 / scale) AS BIGINT))) AS BIGINT) AS qmin,
-        CAST(list_max(list_transform(v, x -> CAST(floor(x * 127.0 / scale) AS BIGINT))) AS BIGINT) AS qmax
+        CAST(list_sum(list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qsum,
+        CAST(list_min(list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmin,
+        CAST(list_max(list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmax
       FROM q""")) { (s, dir) =>
       Tables.t(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> abs(x)), CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, x))").as("scale"),
           col("embedding").cast("array<double>").as("v"))
         .selectExpr("vec_id", "round(scale, 6) AS scale",
-          "CAST(aggregate(transform(v, x -> CAST(floor(x * 127.0 / scale) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS qsum",
-          "CAST(array_min(transform(v, x -> CAST(floor(x * 127.0 / scale) AS BIGINT))) AS BIGINT) AS qmin",
-          "CAST(array_max(transform(v, x -> CAST(floor(x * 127.0 / scale) AS BIGINT))) AS BIGINT) AS qmax")
+          "CAST(aggregate(transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS qsum",
+          "CAST(array_min(transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmin",
+          "CAST(array_max(transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmax")
     }
   )
 }

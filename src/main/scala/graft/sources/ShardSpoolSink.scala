@@ -5,11 +5,13 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 import java.io.File
 import java.math.BigInteger
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
 import java.security.MessageDigest
 
-/** Native DataSource V2 batch writer for the shard spool — the PutRecord
-  * sink (SURVEY.md §2 B1/B2) as a first-class Spark sink rather than a
-  * foreachBatch loop.
+/** Native DataSource V2 batch + streaming writer for the shard spool — the
+  * PutRecord sink (SURVEY.md §2 B1/B2) as a first-class Spark sink rather
+  * than a foreachBatch loop.
   *
   * Semantics mirrored from the reference producer:
   *  - shard routing = MD5(partitionKey) mod shardCount — Kinesis's hash-key
@@ -20,19 +22,33 @@ import java.security.MessageDigest
   *    [[graft.streaming.ProduceSink.PutRecordWriter]] writes and
   *    [[ShardSpoolSource]] reads, so native write → native read round-trips.
   *
-  * Exactly-once: tasks stage records under `<path>/.staging/<writeId>/`;
-  * the driver's `commit` assigns final per-shard sequence numbers (continuing
-  * from the shard's high-water mark) and moves files into place; `abort`
-  * deletes the staging tree. A retried task therefore never double-publishes
-  * — the same two-phase shape a cluster deployment needs, with the rename
-  * assumed atomic on the target filesystem (true for a posix spool; an
-  * object-store deployment would swap in a manifest commit).
+  * Exactly-once protocol (streaming): tasks stage records under
+  * `<path>/.staging/<writeId>-<epoch>/`; the driver's `commit` then
+  *  1. writes an INTENT manifest `_epochs/<queryId>/<epoch>.intent`
+  *     (atomic tmp+rename) listing every staged→target rename with final
+  *     per-shard sequence numbers pre-assigned,
+  *  2. performs the renames,
+  *  3. renames the intent to `<epoch>.committed`.
+  * A replayed epoch whose `.committed` exists is a no-op; one whose
+  * `.intent` exists resumes the recorded renames (a rename whose target
+  * already exists is treated as done), so a crash at ANY point inside
+  * commit publishes each record exactly once. Markers are namespaced by
+  * `queryId` (stable across restarts of one query, distinct across
+  * queries), so a fresh query whose epochIds restart at 0 is not confused
+  * with a predecessor's epochs. Batch writes use the same rename publish
+  * without markers — Spark fails the whole batch job on commit failure.
   */
 object ShardSpoolSink {
 
-  /** MD5-ring shard assignment: stable for a key across runs and engines. */
-  def shardFor(key: String, shardCount: Int): String = {
-    val d = MessageDigest.getInstance("MD5").digest(key.getBytes("UTF-8"))
+  /** MD5-ring shard assignment: stable for a key across runs and engines.
+    * (Per-row callers should reuse a digest via [[shardForWith]].)
+    */
+  def shardFor(key: String, shardCount: Int): String =
+    shardForWith(MessageDigest.getInstance("MD5"), key, shardCount)
+
+  def shardForWith(md5: MessageDigest, key: String, shardCount: Int): String = {
+    md5.reset()
+    val d = md5.digest(key.getBytes(StandardCharsets.UTF_8))
     val idx = new BigInteger(1, d).mod(BigInteger.valueOf(shardCount.toLong)).intValue()
     f"shardId-$idx%012d"
   }
@@ -48,70 +64,94 @@ class ShardSpoolWrite(opts: Map[String, String], inputSchema: StructType)
   private val stream = opts.getOrElse("stream",
     throw new IllegalArgumentException("graft-shards requires option 'stream'"))
   private val shardCount = opts.getOrElse("shardcount", "2").toInt
+  private val queryId = opts.getOrElse("queryid", "batch")
   private val writeId = java.util.UUID.randomUUID().toString
   private val keyIdx = inputSchema.fieldIndex("partitionKey")
   private val dataIdx = inputSchema.fieldIndex("data")
+
+  private def streamDir = new File(path, stream)
 
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ShardWriterFactory(path, stream, shardCount, writeId, keyIdx, dataIdx)
 
-  /** Publish staged files into the spool, assigning dense per-shard seqs. */
-  private def publish(messages: Array[WriterCommitMessage]): Unit = {
-    val streamDir = new File(path, stream)
-    // next sequence number per shard, continuing the existing spool
+  /** Assign final per-shard sequence numbers (continuing each shard's
+    * high-water mark) to every staged file, in message order.
+    */
+  private def planRenames(messages: Array[WriterCommitMessage]): Seq[(File, File)] = {
     val next = scala.collection.mutable.Map.empty[String, Long]
     def nextSeq(shard: String): Long = {
-      val n = next.getOrElseUpdate(shard, {
-        val d = new File(streamDir, shard)
-        ShardSpoolSource.seqs(d).lastOption.getOrElse(-1L) + 1
-      })
+      val n = next.getOrElseUpdate(shard,
+        ShardSpoolSource.seqs(new File(streamDir, shard)).lastOption.getOrElse(-1L) + 1)
       next(shard) = n + 1
       n
     }
-    messages.foreach {
+    messages.toSeq.flatMap {
       case ShardSpoolSink.StagedFiles(files) =>
-        files.foreach { sf =>
-          val dir = new File(streamDir, sf.shard)
-          dir.mkdirs()
-          val target = new File(dir, f"${nextSeq(sf.shard)}%020d.rec")
-          val src = new File(sf.stagedPath)
-          if (!src.renameTo(target))
-            throw new java.io.IOException(s"commit failed: $src -> $target")
+        files.map { sf =>
+          val seq = nextSeq(sf.shard)
+          (new File(sf.stagedPath),
+            new File(new File(streamDir, sf.shard), f"$seq%020d.rec"))
         }
-      case _ => ()
+      case _ => Seq.empty
     }
   }
 
+  /** Execute renames; a target that already exists counts as done (rename
+    * replay during crash recovery), a missing source with a missing target
+    * is a real error.
+    */
+  private def rename(plan: Seq[(File, File)]): Unit =
+    plan.foreach { case (src, target) =>
+      if (!target.exists()) {
+        target.getParentFile.mkdirs()
+        if (!src.renameTo(target))
+          throw new java.io.IOException(s"commit failed: $src -> $target")
+      }
+    }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    publish(messages)
+    rename(planRenames(messages))
     deleteStaging()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = deleteStaging()
 
-  /** Streaming form: per-epoch staged commit; a `_epochs/<id>` marker makes
-    * epoch replay after a restart a no-op (the micro-batch equivalent of
-    * B1's synchronous per-record ack, upgraded to exactly-once).
-    */
   override def toStreaming:
       org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-      private def epochMarker(epochId: Long) =
-        new File(new File(new File(path, stream), "_epochs"), epochId.toString)
+      private def epochsDir = new File(streamDir, new File("_epochs", queryId).getPath)
+      private def intent(epochId: Long) = new File(epochsDir, s"$epochId.intent")
+      private def committed(epochId: Long) = new File(epochsDir, s"$epochId.committed")
 
       override def createStreamingWriterFactory(info: PhysicalWriteInfo):
           org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
         StreamingShardWriterFactory(path, stream, shardCount, writeId, keyIdx, dataIdx)
 
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-        val marker = epochMarker(epochId)
-        if (!marker.exists()) { // replayed epoch after restart: skip
-          publish(messages)
-          marker.getParentFile.mkdirs()
-          marker.createNewFile()
-        }
+        if (committed(epochId).exists()) { deleteStaging(); return } // replayed: no-op
+        val plan =
+          if (intent(epochId).exists()) // crash inside a previous commit: resume it
+            Files.readAllLines(intent(epochId).toPath).toArray.toSeq.collect {
+              case line: String if line.contains('\t') =>
+                val Array(s, t) = line.split('\t')
+                (new File(s), new File(t))
+            }
+          else {
+            val p = planRenames(messages)
+            epochsDir.mkdirs()
+            val tmp = new File(epochsDir, s"$epochId.intent.tmp")
+            Files.write(tmp.toPath, p.map { case (s, t) =>
+              s"${s.getAbsolutePath}\t${t.getAbsolutePath}"
+            }.mkString("\n").getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp.toPath, intent(epochId).toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+            p
+          }
+        rename(plan)
+        Files.move(intent(epochId).toPath, committed(epochId).toPath,
+          StandardCopyOption.ATOMIC_MOVE)
         deleteStaging()
       }
 
@@ -119,13 +159,19 @@ class ShardSpoolWrite(opts: Map[String, String], inputSchema: StructType)
         deleteStaging()
     }
 
+  /** Remove this write's staging; opportunistically GC staging left by
+    * crashed prior runs (older than 24 h — they can never commit again,
+    * their driver is gone).
+    */
   private def deleteStaging(): Unit = {
     def rm(f: File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(new File(path, ".staging").listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(writeId)).foreach(rm)
+      .filter(d => d.getName.startsWith(writeId) || d.lastModified() < cutoff)
+      .foreach(rm)
   }
 }
 
@@ -147,6 +193,7 @@ class ShardWriterFactory(path: String, stream: String, shardCount: Int,
     new DataWriter[InternalRow] {
       private val stagingDir =
         new File(new File(new File(path, ".staging"), writeId), s"$partitionId-$taskId")
+      private val md5 = MessageDigest.getInstance("MD5") // reused per row
       private var n = 0L
       private val staged = Seq.newBuilder[ShardSpoolSink.StagedFile]
 
@@ -155,11 +202,11 @@ class ShardWriterFactory(path: String, stream: String, shardCount: Int,
         // is applied upstream by RecordPipeline.partitionKey)
         val key = row.getUTF8String(keyIdx).toString
         val payload = row.getBinary(dataIdx)
-        val shard = ShardSpoolSink.shardFor(key, shardCount)
+        val shard = ShardSpoolSink.shardForWith(md5, key, shardCount)
         stagingDir.mkdirs()
         val f = new File(stagingDir, f"$n%020d.tmp")
         val out = new java.io.FileOutputStream(f)
-        try { out.write(key.getBytes("UTF-8")); out.write('\n'); out.write(payload) }
+        try { out.write(key.getBytes(StandardCharsets.UTF_8)); out.write('\n'); out.write(payload) }
         finally out.close()
         staged += ShardSpoolSink.StagedFile(shard, f.getAbsolutePath)
         n += 1

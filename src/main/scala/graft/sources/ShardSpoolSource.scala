@@ -122,7 +122,10 @@ class ShardSpoolTable(props: Map[String, String]) extends Table
       override def build(): org.apache.spark.sql.connector.write.Write =
         new ShardSpoolWrite(
           info.options.asScala.toMap.map { case (k, v) => (k.toLowerCase, v) } ++
-            props.map { case (k, v) => (k.toLowerCase, v) },
+            props.map { case (k, v) => (k.toLowerCase, v) } +
+            // queryId is stable across restarts of one streaming query and
+            // distinct across queries — it namespaces the epoch markers
+            ("queryid" -> info.queryId()),
           info.schema())
     }
 }

@@ -26,12 +26,19 @@ object Stateful {
   final case class SessionState(start_ms: Long, end_ms: Long, n: Long)
 
   /** Gap-based sessionization with explicit per-key state: events within
-    * `gapMs` of the session's end extend it; a later event closes the open
-    * session (emitted immediately) and starts a new one; an event-time
-    * timeout (watermark passing end+gap) flushes the final open session.
-    * Semantics match batch `session_window(ts, gap)` (oracle query q51).
+    * `gapMs` of the open session's [start, end] interval extend it (start
+    * can move DOWN for a late in-gap event); an event past end+gap closes
+    * the open session (emitted immediately) and starts a new one; an
+    * event-time timeout (watermark passing end+gap) flushes the final open
+    * session. Semantics match batch `session_window(ts, gap)` (oracle
+    * query q51) for all arrivals inside the open session's gap window.
+    * Documented deviation: a late event older than start−gap belongs to an
+    * already-emitted part of the timeline — it is emitted immediately as a
+    * singleton session rather than re-merged (the state holds aggregates,
+    * not raw events, so closed sessions cannot be reopened; batch
+    * session_window over the same data could merge it with neighbors).
     *
-    * Input must carry a watermark on the event-time column backing `ts_ms`.
+    * Input must carry a watermark on the event-time column backing `tss`.
     */
   def sessionize(events: Dataset[KeyedEvent], gapMs: Long): Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]
@@ -50,8 +57,13 @@ object Stateful {
             val closed = Seq.newBuilder[SessionOut]
             it.toSeq.map(_.tss.getTime).sorted.foreach { t =>
               open = open match {
+                case Some(s) if t < s.start_ms - gapMs =>
+                  // late event before the open session's gap window: its own
+                  // (already-past) session — see scaladoc deviation note
+                  closed += SessionOut(user, t, t, 1)
+                  open
                 case Some(s) if t <= s.end_ms + gapMs =>
-                  Some(SessionState(s.start_ms, math.max(s.end_ms, t), s.n + 1))
+                  Some(SessionState(math.min(s.start_ms, t), math.max(s.end_ms, t), s.n + 1))
                 case Some(s) => // gap exceeded: close, start fresh
                   closed += SessionOut(user, s.start_ms, s.end_ms, s.n)
                   Some(SessionState(t, t, 1))

@@ -107,6 +107,31 @@ class ShardSpoolSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a second query (fresh checkpoint, epochIds restarting at 0) is not deduped away") {
+    val dir = tmp()
+    def runQuery(stream: String, recs: Seq[(String, String)]): Unit = {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String)](spark)
+      val df = input.toDF().selectExpr(
+        "CAST(NULL AS STRING) AS stream", "CAST(NULL AS STRING) AS shardId",
+        "CAST(NULL AS BIGINT) AS sequenceNumber",
+        "CAST(NULL AS TIMESTAMP) AS approximateArrivalTimestamp",
+        "_1 AS partitionKey", "CAST(_2 AS BINARY) AS data")
+      val q = df.writeStream.format("graft-shards")
+        .option("path", dir).option("stream", stream).option("shardCount", "2")
+        .option("checkpointLocation", tmp())
+        .start()
+      try { input.addData(recs: _*); q.processAllAvailable() } finally q.stop()
+    }
+    // both queries start at epochId 0 — markers must be per-query, or the
+    // second query's first epoch would be mistaken for a replay and dropped
+    runQuery("s6", Seq(("k1", "a"), ("k2", "b")))
+    runQuery("s6", Seq(("k3", "c")))
+    val back = spark.read.format("graft-shards")
+      .option("path", dir).option("stream", "s6").load()
+    assert(back.count() == 3, s"second query's epoch was deduped away")
+  }
+
   test("native write feeds the native micro-batch source (produce → consume)") {
     val dir = tmp()
     records(30).write.format("graft-shards")
