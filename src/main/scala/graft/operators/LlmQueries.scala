@@ -451,6 +451,36 @@ object LlmQueries {
                md5(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
                  element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4)))))
              AS fingerprint""")
+    },
+
+    // ---------------------------------------------------------------- Q83
+    // Dedup RESOLUTION — the keep-one step after candidate generation: each
+    // doc's canonical id is the minimum doc_id among its LSH-bucket
+    // neighbors (1-hop, itself included); only canonical docs survive.
+    // 1-hop min is deterministic and SQL-expressible on both engines; a
+    // full connected-components pass would iterate this same join to a
+    // fixed point (O(log n) rounds of the identical shuffle at 100 TB).
+    Q("q83_dedup_resolve", Some(s"""
+      WITH bands AS (${bandTableSql(nearCorpusSql)}),
+      nbr AS (
+        SELECT a.doc_id, min(b.doc_id) AS canonical
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+        GROUP BY a.doc_id)
+      SELECT doc_id, canonical, doc_id = canonical AS kept
+      FROM nbr""")) { (s, dir) =>
+      val bands = bandTable(nearCorpus(s, dir))
+      val a = bands.select(col("doc_id"), col("band"), col("band_key"))
+      val b = bands.select(col("doc_id").as("nbr_id"), col("band").as("band2"),
+        col("band_key").as("band_key2"))
+      // same exchange-reuse shape as q42: both sides shuffle on the bucket
+      // key with identical child plans → MinHash computed once
+      a.hint("merge").join(b,
+        a("band") === b("band2") && a("band_key") === b("band_key2"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("nbr_id")).as("canonical"))
+        .select(col("doc_id"), col("canonical"),
+          (col("doc_id") === col("canonical")).as("kept"))
     }
   )
 }
