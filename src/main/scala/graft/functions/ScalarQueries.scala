@@ -251,6 +251,26 @@ object ScalarQueries {
           "CAST(shiftright(l_orderkey, 2) AS BIGINT) AS shr",
           "CAST(bit_count(l_orderkey) AS INT) AS pop",
           "l_orderkey % 97 AS m")
+    },
+
+    // ---------------------------------------------------------------- Q84
+    // Regexp batch: extract-all (joined to a string for the checker),
+    // global replace (DuckDB needs the 'g' flag; Spark replaces all by
+    // default), boolean match, and first-group extract — the text-cleaning
+    // primitives of a document pipeline.
+    Q("q84_regex_funcs", Some("""
+      SELECT doc_id,
+        COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{7,}'), '|'), '')
+          AS long_words,
+        regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled,
+        regexp_matches(text, '[0-9]') AS has_digit,
+        regexp_extract(text, '([a-z]+)', 1) AS first_word
+      FROM documents""")) { (s, dir) =>
+      Tables.t(s, dir, "documents").selectExpr("doc_id",
+        "array_join(regexp_extract_all(text, '[a-z]{7,}', 0), '|') AS long_words",
+        "regexp_replace(substr(text, 1, 40), '[aeiou]', '_') AS devoweled",
+        "text RLIKE '[0-9]' AS has_digit",
+        "regexp_extract(text, '([a-z]+)', 1) AS first_word")
     }
   )
 }
