@@ -289,6 +289,67 @@ object StatsQueries {
         SELECT agg.g, agg.n_rows, agg.n_nonnull, agg.nsafe_eq3,
           dim.v <=> agg.g AS matched
         FROM agg LEFT JOIN dim ON agg.g <=> dim.v""")
+    },
+
+    // ---------------------------------------------------------------- Q85
+    // Stratified sampling with per-stratum rates — the data-mixing
+    // primitive of a training pipeline (upsample rare strata, downsample
+    // dominant ones). Rates are hex-prefix thresholds on md5(key):
+    // deterministic, engine-independent, scan-side. URGENT orders keep
+    // ~50% ('0'–'7'), everything else ~12.5% ('0'–'1').
+    Q("q85_stratified_sample", Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_sampled,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <=
+        CASE WHEN o_orderpriority = '1-URGENT' THEN '7' ELSE '1' END
+      GROUP BY o_orderpriority""")) { (s, dir) =>
+      Tables.t(s, dir, "orders")
+        .where(expr("substr(md5(CAST(o_orderkey AS STRING)), 1, 1)") <=
+          when(col("o_orderpriority") === "1-URGENT", "7").otherwise("1"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum(col("o_totalprice").cast(DecimalType(28, 2))), 2)
+            .cast("double").as("sum_price"))
+    },
+
+    // ---------------------------------------------------------------- Q86
+    // Robust statistics: median, MAD (median absolute deviation), IQR, and
+    // Tukey-fence outlier counts per return flag. Two passes over the
+    // group (median, then |x−median|) — both exact interpolated
+    // percentiles (`percentile` ≡ `quantile_cont`, the q58-verified
+    // parity), joined back on the group key. At scale: two shuffles on a
+    // 3-value key, each a two-phase percentile aggregation.
+    Q("q86_robust_stats", Some("""
+      WITH med AS (
+        SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.5), 6)  AS median_price,
+          round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+          round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT m.l_returnflag, m.median_price,
+        round(m.p75 - m.p25, 6) AS iqr,
+        round(quantile_cont(abs(l.l_extendedprice - m.median_price), 0.5), 6) AS mad,
+        CAST(SUM(CASE WHEN l.l_extendedprice > m.p75 + 1.5 * (m.p75 - m.p25)
+                        OR l.l_extendedprice < m.p25 - 1.5 * (m.p75 - m.p25)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+      GROUP BY m.l_returnflag, m.median_price, m.p25, m.p75""")) { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+      val med = li.groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+      li.join(med, "l_returnflag")
+        .groupBy("l_returnflag", "median_price", "p25", "p75")
+        .agg(
+          round(expr("percentile(abs(l_extendedprice - median_price), 0.5)"), 6)
+            .as("mad"),
+          sum(when(col("l_extendedprice") > col("p75") + (col("p75") - col("p25")) * 1.5, 1)
+            .when(col("l_extendedprice") < col("p25") - (col("p75") - col("p25")) * 1.5, 1)
+            .otherwise(0)).cast("long").as("n_outliers"))
+        .select(col("l_returnflag"), col("median_price"),
+          round(col("p75") - col("p25"), 6).as("iqr"), col("mad"), col("n_outliers"))
     }
   )
 }
