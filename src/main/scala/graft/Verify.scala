@@ -35,7 +35,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+    // ALWAYS the complete manifest, even under a query-name filter: the
+    // manifest is independent of which queries ran, and a filtered subset
+    // would overwrite the shared outDir's manifest while stale parquet from
+    // earlier full runs remains — a later driver compare would then
+    // silently validate against a truncated oracle set.
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -267,7 +267,11 @@ object ScalarQueries {
         regexp_extract(text, '([a-z]+)', 1) AS first_word
       FROM documents""")) { (s, dir) =>
       Tables.t(s, dir, "documents").selectExpr("doc_id",
-        "array_join(regexp_extract_all(text, '[a-z]{7,}', 0), '|') AS long_words",
+        // COALESCE on BOTH sides: DuckDB's array_to_string of an empty list
+        // is NULL (hence its COALESCE), and a NULL text row must also agree
+        // — Spark's array_join(NULL) is NULL, DuckDB's COALESCE would make
+        // it '', so mirror the guard here for null-input symmetry.
+        "COALESCE(array_join(regexp_extract_all(text, '[a-z]{7,}', 0), '|'), '') AS long_words",
         "regexp_replace(substr(text, 1, 40), '[aeiou]', '_') AS devoweled",
         "text RLIKE '[0-9]' AS has_digit",
         "regexp_extract(text, '([a-z]+)', 1) AS first_word")

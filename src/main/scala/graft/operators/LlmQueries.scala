@@ -72,26 +72,27 @@ object LlmQueries {
   /** 16-permutation MinHash signature over an md5-keyed hash family:
     * sig_i = min over shingles of first-8-hex(md5(i ++ ':' ++ shingle)).
     * Fixed-width lowercase hex, so string min == numeric min. The Spark
-    * side computes this with [[TextHash.minhash16]] (JVM kernel — the HOF
-    * formulation is interpreter-bound, see TextHash scaladoc); the oracle
-    * keeps the equivalent SQL.
+    * side computes this with the codegen'd `graft_minhash16` expression
+    * ([[graft.plans.MinHash16]] — the HOF formulation is interpreter-bound
+    * and the round-3 ScalaUDF re-allocated a MessageDigest per hash call,
+    * see [[TextHash]] scaladoc); the oracle keeps the equivalent SQL.
     */
   private val sigSql = """
     [ list_aggregate([ substr(md5(cast(i AS varchar) || ':' || s), 1, 8) for s in sh ], 'min')
       for i in range(0, 16) ]"""
 
   /** doc → (doc_id, band, band_key): 4 bands × 4 signature rows. */
-  private def bandTable(corpus: DataFrame): DataFrame =
+  private def bandTable(corpus: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     corpus
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id", s"$shinglesExpr AS sh")
-      .select(col("doc_id"), TextHash.minhash16(col("sh")).as("sig"))
+      .select(col("doc_id"), expr("graft_minhash16(text)").as("sig"))
       .selectExpr("doc_id", """
         explode(transform(sequence(0, 3), j -> struct(
           j AS band,
           concat(element_at(sig, 4*j + 1), element_at(sig, 4*j + 2),
                  element_at(sig, 4*j + 3), element_at(sig, 4*j + 4)) AS band_key))) AS b""")
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_key").as("band_key"))
+  }
 
   private def bandTableSql(corpus: String): String = s"""
     WITH corpus AS ($corpus),
@@ -181,9 +182,9 @@ object LlmQueries {
             THEN 1 ELSE -1 END for h in hs ]) >= 0 THEN '1' ELSE '0' END
           for b in range(0, 64) ], '') AS simhash
       FROM tok""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
       Tables.t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextHash.simhash64(split(col("text"), " ")).as("simhash"))
+        .select(col("doc_id"), expr("graft_simhash64(text)").as("simhash"))
     },
 
     // ---------------------------------------------------------------- Q67
@@ -214,8 +215,9 @@ object LlmQueries {
       FROM cand
       WHERE list_sum([ CASE WHEN substr(sim1, i, 1) <> substr(sim2, i, 1)
           THEN 1 ELSE 0 END for i in range(1, 65) ]) <= 5""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
       val sh = nearCorpus(s, dir)
-        .select(col("doc_id"), TextHash.simhash64(split(col("text"), " ")).as("sim"))
+        .select(col("doc_id"), expr("graft_simhash64(text)").as("sim"))
       val blocks = sh.selectExpr("doc_id", "sim", """
           explode(transform(sequence(0, 7), j ->
             struct(j AS block_idx, substring(sim, 1 + 8*j, 8) AS block))) AS b""")

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the two hot byte-level kernels, plus the
   * [[SparkSessionExtensions]] injector that registers them as SQL functions
@@ -114,6 +115,46 @@ object VectorDot {
   }
 }
 
+/** `graft_minhash16(string) → array<string>`: 16-permutation MinHash
+  * signature over the text's 3-token shingles (kernel + oracle contract in
+  * [[graft.functions.TextHash.minhashArray]]). A native expression rather
+  * than a ScalaUDF so the whole q41/q42/q83 signature scan stays inside one
+  * WholeStageCodegen span — no closure dispatch, no WrappedArray encoder
+  * boundary, and the tokenize/shingle steps fuse into the kernel instead of
+  * running as interpreted HOF lambdas in the plan.
+  */
+final case class MinHash16(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_minhash16"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHash.minhashArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhashArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHash16 =
+    copy(child = newChild)
+}
+
+/** `graft_simhash64(string) → string`: 64-bit SimHash bit string over the
+  * text's whitespace tokens (kernel + oracle contract in
+  * [[graft.functions.TextHash.simhashBits]]).
+  */
+final case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHash.simhashBits(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhashBits($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Injector: `SparkSession.builder.withExtensions(new GraftExtensions)` at
   * session build time, or [[GraftExtensions.register]] on a live session.
   */
@@ -142,7 +183,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_vector_dot takes exactly 2 arguments")
         VectorDot(args(0), args(1))
-      }))
+      }),
+    ("graft_minhash16",
+      new ExpressionInfo(classOf[MinHash16].getName, "graft_minhash16"),
+      (args: Seq[Expression]) => MinHash16(one(args, "graft_minhash16"))),
+    ("graft_simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64(one(args, "graft_simhash64"))))
 
   /** Idempotent post-hoc registration for sessions built without
     * extensions (e.g. the driver-owned Verify/Bench sessions).

@@ -14,9 +14,12 @@ import java.security.MessageDigest
   * than a foreachBatch loop.
   *
   * Semantics mirrored from the reference producer:
-  *  - shard routing = MD5(partitionKey) mod shardCount — Kinesis's hash-key
-  *    ring (producer.go:39-43 delegates it to the service; we implement the
-  *    documented MD5 mapping);
+  *  - shard routing = MD5(partitionKey) mod shardCount — an internally
+  *    consistent MD5 ring (producer.go:39-43 delegates routing to the
+  *    service; Kinesis itself splits the 2^128 hash-key space into
+  *    contiguous per-shard RANGES, which assigns keys differently from mod
+  *    — we only promise stable, uniform, engine-independent routing, not
+  *    the service's exact key→shard map);
   *  - each record lands as `<path>/<stream>/<shard>/<seq 20-digit>.rec`
   *    containing `key \n payload` — exactly the layout
   *    [[graft.streaming.ProduceSink.PutRecordWriter]] writes and
@@ -40,8 +43,9 @@ import java.security.MessageDigest
   */
 object ShardSpoolSink {
 
-  /** MD5-ring shard assignment: stable for a key across runs and engines.
-    * (Per-row callers should reuse a digest via [[shardForWith]].)
+  /** MD5-mod shard assignment: stable for a key across runs and engines
+    * (NOT Kinesis's contiguous hash-range split — see class scaladoc).
+    * Per-row callers should reuse a digest via [[shardForWith]].
     */
   def shardFor(key: String, shardCount: Int): String =
     shardForWith(MessageDigest.getInstance("MD5"), key, shardCount)
@@ -98,21 +102,48 @@ class ShardSpoolWrite(opts: Map[String, String], inputSchema: StructType)
     }
   }
 
-  /** Execute renames; a target that already exists counts as done (rename
-    * replay during crash recovery), a missing source with a missing target
-    * is a real error.
+  /** Execute one staged→target rename. An existing target is only treated
+    * as done when the SOURCE is gone too (a replayed rename during crash
+    * recovery); if both source and target exist, the target was written by
+    * someone else — a sequence-number collision with a concurrent writer
+    * (second batch job, zombie driver) — and silently skipping would drop
+    * this write's record while reporting success, so fail the commit
+    * instead.
     */
-  private def rename(plan: Seq[(File, File)]): Unit =
-    plan.foreach { case (src, target) =>
-      if (!target.exists()) {
-        target.getParentFile.mkdirs()
-        if (!src.renameTo(target))
-          throw new java.io.IOException(s"commit failed: $src -> $target")
-      }
+  private def renameOne(src: File, target: File): Unit =
+    if (target.exists()) {
+      if (src.exists())
+        throw new java.io.IOException(
+          s"sequence collision: $target already exists while staged $src is still " +
+            "present — concurrent writer to the same stream? refusing to drop records")
+      // else: replayed rename, already done
+    } else {
+      target.getParentFile.mkdirs()
+      if (!src.renameTo(target))
+        throw new java.io.IOException(s"commit failed: $src -> $target")
     }
 
+  private def rename(plan: Seq[(File, File)]): Unit =
+    plan.foreach { case (src, target) => renameOne(src, target) }
+
+  /** Batch commit has no intent manifest to resume from (Spark fails the
+    * whole job on commit failure), so a rename that throws mid-commit
+    * must not leave the targets renamed so far permanently visible:
+    * best-effort unlink them before rethrowing.
+    */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    rename(planRenames(messages))
+    val done = scala.collection.mutable.ArrayBuffer.empty[File]
+    try
+      planRenames(messages).foreach { case (src, target) =>
+        renameOne(src, target)
+        done += target
+      }
+    catch {
+      case e: Throwable =>
+        done.foreach(_.delete())
+        deleteStaging()
+        throw e
+    }
     deleteStaging()
   }
 
