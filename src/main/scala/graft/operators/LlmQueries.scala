@@ -59,6 +59,42 @@ object LlmQueries {
        UNION ALL SELECT doc_id + 10000, text || ' xtr tok end'
        FROM documents WHERE doc_id % 10 = 0"""
 
+  /** documents + planted TRANSITIVE near-dup chains (doc_id%10==0):
+    * B(+10000) = A + ceil(n/3) doc-specific junk tokens, C(+20000) = A +
+    * ceil(7n/9) junk tokens with B's junk as a prefix. Adjacent shingle
+    * Jaccards are ≈ 0.75 (above the 4×4 LSH band threshold, so A~B and
+    * B~C usually share a bucket) while J(A,C) ≈ 0.56 — low enough that a
+    * majority of chains have NO direct A~C bucket and only a transitive
+    * pass (q87) merges them; 1-hop resolution (q83's shape) would split
+    * them. Junk tokens embed doc_id so chains never cross-link.
+    */
+  private val junkSql =
+    // j junk tokens for this doc: 'jk<doc_id>x<i>' for i in 0..j-1
+    (j: String) => s"""array_join(transform(sequence(0, $j - 1),
+        i -> concat('jk', CAST(doc_id AS STRING), 'x', i)), ' ')"""
+  def chainCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val n = "size(split(text, ' '))"
+    val planted = d.filter(col("doc_id") % 10 === 0)
+    d.unionByName(planted.selectExpr("doc_id + 10000 AS doc_id",
+      s"concat(text, ' ', ${junkSql(s"CAST(ceil($n / 3.0) AS INT)")}) AS text"))
+      .unionByName(planted.selectExpr("doc_id + 20000 AS doc_id",
+        s"concat(text, ' ', ${junkSql(s"CAST(ceil($n * 7.0 / 9.0) AS INT)")}) AS text"))
+  }
+  private val chainCorpusSql = {
+    def junk(j: String) =
+      s"""array_to_string([ 'jk' || CAST(doc_id AS VARCHAR) || 'x' || i
+          for i in range(0, $j) ], ' ')"""
+    val n = "len(string_split(text, ' '))"
+    s"""SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 10000,
+         text || ' ' || ${junk(s"CAST(ceil($n / 3.0) AS INT)")}
+       FROM documents WHERE doc_id % 10 = 0
+       UNION ALL SELECT doc_id + 20000,
+         text || ' ' || ${junk(s"CAST(ceil($n * 7.0 / 9.0) AS INT)")}
+       FROM documents WHERE doc_id % 10 = 0"""
+  }
+
   /** 3-token shingles, 1-based window starts (mirrors DuckDB range(1, n-1)). */
   private val shinglesExpr = """
     CASE WHEN size(toks) >= 3 THEN
@@ -82,7 +118,7 @@ object LlmQueries {
       for i in range(0, 16) ]"""
 
   /** doc → (doc_id, band, band_key): 4 bands × 4 signature rows. */
-  private def bandTable(corpus: DataFrame): DataFrame = {
+  def bandTable(corpus: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     corpus
       .select(col("doc_id"), expr("graft_minhash16(text)").as("sig"))
@@ -483,6 +519,82 @@ object LlmQueries {
         .agg(min(col("nbr_id")).as("canonical"))
         .select(col("doc_id"), col("canonical"),
           (col("doc_id") === col("canonical")).as("kept"))
+    },
+
+    // ---------------------------------------------------------------- Q87
+    // Dedup resolution, TRANSITIVE: connected components over the LSH
+    // bucket graph by min-label propagation to a fixed point — the full
+    // answer to "keep exactly one doc per duplicate CLUSTER", where q83's
+    // 1-hop canonical-min splits chains (A~B~C with A,C sharing no bucket
+    // resolves to two canonicals there; here to one). Each round is ONE
+    // shuffle join (edges ⋈ labels on dst) + a groupBy-min — the identical
+    // shape at 100 TB — and label propagation over a bucket graph converges
+    // in O(diameter) ≤ O(log n) rounds for dup clusters (diameter is tiny:
+    // chains of re-crawls/templates, not arbitrary graphs). The driver-side
+    // loop only compares two scalar aggregates per round; all data stays
+    // distributed. The oracle is DuckDB's recursive transitive closure over
+    // the same edge set.
+    Q("q87_dedup_cc", Some(s"""
+      WITH RECURSIVE bands AS (${bandTableSql(chainCorpusSql)}),
+      edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key),
+      docs AS (SELECT doc_id FROM ($chainCorpusSql)),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM docs
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS doc_id, MIN(dst) AS canonical,
+             src = MIN(dst) AS kept
+      FROM reach GROUP BY src""")) { (s, dir) =>
+      connectedComponents(chainCorpus(s, dir))
     }
   )
+
+  /** Min-label propagation to a fixed point over the LSH bucket graph of
+    * `corpus` (doc_id, text) — the q87 kernel, public so specs can run it
+    * on controlled corpora. Output: (doc_id, canonical, kept).
+    */
+  def connectedComponents(corpus: DataFrame): DataFrame = {
+    val bands = bandTable(corpus)
+    val a = bands.select(col("doc_id").as("src"), col("band"), col("band_key"))
+    val b = bands.select(col("doc_id").as("dst"), col("band").as("band2"),
+      col("band_key").as("band_key2"))
+    // bucket-equality edge list (symmetric, self-edges included) — the
+    // same exchange-reuse join as q83, materialized once for the loop
+    val edges = a.hint("merge").join(b,
+      a("band") === b("band2") && a("band_key") === b("band_key2"))
+      .select("src", "dst").distinct().persist()
+    edges.count()
+    var labels = corpus.select(col("doc_id"),
+      col("doc_id").as("canonical")).persist()
+    // convergence by the sum of labels: min-propagation only ever lowers
+    // a label, so an unchanged sum == a fixed point (one cheap scalar
+    // action per round instead of a join-and-diff)
+    var prevSum = labels.agg(sum("canonical")).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val nbr = labels.select(col("doc_id").as("nbr"),
+        col("canonical").as("nbr_can"))
+      // min over bucket neighbors' labels (self-edges make this include
+      // the doc's own label); LEFT join keeps docs with no edges at all
+      // (<3 tokens → every band_key NULL → not even a self-edge), which
+      // the oracle's closure anchor keeps too
+      val prop = edges.join(nbr, col("dst") === col("nbr"))
+        .groupBy(col("src")).agg(min(col("nbr_can")).as("prop_can"))
+      val next = labels.join(prop, labels("doc_id") === prop("src"), "left")
+        .select(labels("doc_id"),
+          coalesce(col("prop_can"), labels("canonical")).as("canonical"))
+        .persist()
+      val sumNow = next.agg(sum("canonical")).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = sumNow == prevSum
+      prevSum = sumNow
+    }
+    val out = labels.select(col("doc_id"), col("canonical"),
+      (col("doc_id") === col("canonical")).as("kept"))
+    edges.unpersist()
+    out
+  }
 }

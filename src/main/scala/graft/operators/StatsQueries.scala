@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -63,6 +64,23 @@ object StatsQueries {
     """round(sy / n_rows
         - ((sxy - sx * sy / n_rows) / (sxx - sx * sx / n_rows)) * (sx / n_rows), 6)
        AS regr_intercept""")
+
+  /** Scale-safe robust-stats DEFAULT path: approx_percentile only — a
+    * mergeable t-digest sketch with bounded per-group state. The exact
+    * `percentile` in q86 buffers every value of each group in memory on
+    * the final aggregator — with 3 groups at 100 TB that is billions of
+    * values on 3 reducer tasks, a genuine scale-killer — so q86 is the
+    * oracle cross-check and THIS is the shape a production pipeline runs.
+    * Public so PlanAuditSpec can assert the plan carries no exact
+    * Percentile buffering.
+    */
+  def approxRobust(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+        .as("aq"))
+      .select(col("l_returnflag"), col("aq")(0).as("ap25"),
+        col("aq")(1).as("ap50"), col("aq")(2).as("ap75"))
 
   val all: Seq[Q] = Seq(
 
@@ -154,26 +172,39 @@ object StatsQueries {
     // ---------------------------------------------------------------- Q74
     // Approximate aggregates — the 100 TB scale path for distinct counts
     // (HyperLogLog++) and quantiles (approx_percentile): single pass,
-    // bounded sketch state, mergeable across partitions. Sketches are not
-    // cross-engine reproducible, so there is no DuckDB oracle (rows-only
-    // check); StatsSpec asserts the estimates against exact values.
-    // NOTE: deliberately sketches-ONLY. Mixing an exact count_distinct into
-    // the same agg plans an Expand + a partial aggregate keyed by
-    // (group, distinct-key), which rebuilds/merges the HLL and t-digest
-    // sketches across ~n_distinct intermediate groups — measured 20×
-    // slower at sf0.1. The exact comparison lives in StatsSpec instead.
-    Q("q74_approx_agg", None) { (s, dir) =>
-      Tables.t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+    // bounded sketch state, mergeable across partitions. Sketch estimates
+    // are not cross-engine reproducible, so the oracle checks the CONTRACT
+    // instead of the bits: Spark emits the exact values plus booleans
+    // "estimate within tolerance of exact", and DuckDB emits the same
+    // exact values with literal TRUEs — a hash mismatch therefore means a
+    // sketch left its error bound. (HLL rsd=0.01 → 0.05 is >4σ; the
+    // t-digest at default accuracy is far inside 0.02 at these sizes.)
+    // NOTE: the sketches stay in their OWN aggregate. Mixing an exact
+    // count_distinct into the same agg plans an Expand + a partial
+    // aggregate keyed by (group, distinct-key), which rebuilds/merges the
+    // HLL and t-digest sketches across ~n_distinct intermediate groups —
+    // measured 20× slower at sf0.1. The exact side is a separate 3-row
+    // aggregate joined back on the group key.
+    Q("q74_approx_agg", Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_orderkey) AS exact_orders,
+        TRUE AS hll_ok, TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+      FROM lineitem GROUP BY l_returnflag""")) { (s, dir) =>
+      val li = Tables.t(s, dir, "lineitem")
+      val sk = li.groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
-            .as("approx_price_quartiles"))
-        .select(col("l_returnflag"), col("approx_orders"),
-          // scalar columns only: the driver's checker cannot hash arrays
-          col("approx_price_quartiles")(0).as("approx_p25"),
-          col("approx_price_quartiles")(1).as("approx_p50"),
-          col("approx_price_quartiles")(2).as("approx_p75"))
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("est_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("aq"))
+      val ex = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("eq"))
+      sk.join(ex, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("est_orders") - col("exact_orders")) /
+            col("exact_orders") <= 0.05).as("hll_ok"),
+          (abs(col("aq")(0) - col("eq")(0)) / col("eq")(0) <= 0.02).as("p25_ok"),
+          (abs(col("aq")(1) - col("eq")(1)) / col("eq")(1) <= 0.02).as("p50_ok"),
+          (abs(col("aq")(2) - col("eq")(2)) / col("eq")(2) <= 0.02).as("p75_ok"))
     },
 
     // ---------------------------------------------------------------- Q75
@@ -350,6 +381,40 @@ object StatsQueries {
             .otherwise(0)).cast("long").as("n_outliers"))
         .select(col("l_returnflag"), col("median_price"),
           round(col("p75") - col("p25"), 6).as("iqr"), col("mad"), col("n_outliers"))
+    },
+
+    // ---------------------------------------------------------------- Q88
+    // Robust stats, SCALE-SAFE variant: the [[approxRobust]] sketch path is
+    // the default; the exact percentiles are computed alongside only as the
+    // cross-check, with the same boolean within-bound oracle pattern as
+    // q74 — DuckDB emits the exact quantiles plus literal TRUEs, so a hash
+    // mismatch means the sketch left its error bound. (t-digest accuracy
+    // 10000 → rank error ≤ n/10000; 0.02 relative is orders of magnitude
+    // of headroom at every SF here.)
+    Q("q88_approx_robust", Some("""
+      WITH med AS (
+        SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.5), 6)  AS median_price,
+          round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+          round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, median_price, round(p75 - p25, 6) AS iqr,
+        TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+      FROM med""")) { (s, dir) =>
+      val ap = approxRobust(s, dir)
+      val ex = Tables.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+      ap.join(ex, "l_returnflag")
+        .select(col("l_returnflag"), col("median_price"),
+          round(col("p75") - col("p25"), 6).as("iqr"),
+          (abs(col("ap25") - col("p25")) / col("p25") <= 0.02).as("p25_ok"),
+          (abs(col("ap50") - col("median_price")) / col("median_price") <= 0.02)
+            .as("p50_ok"),
+          (abs(col("ap75") - col("p75")) / col("p75") <= 0.02).as("p75_ok"))
     }
   )
 }
