@@ -61,20 +61,31 @@ object Multimodal {
   }
 
   /** STUB — deterministic fake media decoder. A real deployment swaps this
-    * object for JNI/ONNX/ffmpeg bindings; the call shape (batch in,
-    * fixed-dim vectors out) is what the pipeline depends on.
+    * object for JNI/ONNX/ffmpeg bindings; the call shape — ONE invocation
+    * per record BATCH, fixed-dim vectors out — is what the pipeline
+    * depends on (a model server amortizes per-call overhead across the
+    * batch, so the signature must be batch-level, not per-record).
     */
   object FakeDecoder {
-    /** dim fake features in [0,1]: feature i = first-16-bits of
-      * md5("f<i>:" ++ payload-as-utf8) / 65535. Deterministic, so the
-      * DuckDB oracle can reproduce it arithmetically.
+    /** Batch invocation counter — the observable a real model server logs;
+      * MultimodalSpec asserts exactly one call per mapPartitions batch.
       */
-    def features(payload: Array[Byte], dim: Int): Seq[Double] = {
-      val text = new String(payload, StandardCharsets.UTF_8)
-      (0 until dim).map { i =>
-        val d = MessageDigest.getInstance("MD5")
-          .digest(s"f$i:$text".getBytes(StandardCharsets.UTF_8))
-        (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) / 65535.0
+    val invocations = new java.util.concurrent.atomic.AtomicLong
+
+    /** One feature vector per payload in the batch: feature i = first
+      * 16 bits of md5("f<i>:" ++ payload-as-utf8) / 65535, in [0,1].
+      * Deterministic, so the DuckDB oracle reproduces it arithmetically.
+      */
+    def features(batch: Seq[Array[Byte]], dim: Int): Seq[Seq[Double]] = {
+      invocations.incrementAndGet()
+      val md = MessageDigest.getInstance("MD5")
+      batch.map { payload =>
+        val text = new String(payload, StandardCharsets.UTF_8)
+        (0 until dim).map { i =>
+          md.reset()
+          val d = md.digest(s"f$i:$text".getBytes(StandardCharsets.UTF_8))
+          (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) / 65535.0
+        }
       }
     }
   }
@@ -86,6 +97,22 @@ object Multimodal {
 
   final case class MmIn(doc_id: Long, data: Array[Byte])
   final case class MmFeat(doc_id: Long, features: Seq[Double])
+
+  /** Batched featurization — the mapInPandas-analog batch kernel: each
+    * `grouped(batchSize)` slice reaches the decoder as ONE batch call
+    * (bounded memory: batchSize × blob size per task). Public so the spec
+    * can assert the one-call-per-batch contract on a controlled input.
+    */
+  def featurize(in: org.apache.spark.sql.Dataset[MmIn], dim: Int,
+      batchSize: Int = 64): org.apache.spark.sql.Dataset[MmFeat] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val feats = FakeDecoder.features(batch.map(_.data), dim)
+        batch.zip(feats).map { case (r, f) => MmFeat(r.doc_id, f) }
+      }
+    }
+  }
 
   /** Blob table synthesized from documents: dimensions derived from doc_id,
     * payload = text bytes.
@@ -144,11 +171,7 @@ object Multimodal {
       val in = blobs(s, dir).select(col("doc_id"),
         // strip the container header: featurize the payload, not the frame
         expr("substring(blob, 10, 2147483647)").as("data")).as[MmIn]
-      in.mapPartitions { it =>
-        it.grouped(64).flatMap { batch => // one decoder call per batch
-          batch.map(r => MmFeat(r.doc_id, FakeDecoder.features(r.data, 8)))
-        }
-      }.toDF()
+      featurize(in, 8).toDF()
         .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "f")))
         .select(col("doc_id"), col("feat_idx"),
           round(col("f"), 6).as("feat"))

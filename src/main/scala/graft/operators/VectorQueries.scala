@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -70,6 +71,80 @@ object VectorQueries {
           "CAST(aggregate(transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS qsum",
           "CAST(array_min(transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmin",
           "CAST(array_max(transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmax")
+    },
+
+    // ---------------------------------------------------------------- Q89
+    // IVF top-k, MULTI-PROBE (probe=2) — the recall/cost knob q66 lacks:
+    // each query probes the 2 cells whose centroids (the q77 aggregation,
+    // reused here as vectors) are nearest by squared L2, so recall over a
+    // probe=1 scan can only grow while per-query work stays 2 cells, not
+    // the corpus. At scale: centroids are tiny (|labels| × 64) and
+    // broadcast; the probe set (queries × 2) broadcasts against the
+    // corpus, which shuffles on nothing — one narrow scan scored per cell
+    // member, exactly like q66. Determinism for the oracle: centroid
+    // values and distances round to 6 dp before ranking, ties break on
+    // label / neighbor id; dot products share fold order across engines.
+    Q("q89_ivf_probe2", Some("""
+      WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings),
+      cent AS (
+        SELECT label, i AS dim,
+          round(CAST(SUM(CAST(v[i + 1] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS c
+        FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings), range(0, 64) t(i)
+        GROUP BY label, i),
+      cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+      probe AS (
+        SELECT query_id, qv, qn, label FROM (
+          SELECT q.query_id, q.qv, q.qn, c.label,
+            CAST(row_number() OVER (PARTITION BY q.query_id
+              ORDER BY round(list_dot_product(q.qv, q.qv)
+                           - 2 * list_dot_product(q.qv, c.cv)
+                           + list_dot_product(c.cv, c.cv), 6), c.label) AS INT) AS cell_rk
+          FROM q, cvec c) t
+        WHERE cell_rk <= 2)
+      SELECT query_id, neighbor_id, sim, rk FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(p.qv, c.v) / (p.qn * c.nrm), 6) AS sim,
+          CAST(row_number() OVER (PARTITION BY p.query_id
+            ORDER BY round(list_dot_product(p.qv, c.v) / (p.qn * c.nrm), 6) DESC,
+                     c.vec_id) AS INT) AS rk
+        FROM probe p JOIN n c ON c.label = p.label AND c.vec_id <> p.query_id) t
+      WHERE rk <= 5""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // graft_vector_dot
+      val base = Tables.t(s, dir, "embeddings")
+        .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v")
+      val n = base.select(col("vec_id"), col("label"), col("v"),
+        sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
+      // per-label centroid VECTORS: q77's exact decimal aggregation,
+      // re-assembled in dim order (struct sort == sort by first field)
+      val cvec = base
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
+          .as("raw"))
+        .select(col("label"), col("dim"), round(col("raw"), 6).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+          .as("cv"))
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val wCell = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
+      val probe = q.crossJoin(broadcast(cvec))
+        .withColumn("d2", round(
+          expr("graft_vector_dot(qv, qv) - 2 * graft_vector_dot(qv, cv) + graft_vector_dot(cv, cv)"),
+          6))
+        .withColumn("cell_rk", row_number().over(wCell))
+        .filter(col("cell_rk") <= 2)
+        .select(col("query_id"), col("qv"), col("qn"), col("label").as("plabel"))
+      val scored = n.join(broadcast(probe),
+        col("label") === col("plabel") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(expr("graft_vector_dot(qv, v)") / (col("qn") * col("nrm")), 6)
+            .as("sim"))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
     }
   )
 }

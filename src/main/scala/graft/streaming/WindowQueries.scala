@@ -79,6 +79,38 @@ object WindowQueries {
         .groupBy(window(col("tss"), "1 hour", "30 minutes"))
         .agg(count(lit(1)).as("n"))
         .select(unix_micros(col("window.start")).as("window_start_us"), col("n"))
+    },
+
+    // ---------------------------------------------------------------- Q90
+    // Interval join — the BATCH-equivalent of the watermarked stream-stream
+    // inner join (StreamJoinSpec): each click joined to the same user's
+    // purchases inside [click_ts, click_ts + 6h]. Identical join semantics
+    // in both engines makes the streaming operator's core (time-bounded
+    // equi-join) oracle-hashable, per SURVEY §7.3(6); the streaming variant
+    // with watermark state eviction stays spec-covered. 100 TB posture:
+    // shuffles once on user_id (exactly the streaming state-store
+    // partitioning); the time bound evaluates inside each key partition,
+    // the same pruning the watermark performs incrementally.
+    Q("q90_interval_join", Some("""
+      SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS lag_sec
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND epoch_us(b.ts) >= epoch_us(a.ts)
+       AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000
+      WHERE a.event_type = 'click' AND b.event_type = 'purchase'""")) { (s, dir) =>
+      val e = Tables.t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .selectExpr("event_id AS click_id", "user_id", "ts div 1000 AS click_us")
+      val buys = e.filter(col("event_type") === "purchase")
+        .selectExpr("event_id AS purchase_id", "user_id AS buyer_id",
+          "ts div 1000 AS buy_us")
+      clicks.join(buys,
+        col("user_id") === col("buyer_id") &&
+          col("buy_us") >= col("click_us") &&
+          col("buy_us") <= col("click_us") + 21600000000L)
+        .selectExpr("click_id", "purchase_id",
+          "(buy_us - click_us) div 1000000 AS lag_sec")
     }
   )
 }

@@ -1,11 +1,13 @@
 package graft
 
-import graft.operators.Multimodal.{BlobCodec, FakeDecoder}
-import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{BlobCodec, FakeDecoder, MmIn}
 import java.nio.charset.StandardCharsets
 
-/** Blob container codec + fake decoder determinism. */
-class MultimodalSpec extends AnyFunSuite {
+/** Blob container codec + fake decoder determinism + the batch-kernel
+  * contract of the featurization path.
+  */
+class MultimodalSpec extends SparkSpec {
 
   private def b(s: String) = s.getBytes(StandardCharsets.UTF_8)
 
@@ -27,11 +29,24 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("fake features are deterministic, dim-sized, in [0,1]") {
-    val f1 = FakeDecoder.features(b("same payload"), 8)
-    val f2 = FakeDecoder.features(b("same payload"), 8)
+    val Seq(f1, other) = FakeDecoder.features(Seq(b("same payload"), b("other payload")), 8)
+    val Seq(f2) = FakeDecoder.features(Seq(b("same payload")), 8)
     assert(f1 == f2)
     assert(f1.size == 8)
     assert(f1.forall(x => x >= 0.0 && x <= 1.0))
-    assert(FakeDecoder.features(b("other payload"), 8) != f1)
+    assert(other != f1)
+  }
+
+  test("featurize invokes the decoder exactly once per 64-record batch") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => MmIn(i.toLong, b(s"payload-$i")))
+    val ds = spark.createDataset(rows).repartition(1)
+    FakeDecoder.invocations.set(0)
+    val out = Multimodal.featurize(ds, 4).collect()
+    assert(out.length == 200)
+    assert(out.forall(_.features.size == 4))
+    // 200 rows in one partition at batchSize 64 → 64+64+64+8 = 4 calls
+    assert(FakeDecoder.invocations.get() == 4,
+      s"expected 4 batch invocations, got ${FakeDecoder.invocations.get()}")
   }
 }

@@ -27,4 +27,20 @@ class VectorSpec extends SparkSpec {
     // at least one vector's max element IS the scale → code 127 reachable
     assert(df.where(col("qmax") === 127).count() > 0)
   }
+
+  test("q89 probe-2 recall is at least q66 probe-1 recall vs brute force") {
+    // ground truth: brute-force cosine top-5 per query (q45 emits top-10)
+    def pairs(name: String, maxRk: Int) =
+      run(name).where(col("rk") <= maxRk)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs("q45_cosine_topk", 5)
+    val probe1 = pairs("q66_ivf_topk", 5)
+    val probe2 = pairs("q89_ivf_probe2", 5)
+    val r1 = (probe1 intersect truth).size.toDouble / truth.size
+    val r2 = (probe2 intersect truth).size.toDouble / truth.size
+    assert(r2 >= r1, s"probe-2 recall $r2 < probe-1 recall $r1")
+    // probe-2 must actually widen the candidate pool beyond the home cell
+    assert(probe2.size >= probe1.size)
+  }
 }
