@@ -521,6 +521,112 @@ object LlmQueries {
           (col("doc_id") === col("canonical")).as("kept"))
     },
 
+    // ---------------------------------------------------------------- Q91
+    // Gopher-style quality FILTER rules — the repetition/shape heuristics a
+    // pre-training pipeline applies after q47's scoring: duplicate-2-gram
+    // ratio (boilerplate/repetition detector), mean word length band,
+    // terminal-punctuation check, and the fused keep/drop decision. All
+    // narrow codegen'd ops over the scan; int/int ratios are bit-exact on
+    // both engines, rounded before the threshold compare. The corpus
+    // plants repetitive spam (+40000: one 2-gram repeated 20×) that the
+    // duplicate-ratio rule must DROP — the fixture's organic docs are all
+    // clean, so without the plants the drop branch would be untested.
+    Q("q91_quality_rules", Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 40000, rtrim(repeat('buy now ', 20))
+        FROM documents WHERE doc_id % 25 = 0),
+      t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus),
+      g AS (SELECT doc_id, text, toks,
+              CASE WHEN len(toks) >= 2 THEN
+                [ toks[i] || ' ' || toks[i+1] for i in range(1, len(toks)) ]
+              ELSE [] END AS g2
+            FROM t)
+      SELECT doc_id,
+        round(1.0 - len(list_distinct(g2)) / len(g2), 6) AS dup_2gram_ratio,
+        round(list_sum([ CAST(length(x) AS BIGINT) for x in toks ]) / len(toks), 6)
+          AS mean_word_len,
+        substr(text, length(text), 1) IN ('.', '!', '?') AS ends_terminal,
+        (round(1.0 - len(list_distinct(g2)) / len(g2), 6) <= 0.3
+          AND round(list_sum([ CAST(length(x) AS BIGINT) for x in toks ]) / len(toks), 6)
+              BETWEEN 2.0 AND 12.0
+          AND len(toks) >= 10) AS keep
+      FROM g""")) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.unionByName(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          expr("rtrim(repeat('buy now ', 20))").as("text")))
+        .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", "text", "toks", """
+          CASE WHEN size(toks) >= 2 THEN
+            transform(sequence(1, size(toks) - 1),
+              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          ELSE array() END AS g2""")
+        .selectExpr("doc_id",
+          "round(1.0 - size(array_distinct(g2)) / size(g2), 6) AS dup_2gram_ratio",
+          """round(aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))
+             / size(toks), 6) AS mean_word_len""",
+          "substring(text, length(text), 1) IN ('.', '!', '?') AS ends_terminal",
+          """(round(1.0 - size(array_distinct(g2)) / size(g2), 6) <= 0.3
+             AND round(aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))
+                 / size(toks), 6) BETWEEN 2.0 AND 12.0
+             AND size(toks) >= 10) AS keep""")
+    },
+
+    // ---------------------------------------------------------------- Q92
+    // Benchmark DECONTAMINATION — the eval-overlap sweep every training
+    // pipeline runs before a data release: docs sharing any 5-token shingle
+    // with the "benchmark set" (here: doc_id%50==0 stands in for an eval
+    // suite) are flagged with hit counts and the contaminated fraction of
+    // their shingles. The corpus plants leaked copies (+30001: an eval
+    // doc's full text wrapped in new context — the classic "benchmark
+    // pasted into a web page" case) that must surface with frac ≈ 1.
+    // At 100 TB: the eval shingle set is tiny and BROADCASTS; the corpus
+    // side is one narrow explode + broadcast-join + per-doc
+    // re-aggregation — no corpus-wide shuffle.
+    Q("q92_decontaminate", Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 30001, 'leak ctx pre ' || text || ' post trail'
+        FROM documents WHERE doc_id % 50 = 0),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(toks) >= 5 THEN
+                 [ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+                   for i in range(1, len(toks) - 3) ]
+               ELSE [] END)) AS sh,
+             CASE WHEN len(toks) >= 5 THEN len(list_distinct(
+               [ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+                 for i in range(1, len(toks) - 3) ])) ELSE 0 END AS n_sh
+           FROM tok),
+      ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+      SELECT s.doc_id, COUNT(*) AS n_hits,
+        round(COUNT(*) / MAX(s.n_sh), 6) AS contaminated_frac
+      FROM sh s JOIN ev USING (sh)
+      WHERE s.doc_id % 50 <> 0
+      GROUP BY s.doc_id""")) { (s, dir) =>
+      val sh5 = """
+        CASE WHEN size(toks) >= 5 THEN
+          array_distinct(transform(sequence(1, size(toks) - 4),
+            i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+              element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4))))
+        ELSE array() END"""
+      val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 30001).as("doc_id"),
+          concat(lit("leak ctx pre "), col("text"), lit(" post trail")).as("text")))
+      val sh = corpus
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", s"$sh5 AS shs")
+        .selectExpr("doc_id", "size(shs) AS n_sh", "explode(shs) AS sh")
+      val ev = sh.filter(col("doc_id") % 50 === 0).select("sh").distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          round(count(lit(1)) / max(col("n_sh")), 6).as("contaminated_frac"))
+    },
+
     // ---------------------------------------------------------------- Q87
     // Dedup resolution, TRANSITIVE: connected components over the LSH
     // bucket graph by min-label propagation to a fixed point — the full

@@ -54,18 +54,16 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size == 2, s"expected 2-phase agg:\n$p")
   }
 
-  test("approxRobust default path carries no unbounded per-group value buffering") {
-    // the scale-safe robust-stats path must aggregate with mergeable
-    // bounded-state sketches only — an exact Percentile buffers every group
-    // value on the final aggregator (the q86/q58 scale caveat)
-    val df = operators.StatsQueries.approxRobust(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    val cut = p.indexOf("== Initial Plan ==")
-    val ran = if (cut >= 0) p.substring(0, cut) else p
+  test("q88 scale-safe robust stats carry no unbounded per-group value buffering") {
+    // the scale-safe robust-stats path (sketch + rank-error audit) must
+    // aggregate with mergeable bounded-state operators only — an exact
+    // Percentile buffers every group value on the final aggregator (the
+    // q86/q58 scale caveat), and neither the default path nor its audit
+    // may reintroduce one
+    val ran = plan("q88_approx_robust")
     assert(ran.contains("approx_percentile"), s"sketch agg missing:\n$ran")
     assert(!ran.replace("approx_percentile", "").contains("percentile("),
-      s"exact percentile (unbounded buffering) in the default path:\n$ran")
+      s"exact percentile (unbounded buffering) in the scale-safe path:\n$ran")
   }
 
   test("q71 hash-sample predicate is a scan-side filter, not a post-agg one") {
