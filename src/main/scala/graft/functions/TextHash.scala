@@ -132,6 +132,38 @@ object TextHash {
     UTF8String.fromBytes(bits)
   }
 
+  /** DISTINCT n-token shingles of the text (first-occurrence order, same
+    * as Spark's `array_distinct` over the transform-built list): shingle k
+    * is `tok(k) .. tok(k+n-1)` joined by single spaces. The set semantics
+    * make evaluation order irrelevant to every consumer (intersections,
+    * mins, joins), so the oracle keeps its list-comprehension +
+    * list_distinct SQL. Kernel-side because the equivalent
+    * `transform(sequence(...), i -> concat_ws(...))` HOF lambda is
+    * interpreted — q92's two shingle passes cost 11.7 s at sf0.1 through
+    * the interpreter vs well under a second here.
+    */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count = toks.length - n + 1
+    if (count <= 0) new GenericArrayData(Array.empty[AnyRef])
+    else {
+      val seen = new java.util.LinkedHashSet[String](count * 2)
+      var k = 0
+      while (k < count) {
+        val sb = new java.lang.StringBuilder(toks(k))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(k + j)); j += 1 }
+        seen.add(sb.toString)
+        k += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Hamming distance between two equal-length bit strings ('0'/'1' chars)
     * — counts differing positions; the oracle mirror is a per-position
     * substr compare sum. Runs only on candidate pairs (post-bucket-join),

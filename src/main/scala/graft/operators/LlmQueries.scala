@@ -192,9 +192,10 @@ object LlmQueries {
         a("band") === b("band2") && a("band_key") === b("band_key2") &&
           a("doc_id1") < b("doc_id2"))
         .select("doc_id1", "doc_id2").distinct()
+      // graft_shingles == array_distinct of the transform-built list (both
+      // first-occurrence order), minus the interpreted HOF lambda
       val shs = nearCorpus(s, dir)
-        .selectExpr("doc_id", "split(text, ' ') AS toks")
-        .selectExpr("doc_id", s"array_distinct($shinglesExpr) AS sh")
+        .selectExpr("doc_id", "graft_shingles(text, 3) AS sh")
       val x = shs.select(col("doc_id").as("xid"), col("sh").as("xsh"))
       val y = shs.select(col("doc_id").as("yid"), col("sh").as("ysh"))
       cand.join(x, col("doc_id1") === col("xid")).join(y, col("doc_id2") === col("yid"))
@@ -283,9 +284,9 @@ object LlmQueries {
         len(list_intersect(a.sh, b.sh)) /
           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
       FROM shs a JOIN shs b ON b.doc_id = a.doc_id + 1""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // graft_shingles
       val shs = Tables.t(s, dir, "documents")
-        .selectExpr("doc_id", "split(text, ' ') AS toks")
-        .selectExpr("doc_id", s"array_distinct($shinglesExpr) AS sh")
+        .selectExpr("doc_id", "graft_shingles(text, 3) AS sh")
       val a = shs.select(col("doc_id").as("doc_id1"), col("sh").as("xsh"))
       val b = shs.select(col("doc_id").as("doc_id2"), col("sh").as("ysh"))
       a.join(b, col("doc_id2") === col("doc_id1") + 1)
@@ -531,46 +532,46 @@ object LlmQueries {
     // plants repetitive spam (+40000: one 2-gram repeated 20×) that the
     // duplicate-ratio rule must DROP — the fixture's organic docs are all
     // clean, so without the plants the drop branch would be untested.
+    // Arithmetic identities keep everything codegen'd: with an n_tok-way
+    // single-space split, sum(token lengths) == length(text) - (n_tok - 1)
+    // exactly (n_tok - 1 separators), so mean word length needs no
+    // per-token loop; the distinct-2-gram count is the graft_shingles
+    // kernel (the HOF formulation is interpreter-bound — see TextHash).
     Q("q91_quality_rules", Some("""
       WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id + 40000, rtrim(repeat('buy now ', 20))
         FROM documents WHERE doc_id % 25 = 0),
-      t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus),
-      g AS (SELECT doc_id, text, toks,
-              CASE WHEN len(toks) >= 2 THEN
-                [ toks[i] || ' ' || toks[i+1] for i in range(1, len(toks)) ]
-              ELSE [] END AS g2
+      t AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok,
+              len(list_distinct(
+                [ string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                  for i in range(1, len(string_split(text, ' '))) ])) AS d2
+            FROM corpus),
+      m AS (SELECT doc_id,
+              round(1.0 - d2 / (n_tok - 1), 6) AS dup_2gram_ratio,
+              round((length(text) - (n_tok - 1)) / n_tok, 6) AS mean_word_len,
+              substr(text, length(text), 1) IN ('.', '!', '?') AS ends_terminal,
+              n_tok
             FROM t)
-      SELECT doc_id,
-        round(1.0 - len(list_distinct(g2)) / len(g2), 6) AS dup_2gram_ratio,
-        round(list_sum([ CAST(length(x) AS BIGINT) for x in toks ]) / len(toks), 6)
-          AS mean_word_len,
-        substr(text, length(text), 1) IN ('.', '!', '?') AS ends_terminal,
-        (round(1.0 - len(list_distinct(g2)) / len(g2), 6) <= 0.3
-          AND round(list_sum([ CAST(length(x) AS BIGINT) for x in toks ]) / len(toks), 6)
-              BETWEEN 2.0 AND 12.0
-          AND len(toks) >= 10) AS keep
-      FROM g""")) { (s, dir) =>
+      SELECT doc_id, dup_2gram_ratio, mean_word_len, ends_terminal,
+        (dup_2gram_ratio <= 0.3 AND mean_word_len BETWEEN 2.0 AND 12.0
+          AND n_tok >= 10) AS keep
+      FROM m""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // graft_shingles
       val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
       d.unionByName(d.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 40000).as("doc_id"),
           expr("rtrim(repeat('buy now ', 20))").as("text")))
-        .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
-        .selectExpr("doc_id", "text", "toks", """
-          CASE WHEN size(toks) >= 2 THEN
-            transform(sequence(1, size(toks) - 1),
-              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
-          ELSE array() END AS g2""")
+        .selectExpr("doc_id", "text", "size(split(text, ' ')) AS n_tok",
+          "size(graft_shingles(text, 2)) AS d2")
         .selectExpr("doc_id",
-          "round(1.0 - size(array_distinct(g2)) / size(g2), 6) AS dup_2gram_ratio",
-          """round(aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))
-             / size(toks), 6) AS mean_word_len""",
+          "round(1.0 - d2 / (n_tok - 1), 6) AS dup_2gram_ratio",
+          "round((length(text) - (n_tok - 1)) / n_tok, 6) AS mean_word_len",
           "substring(text, length(text), 1) IN ('.', '!', '?') AS ends_terminal",
-          """(round(1.0 - size(array_distinct(g2)) / size(g2), 6) <= 0.3
-             AND round(aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))
-                 / size(toks), 6) BETWEEN 2.0 AND 12.0
-             AND size(toks) >= 10) AS keep""")
+          "n_tok")
+        .selectExpr("doc_id", "dup_2gram_ratio", "mean_word_len", "ends_terminal",
+          """(dup_2gram_ratio <= 0.3 AND mean_word_len BETWEEN 2.0 AND 12.0
+             AND n_tok >= 10) AS keep""")
     },
 
     // ---------------------------------------------------------------- Q92
@@ -605,19 +606,13 @@ object LlmQueries {
       FROM sh s JOIN ev USING (sh)
       WHERE s.doc_id % 50 <> 0
       GROUP BY s.doc_id""")) { (s, dir) =>
-      val sh5 = """
-        CASE WHEN size(toks) >= 5 THEN
-          array_distinct(transform(sequence(1, size(toks) - 4),
-            i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-              element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4))))
-        ELSE array() END"""
+      graft.plans.GraftExtensions.register(s) // graft_shingles
       val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = d.unionByName(d.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 30001).as("doc_id"),
           concat(lit("leak ctx pre "), col("text"), lit(" post trail")).as("text")))
       val sh = corpus
-        .selectExpr("doc_id", "split(text, ' ') AS toks")
-        .selectExpr("doc_id", s"$sh5 AS shs")
+        .selectExpr("doc_id", "graft_shingles(text, 5) AS shs")
         .selectExpr("doc_id", "size(shs) AS n_sh", "explode(shs) AS sh")
       val ev = sh.filter(col("doc_id") % 50 === 0).select("sh").distinct()
       sh.filter(col("doc_id") % 50 =!= 0)
@@ -625,6 +620,69 @@ object LlmQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"),
           round(count(lit(1)) / max(col("n_sh")), 6).as("contaminated_frac"))
+    },
+
+    // ---------------------------------------------------------------- Q93
+    // Context-window PACKING — the concat-and-chunk step that turns a doc
+    // stream into fixed-size training sequences: docs are concatenated in
+    // a deterministic order within each pack partition (lang) and cut into
+    // 512-token bins; each doc reports its bin and token offset. One
+    // window cumsum per partition — at 100 TB packing is per-shard by
+    // design (PARTITION BY lang, never a global order), so the sort is
+    // partition-local and the shuffle key is the pack partition.
+    Q("q93_pack_sequences", Some("""
+      WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, lang, n_tok,
+              SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+      SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+        CAST((cum - n_tok) // 512 AS BIGINT) AS bin_id,
+        CAST((cum - n_tok) % 512 AS BIGINT) AS tok_offset
+      FROM c""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "size(split(text, ' ')) AS n_tok")
+        .selectExpr("doc_id", "lang", "n_tok", """
+          SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum""")
+        .selectExpr("doc_id", "lang", "CAST(n_tok AS BIGINT) AS n_tok",
+          "CAST((cum - n_tok) div 512 AS BIGINT) AS bin_id",
+          "CAST((cum - n_tok) % 512 AS BIGINT) AS tok_offset")
+    },
+
+    // ---------------------------------------------------------------- Q94
+    // Quality-quantile data SELECTION — keep the top 25% of docs per
+    // language by the q47 quality score (the DCLM/FineWeb-style "filter by
+    // model/heuristic score within each domain" step). percent_rank with a
+    // doc_id tie-break is deterministic on both engines; the window sorts
+    // within each lang partition only.
+    Q("q94_select_topq", Some("""
+      WITH s AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks, text
+        FROM documents),
+      q AS (SELECT doc_id, lang,
+        round(0.3 * (len(list_distinct(toks)) / len(toks))
+            + 0.4 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text))
+            + 0.3 * least(len(toks) / 100.0, 1.0), 6) AS quality
+      FROM s)
+      SELECT doc_id, lang, quality,
+        round(percent_rank() OVER (PARTITION BY lang
+          ORDER BY quality DESC, doc_id), 6) AS pr,
+        percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+          <= 0.25 AS selected
+      FROM q""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "split(text, ' ') AS toks", "text")
+        .selectExpr("doc_id", "lang",
+          """round(0.3 * (size(array_distinct(toks)) / size(toks))
+              + 0.4 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '')) / length(text))
+              + 0.3 * least(size(toks) / 100.0, 1.0), 6) AS quality""")
+        .selectExpr("doc_id", "lang", "quality", """
+          round(percent_rank() OVER (PARTITION BY lang
+            ORDER BY quality DESC, doc_id), 6) AS pr""", """
+          percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+            <= 0.25 AS selected""")
     },
 
     // ---------------------------------------------------------------- Q87
@@ -679,7 +737,9 @@ object LlmQueries {
     // action per round instead of a join-and-diff)
     var prevSum = labels.agg(sum("canonical")).head.getLong(0)
     var converged = false
+    var round = 0
     while (!converged) {
+      round += 1
       val nbr = labels.select(col("doc_id").as("nbr"),
         col("canonical").as("nbr_can"))
       // min over bucket neighbors' labels (self-edges make this include
@@ -688,10 +748,15 @@ object LlmQueries {
       // the oracle's closure anchor keeps too
       val prop = edges.join(nbr, col("dst") === col("nbr"))
         .groupBy(col("src")).agg(min(col("nbr_can")).as("prop_can"))
-      val next = labels.join(prop, labels("doc_id") === prop("src"), "left")
+      val step = labels.join(prop, labels("doc_id") === prop("src"), "left")
         .select(labels("doc_id"),
           coalesce(col("prop_can"), labels("canonical")).as("canonical"))
-        .persist()
+      // lineage hygiene: each round's plan nests the previous round's, so
+      // on a deep component an unbounded chain would bloat planning and
+      // break lineage-based recovery — truncate every 5 rounds (a cached
+      // plan is still recomputed from the FULL chain if an executor dies;
+      // a checkpoint is not)
+      val next = if (round % 5 == 0) step.localCheckpoint() else step.persist()
       val sumNow = next.agg(sum("canonical")).head.getLong(0)
       labels.unpersist()
       labels = next

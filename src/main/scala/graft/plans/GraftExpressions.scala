@@ -137,6 +137,33 @@ final case class MinHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_shingles(string, n) → array<string>`: DISTINCT n-token shingles
+  * in first-occurrence order (kernel + contract in
+  * [[graft.functions.TextHash.shingles]]). `n` must be a foldable
+  * positive integer — it parameterizes the kernel, not the data.
+  */
+final case class ShingleSet(child: Expression, n: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = n
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
+    else if (n.dataType != org.apache.spark.sql.types.IntegerType || !n.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal INT shingle size")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override protected def nullSafeEval(text: Any, size: Any): Any =
+    graft.functions.TextHash.shingles(text.asInstanceOf[UTF8String],
+      size.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) => s"graft.functions.TextHash.shingles($t, $s)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleSet =
+    copy(child = newLeft, n = newRight)
+}
+
 /** `graft_simhash64(string) → string`: 64-bit SimHash bit string over the
   * text's whitespace tokens (kernel + oracle contract in
   * [[graft.functions.TextHash.simhashBits]]).
@@ -189,7 +216,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHash16(one(args, "graft_minhash16"))),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (args: Seq[Expression]) => SimHash64(one(args, "graft_simhash64"))))
+      (args: Seq[Expression]) => SimHash64(one(args, "graft_simhash64"))),
+    ("graft_shingles",
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles takes exactly 2 arguments")
+        ShingleSet(args(0), args(1))
+      }))
 
   /** Idempotent post-hoc registration for sessions built without
     * extensions (e.g. the driver-owned Verify/Bench sessions).

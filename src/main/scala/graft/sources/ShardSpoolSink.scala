@@ -110,7 +110,7 @@ class ShardSpoolWrite(opts: Map[String, String], inputSchema: StructType)
     * this write's record while reporting success, so fail the commit
     * instead.
     */
-  private def renameOne(src: File, target: File): Unit =
+  private[graft] def renameOne(src: File, target: File): Unit =
     if (target.exists()) {
       if (src.exists())
         throw new java.io.IOException(

@@ -132,6 +132,41 @@ class ShardSpoolSinkSpec extends SparkSpec {
     assert(back.count() == 3, s"second query's epoch was deduped away")
   }
 
+  test("commit rename distinguishes crash-replay from a concurrent-writer collision") {
+    // the collision window is the race between planRenames (which reads the
+    // shard high-water mark) and the rename itself — not reproducible
+    // through sequential public writes, so exercise the rename kernel
+    // directly on its three cases
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("partitionKey", StringType),
+      StructField("data", BinaryType)))
+    val dir = tmp()
+    val w = new graft.sources.ShardSpoolWrite(
+      Map("path" -> dir, "stream" -> "sx"), schema)
+    val staging = new java.io.File(dir, ".staging"); staging.mkdirs()
+    val shardDir = new java.io.File(s"$dir/sx/shardId-000000000000"); shardDir.mkdirs()
+    def f(parent: java.io.File, name: String, content: String) = {
+      val x = new java.io.File(parent, name)
+      Files.write(x.toPath, content.getBytes); x
+    }
+    // 1. normal publish: staged file moves to the target
+    val s1 = f(staging, "a.tmp", "k\np1")
+    val t1 = new java.io.File(shardDir, f"${0L}%020d.rec")
+    w.renameOne(s1, t1)
+    assert(t1.exists() && !s1.exists())
+    // 2. crash-replay: source gone, target present → no-op, no error
+    w.renameOne(s1, t1)
+    assert(new String(Files.readAllBytes(t1.toPath)) == "k\np1")
+    // 3. collision: BOTH exist (another writer published this sequence) →
+    // must fail loudly, never silently drop the staged record
+    val s3 = f(staging, "b.tmp", "k\np2")
+    val err = intercept[java.io.IOException] { w.renameOne(s3, t1) }
+    assert(err.getMessage.contains("sequence collision"))
+    assert(s3.exists(), "staged record must survive the failed commit")
+    assert(new String(Files.readAllBytes(t1.toPath)) == "k\np1",
+      "the concurrent writer's record must not be overwritten")
+  }
+
   test("native write feeds the native micro-batch source (produce → consume)") {
     val dir = tmp()
     records(30).write.format("graft-shards")
