@@ -95,12 +95,10 @@ object LlmQueries {
        FROM documents WHERE doc_id % 10 = 0"""
   }
 
-  /** 3-token shingles, 1-based window starts (mirrors DuckDB range(1, n-1)). */
-  private val shinglesExpr = """
-    CASE WHEN size(toks) >= 3 THEN
-      transform(sequence(1, size(toks) - 2), i ->
-        concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))
-    ELSE array() END"""
+  /** 3-token shingles, 1-based window starts (mirrors DuckDB range(1, n-1));
+    * the Spark side computes shingle SETS with the codegen'd
+    * `graft_shingles` kernel ([[graft.plans.ShingleSet]]).
+    */
   private val shinglesSql = """
     [ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       for i in range(1, len(toks) - 1) ]"""
@@ -625,28 +623,34 @@ object LlmQueries {
     // ---------------------------------------------------------------- Q93
     // Context-window PACKING — the concat-and-chunk step that turns a doc
     // stream into fixed-size training sequences: docs are concatenated in
-    // a deterministic order within each pack partition (lang) and cut into
-    // 512-token bins; each doc reports its bin and token offset. One
-    // window cumsum per partition — at 100 TB packing is per-shard by
-    // design (PARTITION BY lang, never a global order), so the sort is
-    // partition-local and the shuffle key is the pack partition.
+    // a deterministic order within each PACK SHARD and cut into 512-token
+    // bins; each doc reports its (shard, bin, offset). The pack shard is
+    // (lang, doc_id div 200): packing a 100 TB corpus under one window per
+    // LANGUAGE would give |langs|-way parallelism and a multi-TB
+    // partition sort, so the unit of packing must be a bounded shard —
+    // exactly how packed pre-training data is laid out (per-file/ per-
+    // shard packing, bins never span shards). The window cumsum is then
+    // partition-local over ≤200 docs, and the shuffle key has
+    // |langs| × corpus/200 distinct values.
     Q("q93_pack_sequences", Some("""
-      WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      WITH t AS (SELECT doc_id, lang, doc_id // 200 AS pack_shard,
+                   len(string_split(text, ' ')) AS n_tok
                  FROM documents),
-      c AS (SELECT doc_id, lang, n_tok,
-              SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      c AS (SELECT doc_id, lang, pack_shard, n_tok,
+              SUM(n_tok) OVER (PARTITION BY lang, pack_shard ORDER BY doc_id
                                ROWS UNBOUNDED PRECEDING) AS cum
             FROM t)
-      SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+      SELECT doc_id, lang, pack_shard, CAST(n_tok AS BIGINT) AS n_tok,
         CAST((cum - n_tok) // 512 AS BIGINT) AS bin_id,
         CAST((cum - n_tok) % 512 AS BIGINT) AS tok_offset
       FROM c""")) { (s, dir) =>
       Tables.t(s, dir, "documents")
-        .selectExpr("doc_id", "lang", "size(split(text, ' ')) AS n_tok")
-        .selectExpr("doc_id", "lang", "n_tok", """
-          SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        .selectExpr("doc_id", "lang", "doc_id div 200 AS pack_shard",
+          "size(split(text, ' ')) AS n_tok")
+        .selectExpr("doc_id", "lang", "pack_shard", "n_tok", """
+          SUM(n_tok) OVER (PARTITION BY lang, pack_shard ORDER BY doc_id
                            ROWS UNBOUNDED PRECEDING) AS cum""")
-        .selectExpr("doc_id", "lang", "CAST(n_tok AS BIGINT) AS n_tok",
+        .selectExpr("doc_id", "lang", "pack_shard", "CAST(n_tok AS BIGINT) AS n_tok",
           "CAST((cum - n_tok) div 512 AS BIGINT) AS bin_id",
           "CAST((cum - n_tok) % 512 AS BIGINT) AS tok_offset")
     },
@@ -655,8 +659,12 @@ object LlmQueries {
     // Quality-quantile data SELECTION — keep the top 25% of docs per
     // language by the q47 quality score (the DCLM/FineWeb-style "filter by
     // model/heuristic score within each domain" step). percent_rank with a
-    // doc_id tie-break is deterministic on both engines; the window sorts
-    // within each lang partition only.
+    // doc_id tie-break is deterministic on both engines and exact — the
+    // oracle-able form. At 100 TB the per-language window sort becomes the
+    // bottleneck (|langs|-way parallelism); the scale path is the q88
+    // pattern: approx_percentile(quality, 0.75) per language (tiny,
+    // broadcast) and a scan-side `quality >= threshold` filter — same
+    // selection, no sort. The exact form stays as the correctness anchor.
     Q("q94_select_topq", Some("""
       WITH s AS (
         SELECT doc_id, lang, string_split(text, ' ') AS toks, text

@@ -75,6 +75,71 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"))
   }
 
+  // ---- reference formulations for the text-hash kernels, written the
+  // straightforward way (per-call digest, string mins) so the property
+  // tests are independent of the optimized thread-local/long-lane kernels
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8)).map(x => f"$x%02x").mkString
+
+  private def refShingles(text: String, n: Int): Seq[String] =
+    text.split(" ", -1).toSeq.sliding(n).filter(_.length == n)
+      .map(_.mkString(" ")).toSeq.distinct
+
+  private def refMinhash16(text: String): Seq[String] = {
+    val sh = text.split(" ", -1).toSeq.sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")).toSeq
+    (0 until 16).map { i =>
+      if (sh.isEmpty) null
+      else sh.map(s => md5hex(s"$i:$s").take(8)).min
+    }
+  }
+
+  private def refSimhash64(text: String): String = {
+    val counts = new Array[Int](64)
+    text.split(" ", -1).foreach { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes(StandardCharsets.UTF_8))
+      var b = 0
+      while (b < 64) {
+        if (((d(b >> 3) >> (7 - (b & 7))) & 1) == 1) counts(b) += 1
+        else counts(b) -= 1
+        b += 1
+      }
+    }
+    counts.map(c => if (c >= 0) '1' else '0').mkString
+  }
+
+  test("text-hash kernels match reference formulations on random inputs (property)") {
+    registered
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tokens include empties (double/trailing spaces) and multi-byte UTF-8
+    val token = Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(5)),
+      Gen.const(""), Gen.const("déjà"), Gen.const("数据"), Gen.const("a"))
+    val text = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(30, text)) { texts =>
+      val rows = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          texts.zipWithIndex.map { case (t, i) => Row(i, t) }, 2),
+        StructType(Seq(StructField("i", IntegerType), StructField("text", StringType))))
+      val out = rows.selectExpr("i", "graft_shingles(text, 3) AS s3",
+        "graft_shingles(text, 5) AS s5", "graft_minhash16(text) AS mh",
+        "graft_simhash64(text) AS sim")
+        .collect().map(r => r.getInt(0) -> r).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val r = out(i)
+        r.getSeq[String](1) == refShingles(t, 3) &&
+          r.getSeq[String](2) == refShingles(t, 5) &&
+          r.getSeq[String](3) == refMinhash16(t) &&
+          r.getString(4) == refSimhash64(t)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("ZlibOps static kernel equals the UDF kernel") {
     val payload = Array.tabulate(512)(i => (i * 7).toByte)
     val deflated = {
