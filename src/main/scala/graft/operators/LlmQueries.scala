@@ -693,6 +693,41 @@ object LlmQueries {
             <= 0.25 AS selected""")
     },
 
+    // ---------------------------------------------------------------- Q95
+    // Mixture REBALANCING — the "domain weights" step of data mixing:
+    // given target token shares per language (en 40%, others 15%), derive
+    // each language's sampling rate from its current token share, capped
+    // at 1.0 (upsampling is done by epochs, not by a rate > 1). Emits the
+    // observed share, the rate, and the post-sampling token budget —
+    // exactly the table a q85-style stratified sampler consumes as its
+    // per-stratum thresholds. One hash aggregation + a 5-row window total;
+    // all arithmetic is identical-text double math rounded to 6 dp.
+    Q("q95_mixture_rebalance", Some("""
+      WITH t AS (SELECT lang,
+          CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS toks
+        FROM documents GROUP BY lang),
+      w AS (SELECT lang, toks, CAST(SUM(toks) OVER () AS BIGINT) AS total,
+          CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS target
+        FROM t)
+      SELECT lang, toks AS lang_tokens,
+        round(toks / total, 6) AS share,
+        round(least(1.0, target * total / toks), 6) AS rate,
+        CAST(floor(toks * least(1.0, target * total / toks)) AS BIGINT)
+          AS sampled_tokens
+      FROM w""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("toks"))
+        .selectExpr("lang", "toks",
+          "CAST(SUM(toks) OVER () AS BIGINT) AS total",
+          "CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS target")
+        .selectExpr("lang", "toks AS lang_tokens",
+          "round(toks / total, 6) AS share",
+          "round(least(1.0, target * total / toks), 6) AS rate",
+          """CAST(floor(toks * least(1.0, target * total / toks)) AS BIGINT)
+             AS sampled_tokens""")
+    },
+
     // ---------------------------------------------------------------- Q87
     // Dedup resolution, TRANSITIVE: connected components over the LSH
     // bucket graph by min-label propagation to a fixed point — the full

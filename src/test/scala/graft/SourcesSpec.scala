@@ -45,6 +45,19 @@ class SourcesSpec extends SparkSpec {
     assert(filtered.count() == wanted)
   }
 
+  test("ORC round-trip preserves rows and values, with filter pushdown") {
+    val dir = tmp()
+    val in = Tables.t(spark, sf, "supplier")
+    in.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.collect().toSet == in.collect().toSet)
+    val filtered = back.where(col("s_nationkey") === 3)
+    filtered.collect()
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [") && scan.contains("s_nationkey"),
+      s"ORC scan must push the filter:\n$scan")
+  }
+
   test("malformed CSV records: PERMISSIVE nulls, DROPMALFORMED drops, FAILFAST throws") {
     val dir = tmp()
     Files.write(java.nio.file.Paths.get(dir, "in.csv"),
