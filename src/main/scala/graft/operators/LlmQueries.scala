@@ -700,32 +700,39 @@ object LlmQueries {
     // at 1.0 (upsampling is done by epochs, not by a rate > 1). Emits the
     // observed share, the rate, and the post-sampling token budget —
     // exactly the table a q85-style stratified sampler consumes as its
-    // per-stratum thresholds. One hash aggregation + a 5-row window total;
-    // all arithmetic is identical-text double math rounded to 6 dp.
+    // per-stratum thresholds. One hash aggregation + a 5-row window total.
+    // Parity discipline: the target literals are CAST to DOUBLE on BOTH
+    // sides (Spark parses bare 0.4 as DECIMAL and DuckDB's decimal/bigint
+    // division yields DOUBLE — mixed types put the two engines one ulp
+    // apart at integer floor() boundaries), and the budget floors the
+    // 6-dp-ROUNDED rate, never the raw quotient.
     Q("q95_mixture_rebalance", Some("""
       WITH t AS (SELECT lang,
           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS toks
         FROM documents GROUP BY lang),
       w AS (SELECT lang, toks, CAST(SUM(toks) OVER () AS BIGINT) AS total,
-          CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS target
-        FROM t)
+          CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
+               ELSE CAST(0.15 AS DOUBLE) END AS target
+        FROM t),
+      r AS (SELECT lang, toks, total,
+          round(least(CAST(1.0 AS DOUBLE), target * total / toks), 6) AS rate
+        FROM w)
       SELECT lang, toks AS lang_tokens,
-        round(toks / total, 6) AS share,
-        round(least(1.0, target * total / toks), 6) AS rate,
-        CAST(floor(toks * least(1.0, target * total / toks)) AS BIGINT)
-          AS sampled_tokens
-      FROM w""")) { (s, dir) =>
+        round(toks / total, 6) AS share, rate,
+        CAST(floor(toks * rate) AS BIGINT) AS sampled_tokens
+      FROM r""")) { (s, dir) =>
       Tables.t(s, dir, "documents")
         .groupBy("lang")
         .agg(sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("toks"))
         .selectExpr("lang", "toks",
           "CAST(SUM(toks) OVER () AS BIGINT) AS total",
-          "CASE WHEN lang = 'en' THEN 0.4 ELSE 0.15 END AS target")
+          """CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
+             ELSE CAST(0.15 AS DOUBLE) END AS target""")
+        .selectExpr("lang", "toks", "total",
+          "round(least(CAST(1.0 AS DOUBLE), target * total / toks), 6) AS rate")
         .selectExpr("lang", "toks AS lang_tokens",
-          "round(toks / total, 6) AS share",
-          "round(least(1.0, target * total / toks), 6) AS rate",
-          """CAST(floor(toks * least(1.0, target * total / toks)) AS BIGINT)
-             AS sampled_tokens""")
+          "round(toks / total, 6) AS share", "rate",
+          "CAST(floor(toks * rate) AS BIGINT) AS sampled_tokens")
     },
 
     // ---------------------------------------------------------------- Q87
@@ -806,8 +813,15 @@ object LlmQueries {
       converged = sumNow == prevSum
       prevSum = sumNow
     }
+    // release every loop artifact before returning: an eager localCheckpoint
+    // of the result truncates the whole loop lineage, so the final labels
+    // cache (corpus-sized) and the edge cache can be dropped — the only
+    // thing left pinned is the returned result's own (small) blocks, which
+    // the session owns for as long as the caller may re-read the DataFrame
     val out = labels.select(col("doc_id"), col("canonical"),
       (col("doc_id") === col("canonical")).as("kept"))
+      .localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
     out
   }

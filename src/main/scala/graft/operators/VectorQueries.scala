@@ -75,15 +75,17 @@ object VectorQueries {
 
     // ---------------------------------------------------------------- Q89
     // IVF top-k, MULTI-PROBE (probe=2) — the recall/cost knob q66 lacks:
-    // each query probes the 2 cells whose centroids (the q77 aggregation,
-    // reused here as vectors) are nearest by squared L2, so recall over a
-    // probe=1 scan can only grow while per-query work stays 2 cells, not
-    // the corpus. At scale: centroids are tiny (|labels| × 64) and
-    // broadcast; the probe set (queries × 2) broadcasts against the
-    // corpus, which shuffles on nothing — one narrow scan scored per cell
-    // member, exactly like q66. Determinism for the oracle: centroid
-    // values and distances round to 6 dp before ranking, ties break on
-    // label / neighbor id; dot products share fold order across engines.
+    // each query probes its HOME cell (where probe-1 looks — so the
+    // candidate set is a strict superset and recall can only grow, by
+    // construction) plus the nearest FOREIGN cell by centroid squared-L2
+    // (centroids = the q77 aggregation, reused as vectors). Per-query work
+    // stays 2 cells, never the corpus. At scale: centroids are tiny
+    // (|labels| × 64) and broadcast; the probe set (queries × 2)
+    // broadcasts against the corpus, which shuffles on nothing — one
+    // narrow scan scored per cell member, exactly like q66. Determinism
+    // for the oracle: centroid values and distances round to 6 dp before
+    // ranking, ties break on label / neighbor id; dot products share fold
+    // order across engines.
     Q("q89_ivf_probe2", Some("""
       WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -94,16 +96,19 @@ object VectorQueries {
         FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings), range(0, 64) t(i)
         GROUP BY label, i),
       cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
-      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+      q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+            FROM n WHERE vec_id < 10),
       probe AS (
+        SELECT query_id, qv, qn, qlabel AS label FROM q
+        UNION ALL
         SELECT query_id, qv, qn, label FROM (
           SELECT q.query_id, q.qv, q.qn, c.label,
             CAST(row_number() OVER (PARTITION BY q.query_id
               ORDER BY round(list_dot_product(q.qv, q.qv)
                            - 2 * list_dot_product(q.qv, c.cv)
                            + list_dot_product(c.cv, c.cv), 6), c.label) AS INT) AS cell_rk
-          FROM q, cvec c) t
-        WHERE cell_rk <= 2)
+          FROM q JOIN cvec c ON c.label <> q.qlabel) t
+        WHERE cell_rk = 1)
       SELECT query_id, neighbor_id, sim, rk FROM (
         SELECT p.query_id, c.vec_id AS neighbor_id,
           round(list_dot_product(p.qv, c.v) / (p.qn * c.nrm), 6) AS sim,
@@ -129,15 +134,19 @@ object VectorQueries {
         .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
           .as("cv"))
       val q = n.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qn"))
       val wCell = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
-      val probe = q.crossJoin(broadcast(cvec))
+      val home = q.select(col("query_id"), col("qv"), col("qn"),
+        col("qlabel").as("plabel"))
+      val foreignProbe = q.join(broadcast(cvec), col("label") =!= col("qlabel"))
         .withColumn("d2", round(
           expr("graft_vector_dot(qv, qv) - 2 * graft_vector_dot(qv, cv) + graft_vector_dot(cv, cv)"),
           6))
         .withColumn("cell_rk", row_number().over(wCell))
-        .filter(col("cell_rk") <= 2)
+        .filter(col("cell_rk") === 1)
         .select(col("query_id"), col("qv"), col("qn"), col("label").as("plabel"))
+      val probe = home.unionByName(foreignProbe)
       val scored = n.join(broadcast(probe),
         col("label") === col("plabel") && col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),

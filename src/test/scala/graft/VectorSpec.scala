@@ -29,6 +29,10 @@ class VectorSpec extends SparkSpec {
   }
 
   test("q89 probe-2 recall is at least q66 probe-1 recall vs brute force") {
+    // structural, not empirical: q89 probes the HOME cell (q66's whole
+    // candidate set) plus one foreign cell, so its pool is a superset and
+    // a true top-5 member can only be displaced by another true top-5
+    // member (anything scoring above a global top-5 item is itself top-5)
     // ground truth: brute-force cosine top-5 per query (q45 emits top-10)
     def pairs(name: String, maxRk: Int) =
       run(name).where(col("rk") <= maxRk)
