@@ -735,6 +735,65 @@ object LlmQueries {
           "CAST(floor(toks * rate) AS BIGINT) AS sampled_tokens")
     },
 
+    // ---------------------------------------------------------------- Q96
+    // INCREMENTAL dedup — the production shape: a new DELTA batch (today's
+    // crawl) deduped against the existing INDEX, never the index against
+    // itself. Delta docs are near-dup variants of index docs (the
+    // nearCorpus plants re-keyed +10000); candidates come from joining the
+    // DELTA's band table against the INDEX's band table only, then true
+    // Jaccard verifies. At 100 TB this is the nightly job: band signatures
+    // for the index are precomputed/stored once, the shuffle is
+    // |delta| + |index| on bucket keys (with the index side a static
+    // bucketed table, only the delta shuffles), and cost scales with the
+    // DELTA, not the corpus.
+    Q("q96_delta_dedup", Some(s"""
+      WITH idx AS (SELECT doc_id, text FROM documents),
+      delta AS (SELECT doc_id + 10000 AS doc_id, text || ' xtr tok end' AS text
+                FROM documents WHERE doc_id % 10 = 0),
+      ib AS (${bandTableSql("SELECT doc_id, text FROM documents")}),
+      db AS (${bandTableSql(
+        """SELECT doc_id + 10000 AS doc_id, text || ' xtr tok end' AS text
+           FROM documents WHERE doc_id % 10 = 0""")}),
+      cand AS (SELECT DISTINCT d.doc_id AS delta_id, i.doc_id AS index_id
+               FROM db d JOIN ib i
+                 ON d.band = i.band AND d.band_key = i.band_key),
+      dsh AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM delta) t),
+      ish AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM idx) t)
+      SELECT delta_id, index_id,
+        len(list_intersect(d.sh, i.sh)) /
+          (len(d.sh) + len(i.sh) - len(list_intersect(d.sh, i.sh))) AS jaccard
+      FROM cand JOIN dsh d ON delta_id = d.doc_id JOIN ish i ON index_id = i.doc_id
+      WHERE len(list_intersect(d.sh, i.sh)) /
+          (len(d.sh) + len(i.sh) - len(list_intersect(d.sh, i.sh))) >= 0.5""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val idx = docs
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" xtr tok end")).as("text"))
+      val ib = bandTable(idx).select(col("doc_id").as("index_id"),
+        col("band"), col("band_key"))
+      val db = bandTable(delta).select(col("doc_id").as("delta_id"),
+        col("band").as("band2"), col("band_key").as("band_key2"))
+      // delta side joins INTO the index's bucket layout: both sides shuffle
+      // on the bucket key (at scale the index side is a pre-bucketed table
+      // and only the delta moves)
+      val cand = db.hint("merge").join(ib,
+        col("band") === col("band2") && col("band_key") === col("band_key2"))
+        .select("delta_id", "index_id").distinct()
+      val dsh = delta.selectExpr("doc_id AS d_id", "graft_shingles(text, 3) AS dsh")
+      val ish = idx.selectExpr("doc_id AS i_id", "graft_shingles(text, 3) AS ish")
+      cand.join(dsh, col("delta_id") === col("d_id"))
+        .join(ish, col("index_id") === col("i_id"))
+        .withColumn("inter", size(array_intersect(col("dsh"), col("ish"))))
+        .withColumn("jaccard",
+          col("inter") / (size(col("dsh")) + size(col("ish")) - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("delta_id", "index_id", "jaccard")
+    },
+
     // ---------------------------------------------------------------- Q87
     // Dedup resolution, TRANSITIVE: connected components over the LSH
     // bucket graph by min-label propagation to a fixed point — the full
