@@ -794,6 +794,77 @@ object LlmQueries {
         .select("delta_id", "index_id", "jaccard")
     },
 
+    // ---------------------------------------------------------------- Q97
+    // Exact SUBSTRING duplication — the suffix-array-style dedup signal
+    // ("docs sharing a ≥20-token verbatim run"), computed distributively:
+    // two docs share an exact 20-token run iff they share a 20-token
+    // shingle, so the join is shingle-equality (bucketed, never
+    // all-pairs) and the per-pair count of shared distinct 20-shingles
+    // measures the copied span. Planted: +50000 docs embed a verbatim
+    // 25-token segment of their source inside fresh context and must
+    // surface with 6 shared shingles. At 100 TB the shuffle key is the
+    // shingle (hashable to 8 bytes if bandwidth-bound); natural 20-gram
+    // collisions are vanishingly rare, so join fan-out tracks true
+    // duplication.
+    Q("q97_substring_dup", Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 50000,
+          'ctxa ctxb ctxc ' || array_to_string(string_split(text, ' ')[1:25], ' ')
+            || ' ctxd ctxe'
+        FROM documents WHERE doc_id % 20 = 0 AND len(string_split(text, ' ')) >= 25),
+      sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(toks) >= 20 THEN
+                 [ array_to_string(toks[i:i+19], ' ')
+                   for i in range(1, len(toks) - 18) ]
+               ELSE [] END)) AS sh
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) t)
+      SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+        COUNT(*) AS n_shared_20grams
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // graft_shingles
+      val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 20 === 0 && size(split(col("text"), " ")) >= 25)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            concat(lit("ctxa ctxb ctxc "),
+              array_join(slice(split(col("text"), " "), 1, 25), " "),
+              lit(" ctxd ctxe")).as("text")))
+      val sh = corpus.selectExpr("doc_id", "explode(graft_shingles(text, 20)) AS sh")
+      val a = sh.select(col("doc_id").as("doc_id1"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_id2"), col("sh").as("sh2"))
+      a.hint("merge").join(b, col("sh") === col("sh2") && col("doc_id1") < col("doc_id2"))
+        .groupBy("doc_id1", "doc_id2")
+        .agg(count(lit(1)).as("n_shared_20grams"))
+    },
+
+    // ---------------------------------------------------------------- Q98
+    // Corpus VOCABULARY stats — the token-frequency table a tokenizer
+    // build starts from: global top-20 tokens by frequency. Scale shape:
+    // one shuffle on token with map-side partial counts, then the global
+    // top-k via orderBy+limit — Spark plans TakeOrderedAndProject
+    // (per-partition heads, no full sort), the q13 discipline applied to
+    // an unbounded vocabulary. Rank assigned after the 20-row cut.
+    Q("q98_vocab_stats", Some("""
+      WITH c AS (SELECT token, COUNT(*) AS freq
+                 FROM (SELECT unnest(string_split(text, ' ')) AS token
+                       FROM documents) t
+                 GROUP BY token),
+      top AS (SELECT token, freq FROM c ORDER BY freq DESC, token LIMIT 20)
+      SELECT token, freq,
+        CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rk
+      FROM top""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(20)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+    },
+
     // ---------------------------------------------------------------- Q87
     // Dedup resolution, TRANSITIVE: connected components over the LSH
     // bucket graph by min-label propagation to a fixed point — the full

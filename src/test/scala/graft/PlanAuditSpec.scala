@@ -66,6 +66,27 @@ class PlanAuditSpec extends SparkSpec {
       s"exact percentile (unbounded buffering) in the scale-safe path:\n$ran")
   }
 
+  test("q41 signature scan is a codegen'd expression, no UDF, no shuffle") {
+    val p = plan("q41_minhash_bands")
+    assert(p.contains("graft_minhash16"), s"kernel expression missing:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF crept back into the signature scan:\n$p")
+    assert(!p.contains("Exchange"), s"band table must be shuffle-free:\n$p")
+  }
+
+  test("q92 decontamination broadcasts the eval set; the corpus side never shuffles before the join") {
+    val p = plan("q92_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval shingles must broadcast:\n$p")
+    // tree prints top-down: the probe (corpus) side sits between the join
+    // node and its BroadcastExchange build child — it must feed the join
+    // with no shuffle (the only Exchange in the plan is the post-join
+    // per-doc aggregation, which sits ABOVE the join)
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val buildIdx = p.indexOf("BroadcastExchange", joinIdx)
+    val probeSide = p.substring(joinIdx, if (buildIdx > joinIdx) buildIdx else p.length)
+    assert(!probeSide.contains("Exchange hashpartitioning"),
+      s"corpus side shuffled before the broadcast join:\n$p")
+  }
+
   test("q71 hash-sample predicate is a scan-side filter, not a post-agg one") {
     val p = plan("q71_hash_sample")
     val filterIdx = p.indexOf("Filter")
