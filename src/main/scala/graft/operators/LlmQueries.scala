@@ -103,6 +103,17 @@ object LlmQueries {
     [ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       for i in range(1, len(toks) - 1) ]"""
 
+  /** DISTINCT n-token shingle set over `toks` (DuckDB side; mirrors the
+    * `graft_shingles` kernel: count = len - n + 1, first-occurrence
+    * dedup). One definition for every n so the window arithmetic can't
+    * drift per query.
+    */
+  private def shingleSetSql(n: Int): String = s"""
+    CASE WHEN len(toks) >= $n THEN list_distinct(
+      [ array_to_string(toks[i:i+${n - 1}], ' ')
+        for i in range(1, len(toks) - ${n - 2}) ])
+    ELSE [] END"""
+
   /** 16-permutation MinHash signature over an md5-keyed hash family:
     * sig_i = min over shingles of first-8-hex(md5(i ++ ':' ++ shingle)).
     * Fixed-width lowercase hex, so string min == numeric min. The Spark
@@ -583,20 +594,14 @@ object LlmQueries {
     // At 100 TB: the eval shingle set is tiny and BROADCASTS; the corpus
     // side is one narrow explode + broadcast-join + per-doc
     // re-aggregation — no corpus-wide shuffle.
-    Q("q92_decontaminate", Some("""
+    Q("q92_decontaminate", Some(s"""
       WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id + 30001, 'leak ctx pre ' || text || ' post trail'
         FROM documents WHERE doc_id % 50 = 0),
       tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-      sh AS (SELECT doc_id, unnest(list_distinct(
-               CASE WHEN len(toks) >= 5 THEN
-                 [ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
-                   for i in range(1, len(toks) - 3) ]
-               ELSE [] END)) AS sh,
-             CASE WHEN len(toks) >= 5 THEN len(list_distinct(
-               [ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
-                 for i in range(1, len(toks) - 3) ])) ELSE 0 END AS n_sh
+      sh AS (SELECT doc_id, unnest(${shingleSetSql(5)}) AS sh,
+             len(${shingleSetSql(5)}) AS n_sh
            FROM tok),
       ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
       SELECT s.doc_id, COUNT(*) AS n_hits,
@@ -744,16 +749,15 @@ object LlmQueries {
     // Jaccard verifies. At 100 TB this is the nightly job: band signatures
     // for the index are precomputed/stored once, the shuffle is
     // |delta| + |index| on bucket keys (with the index side a static
-    // bucketed table, only the delta shuffles), and cost scales with the
+    // bucketed table, only the delta shuffles — BucketingSpec proves the
+    // shuffle-free bucketed-join mechanics), and cost scales with the
     // DELTA, not the corpus.
     Q("q96_delta_dedup", Some(s"""
       WITH idx AS (SELECT doc_id, text FROM documents),
       delta AS (SELECT doc_id + 10000 AS doc_id, text || ' xtr tok end' AS text
                 FROM documents WHERE doc_id % 10 = 0),
-      ib AS (${bandTableSql("SELECT doc_id, text FROM documents")}),
-      db AS (${bandTableSql(
-        """SELECT doc_id + 10000 AS doc_id, text || ' xtr tok end' AS text
-           FROM documents WHERE doc_id % 10 = 0""")}),
+      ib AS (${bandTableSql("SELECT doc_id, text FROM idx")}),
+      db AS (${bandTableSql("SELECT doc_id, text FROM delta")}),
       cand AS (SELECT DISTINCT d.doc_id AS delta_id, i.doc_id AS index_id
                FROM db d JOIN ib i
                  ON d.band = i.band AND d.band_key = i.band_key),
@@ -806,7 +810,7 @@ object LlmQueries {
     // shingle (hashable to 8 bytes if bandwidth-bound); natural 20-gram
     // collisions are vanishingly rare, so join fan-out tracks true
     // duplication.
-    Q("q97_substring_dup", Some("""
+    Q("q97_substring_dup", Some(s"""
       WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -814,11 +818,7 @@ object LlmQueries {
           'ctxa ctxb ctxc ' || array_to_string(string_split(text, ' ')[1:25], ' ')
             || ' ctxd ctxe'
         FROM documents WHERE doc_id % 20 = 0 AND len(string_split(text, ' ')) >= 25),
-      sh AS (SELECT doc_id, unnest(list_distinct(
-               CASE WHEN len(toks) >= 20 THEN
-                 [ array_to_string(toks[i:i+19], ' ')
-                   for i in range(1, len(toks) - 18) ]
-               ELSE [] END)) AS sh
+      sh AS (SELECT doc_id, unnest(${shingleSetSql(20)}) AS sh
              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) t)
       SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
         COUNT(*) AS n_shared_20grams

@@ -74,17 +74,36 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q92 decontamination broadcasts the eval set; the corpus side never shuffles before the join") {
-    val p = plan("q92_decontaminate")
-    assert(p.contains("BroadcastHashJoin"), s"eval shingles must broadcast:\n$p")
-    // tree prints top-down: the probe (corpus) side sits between the join
-    // node and its BroadcastExchange build child — it must feed the join
-    // with no shuffle (the only Exchange in the plan is the post-join
-    // per-doc aggregation, which sits ABOVE the join)
-    val joinIdx = p.indexOf("BroadcastHashJoin")
-    val buildIdx = p.indexOf("BroadcastExchange", joinIdx)
-    val probeSide = p.substring(joinIdx, if (buildIdx > joinIdx) buildIdx else p.length)
-    assert(!probeSide.contains("Exchange hashpartitioning"),
-      s"corpus side shuffled before the broadcast join:\n$p")
+    // inspect the plan TREE, not string offsets: find the broadcast join
+    // and assert its STREAMED child carries no shuffle exchange — robust
+    // to build-side print order and stage-reuse rendering. AQE wraps
+    // stage boundaries in QueryStageExec LEAF nodes, so the traversal
+    // must descend into each stage's wrapped plan explicitly.
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner: Seq[SparkPlan] = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(flatten)
+    }
+    val df = SparkEntry.queries("q92_decontaminate")(spark, sf)
+    df.collect()
+    val all = flatten(df.queryExecution.executedPlan)
+    val joins = all.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, s"eval shingles must broadcast:\n${all.head}")
+    joins.foreach { j =>
+      val streamed = if (j.buildSide == BuildLeft) j.right else j.left
+      val shuffles = flatten(streamed).collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"corpus side shuffled before the broadcast join:\n${all.head}")
+    }
   }
 
   test("q71 hash-sample predicate is a scan-side filter, not a post-agg one") {
