@@ -126,6 +126,71 @@ object LlmQueries {
     [ list_aggregate([ substr(md5(cast(i AS varchar) || ':' || s), 1, 8) for s in sh ], 'min')
       for i in range(0, 16) ]"""
 
+  /** Max members a candidate-generating bucket may have. A bucket-equality
+    * self-join emits k² pairs for a bucket of k members; at 100 TB,
+    * boilerplate text (identical headers/footers/templates) puts millions
+    * of documents into one band_key and the candidate OUTPUT explodes
+    * quadratically before any skew handling can help (AQE splits
+    * partitions, it cannot reduce pair count). An over-full bucket means a
+    * near-universal signature whose pairs true-similarity verification
+    * would mostly reject anyway, so production MinHash pipelines drop or
+    * sample such buckets; we drop them. At the test SFs no organic bucket
+    * comes near the cap — every oracle stays bit-exact with the same cap
+    * applied on the DuckDB side — and DedupSpec plants a 500-doc
+    * mega-bucket to prove the fan-out guard.
+    */
+  val BucketCap = 50
+
+  /** Band table reduced to its candidate-join form: (doc_id, bk64) where
+    * bk64 = xxhash64(band, band_key), with over-cap buckets dropped (see
+    * [[BucketCap]]). The 8-byte hash replaces the 32-hex band_key as the
+    * shuffle/join key — 4× narrower shuffle rows for identical join
+    * semantics (a 64-bit collision would only ever ADD a candidate pair,
+    * which downstream true-Jaccard verification rejects). NULL band_keys
+    * (docs with <3 tokens) are filtered BEFORE hashing: xxhash64 skips
+    * null arguments rather than propagating them, so an unfiltered hash
+    * would bucket all short docs together instead of dropping them the
+    * way the string-equality join did. The per-bucket count is a window
+    * over the same key the join shuffles on, so the cap adds no extra
+    * exchange — and on self-joins both sides still collapse into one
+    * ReusedExchange that computes the MinHash signatures once.
+    */
+  def cappedBands(corpus: DataFrame, cap: Int = BucketCap): DataFrame =
+    bandTable(corpus)
+      .filter(col("band_key").isNotNull)
+      .select(col("doc_id"), xxhash64(col("band"), col("band_key")).as("bk64"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("bk64"))))
+      .filter(col("bucket_n") <= cap)
+      .select("doc_id", "bk64")
+
+  /** Oracle-side twin of [[cappedBands]] over a band CTE named `bands`
+    * (kept on the (band, band_key) strings — DuckDB has no xxhash64; the
+    * hash is a Spark-side shuffle-width optimization, not a semantic).
+    */
+  private def cappedSql(bands: String): String = s"""
+    SELECT doc_id, band, band_key FROM (
+      SELECT doc_id, band, band_key,
+        COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n
+      FROM $bands WHERE band_key IS NOT NULL) cb
+    WHERE bucket_n <= $BucketCap"""
+
+  /** LSH candidate pairs (doc_id1 < doc_id2) from capped buckets — q42's
+    * generator, public so DedupSpec can prove the fan-out bound directly.
+    */
+  def candidatePairs(corpus: DataFrame, cap: Int = BucketCap): DataFrame = {
+    val capped = cappedBands(corpus, cap)
+    val a = capped.select(col("doc_id").as("doc_id1"), col("bk64"))
+    val b = capped.select(col("doc_id").as("doc_id2"), col("bk64").as("bk64b"))
+    // merge hint: both sides shuffle on the bucket key with identical
+    // child plans, so ReusedExchange computes the MinHash signatures ONCE
+    // (a broadcast self-join would evaluate the kernel on both sides) —
+    // and a shuffle join is what this bucket join must be at 100 TB anyway.
+    a.hint("merge").join(b,
+      col("bk64") === col("bk64b") && col("doc_id1") < col("doc_id2"))
+      .select("doc_id1", "doc_id2").distinct()
+  }
+
   /** doc → (doc_id, band, band_key): 4 bands × 4 signature rows. */
   def bandTable(corpus: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
@@ -172,12 +237,14 @@ object LlmQueries {
 
     // ---------------------------------------------------------------- Q42
     // Fuzzy dedup end-to-end: LSH candidate pairs (bucket-equality join on
-    // (band, band_key) — never all-pairs) verified by true token-3-gram
-    // Jaccard >= 0.5. Finds the planted near-duplicates.
+    // the capped, 8-byte-hashed bucket key — never all-pairs, never an
+    // unbounded hot bucket; see BucketCap/cappedBands) verified by true
+    // token-3-gram Jaccard >= 0.5. Finds the planted near-duplicates.
     Q("q42_lsh_neardup", Some(s"""
       WITH bands AS (${bandTableSql(nearCorpusSql)}),
+      capped AS (${cappedSql("bands")}),
       cand AS (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
-               FROM bands a JOIN bands b
+               FROM capped a JOIN capped b
                  ON a.band = b.band AND a.band_key = b.band_key
                   AND a.doc_id < b.doc_id),
       corpus AS ($nearCorpusSql),
@@ -189,18 +256,7 @@ object LlmQueries {
       FROM cand JOIN shs x ON doc_id1 = x.doc_id JOIN shs y ON doc_id2 = y.doc_id
       WHERE len(list_intersect(x.sh, y.sh)) /
           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5""")) { (s, dir) =>
-      val bands = bandTable(nearCorpus(s, dir))
-      val a = bands.select(col("doc_id").as("doc_id1"), col("band"), col("band_key"))
-      val b = bands.select(col("doc_id").as("doc_id2"), col("band").as("band2"),
-        col("band_key").as("band_key2"))
-      // merge hint: both sides shuffle on the bucket key with identical
-      // child plans, so ReusedExchange computes the MinHash signatures ONCE
-      // (a broadcast self-join would evaluate the UDF on both sides) — and
-      // a shuffle join is what this bucket join must be at 100 TB anyway.
-      val cand = a.hint("merge").join(b,
-        a("band") === b("band2") && a("band_key") === b("band_key2") &&
-          a("doc_id1") < b("doc_id2"))
-        .select("doc_id1", "doc_id2").distinct()
+      val cand = candidatePairs(nearCorpus(s, dir))
       // graft_shingles == array_distinct of the transform-built list (both
       // first-occurrence order), minus the interpreted HOF lambda
       val shs = nearCorpus(s, dir)
@@ -507,26 +563,38 @@ object LlmQueries {
     // neighbors (1-hop, itself included); only canonical docs survive.
     // 1-hop min is deterministic and SQL-expressible on both engines; a
     // full connected-components pass would iterate this same join to a
-    // fixed point (O(log n) rounds of the identical shuffle at 100 TB).
+    // fixed point (q87). The neighbor join runs over capped, 8-byte-hashed
+    // buckets (BucketCap); the output row set is anchored on the banded
+    // docs themselves (≥3 tokens — the docs that HAVE a signature), so a
+    // doc whose every bucket is over-cap still resolves — to itself, the
+    // right answer for a doc whose only neighbors are boilerplate-bucket
+    // artifacts verification would reject.
     Q("q83_dedup_resolve", Some(s"""
       WITH bands AS (${bandTableSql(nearCorpusSql)}),
+      capped AS (${cappedSql("bands")}),
       nbr AS (
-        SELECT a.doc_id, min(b.doc_id) AS canonical
-        FROM bands a JOIN bands b
+        SELECT a.doc_id, min(b.doc_id) AS nbr_min
+        FROM capped a JOIN capped b
           ON a.band = b.band AND a.band_key = b.band_key
-        GROUP BY a.doc_id)
-      SELECT doc_id, canonical, doc_id = canonical AS kept
-      FROM nbr""")) { (s, dir) =>
-      val bands = bandTable(nearCorpus(s, dir))
-      val a = bands.select(col("doc_id"), col("band"), col("band_key"))
-      val b = bands.select(col("doc_id").as("nbr_id"), col("band").as("band2"),
-        col("band_key").as("band_key2"))
+        GROUP BY a.doc_id),
+      docs AS (SELECT doc_id FROM ($nearCorpusSql) c
+               WHERE len(string_split(text, ' ')) >= 3)
+      SELECT d.doc_id, COALESCE(n.nbr_min, d.doc_id) AS canonical,
+             d.doc_id = COALESCE(n.nbr_min, d.doc_id) AS kept
+      FROM docs d LEFT JOIN nbr n ON d.doc_id = n.doc_id""")) { (s, dir) =>
+      val corpus = nearCorpus(s, dir)
+      val capped = cappedBands(corpus)
+      val a = capped.select(col("doc_id"), col("bk64"))
+      val b = capped.select(col("doc_id").as("nbr_id"), col("bk64").as("bk64b"))
       // same exchange-reuse shape as q42: both sides shuffle on the bucket
       // key with identical child plans → MinHash computed once
-      a.hint("merge").join(b,
-        a("band") === b("band2") && a("band_key") === b("band_key2"))
+      val nbrMin = a.hint("merge").join(b, col("bk64") === col("bk64b"))
         .groupBy(col("doc_id"))
-        .agg(min(col("nbr_id")).as("canonical"))
+        .agg(min(col("nbr_id")).as("nbr_min"))
+      corpus.filter(size(split(col("text"), " ")) >= 3).select("doc_id")
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nbr_min"), col("doc_id")).as("canonical"))
         .select(col("doc_id"), col("canonical"),
           (col("doc_id") === col("canonical")).as("kept"))
     },
@@ -698,6 +766,47 @@ object LlmQueries {
             <= 0.25 AS selected""")
     },
 
+    // ---------------------------------------------------------------- Q99
+    // Quality-quantile selection, SCALE PATH — q94's documented alternative
+    // made runnable: approx_percentile(quality, 0.75) per language (one
+    // pass, bounded mergeable sketch state), the |langs|-row threshold
+    // table broadcast back, and a scan-side `quality >= threshold` filter.
+    // Same selection as q94 with NO per-language window sort over the
+    // corpus (q94's 100 TB bottleneck: |langs|-way parallelism on a
+    // multi-TB partition sort). Sketch estimates are not cross-engine
+    // reproducible, so the oracle uses the q74/q88 within-bound pattern:
+    // Spark emits per-language exact doc counts plus a "selected fraction
+    // within the sketch's rank-error bound of 25%" boolean; DuckDB emits
+    // the same exacts with literal TRUE. The bound allows the quantile
+    // rank error plus one doc of granularity (1/n — exact at the sketch's
+    // small-group degenerate case, where the estimate is a real element).
+    Q("q99_select_scale", Some(s"""
+      WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS toks, text
+                 FROM documents),
+      q AS (SELECT lang,
+        round(0.3 * (len(list_distinct(toks)) / len(toks))
+            + 0.4 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text))
+            + 0.3 * least(len(toks) / 100.0, 1.0), 6) AS quality
+      FROM s)
+      SELECT lang, COUNT(*) AS n_docs, TRUE AS sel_frac_ok
+      FROM q GROUP BY lang""")) { (s, dir) =>
+      val scored = Tables.t(s, dir, "documents")
+        .selectExpr("lang", "split(text, ' ') AS toks", "text")
+        .selectExpr("lang",
+          """round(0.3 * (size(array_distinct(toks)) / size(toks))
+              + 0.4 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '')) / length(text))
+              + 0.3 * least(size(toks) / 100.0, 1.0), 6) AS quality""")
+      val thresholds = scored.groupBy("lang")
+        .agg(expr("approx_percentile(quality, 0.75)").as("thresh"))
+      scored.join(broadcast(thresholds), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality") >= col("thresh"), 1L).otherwise(0L)).as("n_sel"))
+        .select(col("lang"), col("n_docs"),
+          (abs(col("n_sel") / col("n_docs") - 0.25)
+            <= lit(0.03) + lit(1.0) / col("n_docs")).as("sel_frac_ok"))
+    },
+
     // ---------------------------------------------------------------- Q95
     // Mixture REBALANCING — the "domain weights" step of data mixing:
     // given target token shares per language (en 40%, others 15%), derive
@@ -758,8 +867,10 @@ object LlmQueries {
                 FROM documents WHERE doc_id % 10 = 0),
       ib AS (${bandTableSql("SELECT doc_id, text FROM idx")}),
       db AS (${bandTableSql("SELECT doc_id, text FROM delta")}),
+      ibc AS (${cappedSql("ib")}),
+      dbc AS (${cappedSql("db")}),
       cand AS (SELECT DISTINCT d.doc_id AS delta_id, i.doc_id AS index_id
-               FROM db d JOIN ib i
+               FROM dbc d JOIN ibc i
                  ON d.band = i.band AND d.band_key = i.band_key),
       dsh AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM delta) t),
@@ -777,15 +888,16 @@ object LlmQueries {
       val delta = docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 10000).as("doc_id"),
           concat(col("text"), lit(" xtr tok end")).as("text"))
-      val ib = bandTable(idx).select(col("doc_id").as("index_id"),
-        col("band"), col("band_key"))
-      val db = bandTable(delta).select(col("doc_id").as("delta_id"),
-        col("band").as("band2"), col("band_key").as("band_key2"))
+      // each side's buckets capped independently — the index cap is what a
+      // precomputed bucketed index table would store; the delta cap is
+      // computed on the (small) incoming batch
+      val ib = cappedBands(idx).select(col("doc_id").as("index_id"), col("bk64"))
+      val db = cappedBands(delta).select(col("doc_id").as("delta_id"),
+        col("bk64").as("bk64d"))
       // delta side joins INTO the index's bucket layout: both sides shuffle
       // on the bucket key (at scale the index side is a pre-bucketed table
       // and only the delta moves)
-      val cand = db.hint("merge").join(ib,
-        col("band") === col("band2") && col("band_key") === col("band_key2"))
+      val cand = db.hint("merge").join(ib, col("bk64d") === col("bk64"))
         .select("delta_id", "index_id").distinct()
       val dsh = delta.selectExpr("doc_id AS d_id", "graft_shingles(text, 3) AS dsh")
       val ish = idx.selectExpr("doc_id AS i_id", "graft_shingles(text, 3) AS ish")
@@ -806,10 +918,13 @@ object LlmQueries {
     // all-pairs) and the per-pair count of shared distinct 20-shingles
     // measures the copied span. Planted: +50000 docs embed a verbatim
     // 25-token segment of their source inside fresh context and must
-    // surface with 6 shared shingles. At 100 TB the shuffle key is the
-    // shingle (hashable to 8 bytes if bandwidth-bound); natural 20-gram
-    // collisions are vanishingly rare, so join fan-out tracks true
-    // duplication.
+    // surface with 6 shared shingles. At 100 TB the shuffle key is
+    // xxhash64 of the shingle (8 bytes instead of a ~120-char string) and
+    // shingles whose document frequency exceeds BucketCap are dropped
+    // before the self-join — a 20-gram shared by thousands of docs is
+    // boilerplate whose k² pair output would swamp the join (the same
+    // hot-bucket guard as the LSH queries); natural 20-gram collisions
+    // below the cap track true duplication.
     Q("q97_substring_dup", Some(s"""
       WITH corpus AS (
         SELECT doc_id, text FROM documents
@@ -819,10 +934,13 @@ object LlmQueries {
             || ' ctxd ctxe'
         FROM documents WHERE doc_id % 20 = 0 AND len(string_split(text, ' ')) >= 25),
       sh AS (SELECT doc_id, unnest(${shingleSetSql(20)}) AS sh
-             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) t)
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) t),
+      capped AS (SELECT doc_id, sh FROM (
+          SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh) c
+        WHERE df <= $BucketCap)
       SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
         COUNT(*) AS n_shared_20grams
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id""")) { (s, dir) =>
       graft.plans.GraftExtensions.register(s) // graft_shingles
       val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -832,10 +950,19 @@ object LlmQueries {
             concat(lit("ctxa ctxb ctxc "),
               array_join(slice(split(col("text"), " "), 1, 25), " "),
               lit(" ctxd ctxe")).as("text")))
-      val sh = corpus.selectExpr("doc_id", "explode(graft_shingles(text, 20)) AS sh")
-      val a = sh.select(col("doc_id").as("doc_id1"), col("sh"))
-      val b = sh.select(col("doc_id").as("doc_id2"), col("sh").as("sh2"))
-      a.hint("merge").join(b, col("sh") === col("sh2") && col("doc_id1") < col("doc_id2"))
+      // graft_shingles emits DISTINCT per-doc shingles, so the per-key
+      // window count is document frequency; the window shuffles on the
+      // same hashed key the join uses → no extra exchange, one reused one
+      val sh = corpus
+        .selectExpr("doc_id", "explode(graft_shingles(text, 20)) AS sh")
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh64"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh64"))))
+        .filter(col("df") <= BucketCap)
+        .select("doc_id", "sh64")
+      val a = sh.select(col("doc_id").as("doc_id1"), col("sh64"))
+      val b = sh.select(col("doc_id").as("doc_id2"), col("sh64").as("sh64b"))
+      a.hint("merge").join(b,
+        col("sh64") === col("sh64b") && col("doc_id1") < col("doc_id2"))
         .groupBy("doc_id1", "doc_id2")
         .agg(count(lit(1)).as("n_shared_20grams"))
     },
@@ -880,8 +1007,9 @@ object LlmQueries {
     // the same edge set.
     Q("q87_dedup_cc", Some(s"""
       WITH RECURSIVE bands AS (${bandTableSql(chainCorpusSql)}),
+      capped AS (${cappedSql("bands")}),
       edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-                FROM bands a JOIN bands b
+                FROM capped a JOIN capped b
                   ON a.band = b.band AND a.band_key = b.band_key),
       docs AS (SELECT doc_id FROM ($chainCorpusSql)),
       reach(src, dst) AS (
@@ -900,14 +1028,14 @@ object LlmQueries {
     * on controlled corpora. Output: (doc_id, canonical, kept).
     */
   def connectedComponents(corpus: DataFrame): DataFrame = {
-    val bands = bandTable(corpus)
-    val a = bands.select(col("doc_id").as("src"), col("band"), col("band_key"))
-    val b = bands.select(col("doc_id").as("dst"), col("band").as("band2"),
-      col("band_key").as("band_key2"))
-    // bucket-equality edge list (symmetric, self-edges included) — the
-    // same exchange-reuse join as q83, materialized once for the loop
-    val edges = a.hint("merge").join(b,
-      a("band") === b("band2") && a("band_key") === b("band_key2"))
+    val capped = cappedBands(corpus)
+    val a = capped.select(col("doc_id").as("src"), col("bk64"))
+    val b = capped.select(col("doc_id").as("dst"), col("bk64").as("bk64b"))
+    // bucket-equality edge list (symmetric, self-edges included) over the
+    // CAPPED buckets — the same exchange-reuse join as q83, materialized
+    // once for the loop; a hot boilerplate bucket would otherwise inject
+    // k² edges before the first round even starts
+    val edges = a.hint("merge").join(b, col("bk64") === col("bk64b"))
       .select("src", "dst").distinct().persist()
     edges.count()
     var labels = corpus.select(col("doc_id"),
@@ -928,9 +1056,19 @@ object LlmQueries {
       // the oracle's closure anchor keeps too
       val prop = edges.join(nbr, col("dst") === col("nbr"))
         .groupBy(col("src")).agg(min(col("nbr_can")).as("prop_can"))
-      val step = labels.join(prop, labels("doc_id") === prop("src"), "left")
+      val hop = labels.join(prop, labels("doc_id") === prop("src"), "left")
         .select(labels("doc_id"),
           coalesce(col("prop_can"), labels("canonical")).as("canonical"))
+      // star contraction / pointer halving: follow the freshly propagated
+      // canonical ONE MORE hop through the labels themselves —
+      // label(label(x)) — so labels race down chains two hops per round
+      // and convergence drops from O(diameter) to O(log diameter) rounds.
+      // Every canonical value is itself a doc_id (labels start as doc_ids
+      // and min-propagation only ever picks existing labels), so the
+      // pointer join is total and preserves the row count.
+      val ptr = hop.select(col("doc_id").as("c_id"), col("canonical").as("c_can"))
+      val step = hop.join(ptr, hop("canonical") === ptr("c_id"))
+        .select(hop("doc_id"), col("c_can").as("canonical"))
       // lineage hygiene: each round's plan nests the previous round's, so
       // on a deep component an unbounded chain would bloat planning and
       // break lineage-based recovery — truncate every 5 rounds (a cached

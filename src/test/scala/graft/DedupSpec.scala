@@ -44,4 +44,38 @@ class DedupSpec extends SparkSpec {
     assert(merged >= cDocs.size / 2,
       s"only $merged of ${cDocs.size} planted chains merged to the original")
   }
+
+  test("over-cap buckets are dropped: candidate fan-out stays bounded") {
+    import spark.implicits._
+    // 500 copies of one text: every band bucket holds all 500 docs, so an
+    // uncapped LSH self-join would emit C(500,2) ≈ 125k candidate pairs —
+    // the boilerplate mega-bucket that kills the join at 100 TB. Plus one
+    // normal near-dup pair (identical text, 2 members per bucket) that the
+    // cap must NOT touch.
+    val mega = (1L to 500L)
+      .map(i => (i, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+    val pair = Seq(
+      (1001L, "the quick brown fox jumps over the lazy dog today"),
+      (2001L, "the quick brown fox jumps over the lazy dog today"))
+    val corpus = (mega ++ pair).toDF("doc_id", "text")
+
+    val capped = operators.LlmQueries.candidatePairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1001L, 2001L)),
+      s"cap must keep exactly the normal pair, got ${capped.size} pairs")
+
+    // same generator with the cap lifted: the quadratic blow-up is real
+    val uncapped = operators.LlmQueries.candidatePairs(corpus, cap = 1000).count()
+    assert(uncapped >= 500L * 499 / 2,
+      s"uncapped generator should explode quadratically, got $uncapped")
+
+    // the CC resolution stays total under capping: every doc keeps a row,
+    // mega docs resolve to themselves (no surviving edges), the pair merges
+    val cc = operators.LlmQueries.connectedComponents(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 502, s"CC must cover every doc, got ${cc.size}")
+    assert(cc(2001L) == 1001L && cc(1001L) == 1001L)
+    assert((1L to 500L).forall(i => cc(i) == i),
+      "mega-bucket docs must fall back to self-canonical, not merge")
+  }
 }

@@ -106,6 +106,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q99 scale-path selection has no window sort; thresholds broadcast") {
+    // q94's exact form pays a per-language window sort over the corpus —
+    // the 100 TB bottleneck its scaladoc names. The scale path must select
+    // via a sketch threshold + broadcast join + scan-side filter instead.
+    val p = plan("q99_select_scale")
+    assert(!p.contains("Window"), s"window sort crept into the scale path:\n$p")
+    assert(p.contains("approx_percentile"), s"sketch threshold missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast, not shuffle the corpus:\n$p")
+  }
+
   test("q71 hash-sample predicate is a scan-side filter, not a post-agg one") {
     val p = plan("q71_hash_sample")
     val filterIdx = p.indexOf("Filter")
