@@ -53,6 +53,28 @@ object KplCodec {
     data != null && data.length >= Magic.length &&
       Magic.indices.forall(i => data(i) == Magic(i))
 
+  private val md5Tl: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** MD5-trailer VERIFICATION — the optional C4 extension (SURVEY §2 C4):
+    * the reference strips the trailer without ever checking it
+    * (consumer.go:174), and [[deaggregate]] keeps that parity; this
+    * predicate is the strict-mode flag a pipeline can filter or alert on.
+    * True iff `data` is a well-formed KPL frame (magic prefix + room for a
+    * 16-byte trailer) whose body MD5 equals the trailer; false for
+    * anything else — a total predicate, so the codegen'd expression stays
+    * a primitive boolean with no null branch of its own.
+    */
+  def md5Ok(data: Array[Byte]): Boolean =
+    isAggregated(data) && data.length >= Magic.length + Md5Size && {
+      val md = md5Tl.get()
+      md.reset()
+      md.update(data, Magic.length, data.length - Magic.length - Md5Size)
+      java.util.Arrays.equals(md.digest(), 0, Md5Size,
+        data, data.length - Md5Size, data.length)
+    }
+
   // ------------------------------------------------------------------ decode
 
   /** Mutable cursor over a byte slice; any structural violation throws and

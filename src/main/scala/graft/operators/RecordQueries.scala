@@ -56,6 +56,47 @@ object RecordQueries {
           col("data").cast("string").as("message"))
     },
 
+    // ---------------------------------------------------------------- Q37
+    // KPL MD5-trailer VERIFICATION — the optional C4 extension (the
+    // reference strips the trailer without checking it, consumer.go:174;
+    // q30's deaggregation keeps that parity, this adds the strict-mode
+    // flag). Every even-doc batch is framed exactly like q30 and must
+    // verify TRUE; the same frames with a zeroed trailer keep a valid
+    // magic + body but must verify FALSE. The oracle derives the same
+    // (key, verdict) rows from the batch arithmetic alone — DuckDB never
+    // sees the frames, so a wrong verdict on either population breaks the
+    // hash compare.
+    Q("q37_kpl_md5_verify", Some("""
+      WITH b AS (SELECT DISTINCT doc_id // 16 AS batch
+                 FROM documents WHERE doc_id % 2 = 0)
+      SELECT 'batch-' || CAST(batch AS VARCHAR) AS partition_key,
+             TRUE AS md5_ok
+      FROM b
+      UNION ALL
+      SELECT 'tampered-' || CAST(batch AS VARCHAR), FALSE FROM b""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // graft_kpl_md5_ok
+      val frames = Tables.t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .groupBy(expr("doc_id div 16").as("batch"))
+        .agg(collect_list(struct(
+          col("doc_id").cast("string").as("k"),
+          col("text").cast("binary").as("d"))).as("items"))
+        .select(col("batch"),
+          aggUdf(expr("transform(items, x -> x.k)"),
+                 expr("transform(items, x -> x.d)")).as("data"))
+      val valid = frames.select(
+        concat(lit("batch-"), col("batch").cast("string")).as("partition_key"),
+        col("data"))
+      // zero the 16-byte trailer: magic and body stay intact, so only the
+      // checksum compare itself can catch the tamper
+      val tampered = frames.select(
+        concat(lit("tampered-"), col("batch").cast("string")).as("partition_key"),
+        expr("concat(substring(data, 1, length(data) - 16), " +
+          "X'00000000000000000000000000000000')").as("data"))
+      valid.unionByName(tampered)
+        .selectExpr("partition_key", "graft_kpl_md5_ok(data) AS md5_ok")
+    },
+
     // ---------------------------------------------------------------- Q31
     // zlib inflate round trip + raw-on-error passthrough (C7): `inflated`
     // deflates then inflates every document; `passthrough` feeds bytes that

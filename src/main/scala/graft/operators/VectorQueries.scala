@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -45,9 +46,10 @@ object VectorQueries {
 
     // ---------------------------------------------------------------- Q78
     // Int8 scalar quantization per vector: scale = max|x|, code_i =
-    // floor(x_i * 127 / scale). Emits scalar summaries (sum/min/max of the
-    // integer codes) — exact integer arithmetic, order-independent — plus
-    // the rounded scale. The codes themselves would be the stored payload.
+    // floor(x_i * 127 / scale). Emits the STORED PAYLOAD itself — the full
+    // int8 code vector, comma-joined to a string so the checker can hash
+    // it cell-by-cell (its pandas sort can't order array cells) — plus
+    // exact integer summaries (sum/min/max) and the rounded scale.
     // A zero vector (scale = 0) quantizes to all-zero codes by definition —
     // the CASE guard keeps the division away from 0/0 NaN, whose BIGINT
     // cast differs between engines. (The fixture has no zero vectors; a
@@ -59,6 +61,7 @@ object VectorQueries {
           embedding::DOUBLE[] AS v
         FROM embeddings)
       SELECT vec_id, round(scale, 6) AS scale,
+        array_to_string(list_transform(v, x -> CAST(CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END AS VARCHAR)), ',') AS codes,
         CAST(list_sum(list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qsum,
         CAST(list_min(list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmin,
         CAST(list_max(list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmax
@@ -68,6 +71,7 @@ object VectorQueries {
           expr("aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> abs(x)), CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, x))").as("scale"),
           col("embedding").cast("array<double>").as("v"))
         .selectExpr("vec_id", "round(scale, 6) AS scale",
+          "array_join(transform(v, x -> CAST(CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END AS STRING)), ',') AS codes",
           "CAST(aggregate(transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS qsum",
           "CAST(array_min(transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmin",
           "CAST(array_max(transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmax")
@@ -116,44 +120,62 @@ object VectorQueries {
             ORDER BY round(list_dot_product(p.qv, c.v) / (p.qn * c.nrm), 6) DESC,
                      c.vec_id) AS INT) AS rk
         FROM probe p JOIN n c ON c.label = p.label AND c.vec_id <> p.query_id) t
-      WHERE rk <= 5""")) { (s, dir) =>
-      graft.plans.GraftExtensions.register(s) // graft_vector_dot
-      val base = Tables.t(s, dir, "embeddings")
-        .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v")
-      val n = base.select(col("vec_id"), col("label"), col("v"),
-        sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
-      // per-label centroid VECTORS: q77's exact decimal aggregation,
-      // re-assembled in dim order (struct sort == sort by first field)
-      val cvec = base
-        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("label", "dim")
-        .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
-          .as("raw"))
-        .select(col("label"), col("dim"), round(col("raw"), 6).as("c"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
-          .as("cv"))
-      val q = n.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-          col("v").as("qv"), col("nrm").as("qn"))
-      val wCell = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
-      val home = q.select(col("query_id"), col("qv"), col("qn"),
-        col("qlabel").as("plabel"))
-      val foreignProbe = q.join(broadcast(cvec), col("label") =!= col("qlabel"))
-        .withColumn("d2", round(
-          expr("graft_vector_dot(qv, qv) - 2 * graft_vector_dot(qv, cv) + graft_vector_dot(cv, cv)"),
-          6))
-        .withColumn("cell_rk", row_number().over(wCell))
-        .filter(col("cell_rk") === 1)
-        .select(col("query_id"), col("qv"), col("qn"), col("label").as("plabel"))
-      val probe = home.unionByName(foreignProbe)
-      val scored = n.join(broadcast(probe),
-        col("label") === col("plabel") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(expr("graft_vector_dot(qv, v)") / (col("qn") * col("nrm")), 6)
-            .as("sim"))
-      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-    }
+      WHERE rk <= 5""")) { (s, dir) => ivfTopK(s, dir, probes = 2) }
   )
+
+  /** IVF multi-probe candidate scores, probe count as a parameter: each
+    * query scores every vector in its HOME cell plus its `probes - 1`
+    * nearest FOREIGN cells by centroid squared-L2. Because the probed cell
+    * set only ever GROWS with `probes`, the candidate set is monotone —
+    * recall vs brute force can only improve (VectorSpec asserts the
+    * p=1 ⊆ p=2 ⊆ p=3 chain) while cost stays `probes` cells per query,
+    * never the corpus. Public so specs can sweep the recall/cost knob.
+    */
+  def ivfCandidates(s: SparkSession, dir: String, probes: Int): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    graft.plans.GraftExtensions.register(s) // graft_vector_dot
+    val base = Tables.t(s, dir, "embeddings")
+      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v")
+    val n = base.select(col("vec_id"), col("label"), col("v"),
+      sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
+    // per-label centroid VECTORS: q77's exact decimal aggregation,
+    // re-assembled in dim order (struct sort == sort by first field)
+    val cvec = base
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
+        .as("raw"))
+      .select(col("label"), col("dim"), round(col("raw"), 6).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)")
+        .as("cv"))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val wCell = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
+    val home = q.select(col("query_id"), col("qv"), col("qn"),
+      col("qlabel").as("plabel"))
+    val probe =
+      if (probes == 1) home
+      else home.unionByName(
+        q.join(broadcast(cvec), col("label") =!= col("qlabel"))
+          .withColumn("d2", round(
+            expr("graft_vector_dot(qv, qv) - 2 * graft_vector_dot(qv, cv) + graft_vector_dot(cv, cv)"),
+            6))
+          .withColumn("cell_rk", row_number().over(wCell))
+          .filter(col("cell_rk") <= probes - 1)
+          .select(col("query_id"), col("qv"), col("qn"), col("label").as("plabel")))
+    n.join(broadcast(probe),
+      col("label") === col("plabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(expr("graft_vector_dot(qv, v)") / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+  }
+
+  /** Top-k over [[ivfCandidates]] — q89 is `ivfTopK(_, _, probes = 2)`. */
+  def ivfTopK(s: SparkSession, dir: String, probes: Int, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    ivfCandidates(s, dir, probes)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

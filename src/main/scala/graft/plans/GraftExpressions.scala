@@ -57,6 +57,24 @@ final case class IsKplAggregated(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_kpl_md5_ok(binary) → boolean`: KPL MD5-trailer verification —
+  * the optional C4 extension ([[graft.kpl.KplCodec.md5Ok]]; the reference
+  * never verifies, consumer.go:174, and deaggregate keeps that parity).
+  */
+final case class KplMd5Ok(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a BINARY argument")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_kpl_md5_ok"
+  override protected def nullSafeEval(input: Any): Any =
+    KplCodec.md5Ok(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.kpl.KplCodec.md5Ok($c)")
+  override protected def withNewChildInternal(newChild: Expression): KplMd5Ok =
+    copy(child = newChild)
+}
+
 /** `graft_inflate_zlib(binary) → binary`: conditional inflate with
   * raw-on-error passthrough (§2 C7).
   */
@@ -205,6 +223,9 @@ object GraftExtensions {
     ("graft_inflate_zlib",
       new ExpressionInfo(classOf[InflateZlibExpr].getName, "graft_inflate_zlib"),
       (args: Seq[Expression]) => InflateZlibExpr(one(args, "graft_inflate_zlib"))),
+    ("graft_kpl_md5_ok",
+      new ExpressionInfo(classOf[KplMd5Ok].getName, "graft_kpl_md5_ok"),
+      (args: Seq[Expression]) => KplMd5Ok(one(args, "graft_kpl_md5_ok"))),
     ("graft_vector_dot",
       new ExpressionInfo(classOf[VectorDot].getName, "graft_vector_dot"),
       (args: Seq[Expression]) => {

@@ -113,6 +113,30 @@ class KplCodecSpec extends AnyFunSuite {
     assert(KplCodec.deaggregate(badMd5).map(_._1) == Seq("k"))
   }
 
+  test("md5Ok extension: valid frames verify, any corruption fails") {
+    val frame = KplCodec.aggregate(Seq(
+      "k1" -> b("payload one"), "k2" -> b("payload two")))
+    assert(KplCodec.md5Ok(frame), "pristine frame must verify")
+    // one flipped BODY byte (magic is 0-3, body starts at 4)
+    val bodyTamper = frame.clone()
+    bodyTamper(6) = (bodyTamper(6) ^ 0x01).toByte
+    assert(!KplCodec.md5Ok(bodyTamper))
+    // one flipped TRAILER byte
+    val trailerTamper = frame.clone()
+    trailerTamper(frame.length - 1) = (trailerTamper(frame.length - 1) ^ 0x01).toByte
+    assert(!KplCodec.md5Ok(trailerTamper))
+    // non-KPL, truncated, and null inputs are all simply "not verified"
+    assert(!KplCodec.md5Ok(b("plain record")))
+    assert(!KplCodec.md5Ok(KplCodec.Magic)) // magic with no room for a trailer
+    assert(!KplCodec.md5Ok(null))
+    // and deaggregate still accepts what md5Ok rejects (reference parity):
+    // verification is an EXTENSION, never a gate on the parity path
+    val body = KplCodec.encodeBody(KplCodec.AggregatedRecord(
+      Seq("k"), Nil, Seq(KplCodec.SubRecord(0L, None, b("d"), Nil))))
+    val badMd5 = KplCodec.Magic ++ body ++ Array.fill(16)(0x00.toByte)
+    assert(!KplCodec.md5Ok(badMd5) && KplCodec.deaggregate(badMd5).nonEmpty)
+  }
+
   // ---- property: round trip over arbitrary keys and binary payloads
   test("property: deaggregate(aggregate(children)) == children") {
     val genChild = for {

@@ -47,4 +47,29 @@ class VectorSpec extends SparkSpec {
     // probe-2 must actually widen the candidate pool beyond the home cell
     assert(probe2.size >= probe1.size)
   }
+
+  test("probe-p candidate sets grow monotonically: p=1 ⊆ p=2 ⊆ p=3, recall non-decreasing") {
+    def cands(p: Int) =
+      operators.VectorQueries.ivfCandidates(spark, sf, probes = p)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val Seq(c1, c2, c3) = Seq(1, 2, 3).map(cands)
+    assert(c1.subsetOf(c2) && c2.subsetOf(c3),
+      "probed cell sets must nest: each extra probe only ADDS candidates")
+    assert(c1.size < c2.size && c2.size < c3.size,
+      "each extra probe must actually reach a new cell at this SF")
+
+    // recall@5 vs brute force is monotone because the pools nest
+    val truth = SparkEntry.queries("q45_cosine_topk")(spark, sf)
+      .where(col("rk") <= 5).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(p: Int) = {
+      val top = operators.VectorQueries.ivfTopK(spark, sf, probes = p)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (top intersect truth).size.toDouble / truth.size
+    }
+    val Seq(r1, r2, r3) = Seq(1, 2, 3).map(recall)
+    assert(r1 <= r2 && r2 <= r3, s"recall not monotone: $r1, $r2, $r3")
+  }
 }
