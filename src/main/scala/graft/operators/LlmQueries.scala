@@ -807,6 +807,129 @@ object LlmQueries {
             <= lit(0.03) + lit(1.0) / col("n_docs")).as("sel_frac_ok"))
     },
 
+    // --------------------------------------------------------------- Q100
+    // Mixture APPLICATION — the sampler that consumes q95's rate table:
+    // each doc keeps iff its deterministic md5 fraction (first 8 hex of
+    // md5(doc_id) read as a uint32) falls below its language's sampling
+    // rate. The rate-vs-fraction compare happens in HEX-STRING space
+    // (threshold = printf('%08x', floor(rate·2³²))) so no engine ever
+    // parses hex to int — both sides compare the same 8-char strings, and
+    // a rate capped at 1.0 short-circuits to keep-all (its 9-char hex
+    // threshold would mis-compare lexicographically). Per-language keep
+    // counts are exact on both engines because md5 is. At 100 TB: the
+    // rate table is |langs| rows broadcast onto a narrow scan — the
+    // keep/drop decision never shuffles the corpus.
+    Q("q100_mixture_apply", Some("""
+      WITH t AS (SELECT lang,
+          CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS toks
+        FROM documents GROUP BY lang),
+      w AS (SELECT lang, toks, CAST(SUM(toks) OVER () AS BIGINT) AS total,
+          CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
+               ELSE CAST(0.15 AS DOUBLE) END AS target
+        FROM t),
+      r AS (SELECT lang, round(least(CAST(1.0 AS DOUBLE), target * total / toks), 6) AS rate
+        FROM w)
+      SELECT d.lang, r.rate, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN r.rate >= 1.0
+              OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                 < printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents d JOIN r USING (lang)
+      GROUP BY d.lang, r.rate""")) { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val rates = docs.groupBy("lang")
+        .agg(sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("toks"))
+        .selectExpr("lang", "toks",
+          "CAST(SUM(toks) OVER () AS BIGINT) AS total",
+          """CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
+             ELSE CAST(0.15 AS DOUBLE) END AS target""")
+        .selectExpr("lang",
+          "round(least(CAST(1.0 AS DOUBLE), target * total / toks), 6) AS rate")
+      docs.join(broadcast(rates), "lang")
+        .groupBy("lang", "rate")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rate") >= 1.0 ||
+              expr("substr(md5(CAST(doc_id AS STRING)), 1, 8)") <
+                expr("format_string('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))"),
+            1L).otherwise(0L)).as("n_kept"))
+        .select("lang", "rate", "n_docs", "n_kept")
+    },
+
+    // --------------------------------------------------------------- Q101
+    // PII REDACTION — the scrubbing pass a corpus takes before release:
+    // emails and phone-shaped numbers are counted and replaced with
+    // placeholder tokens. Patterns avoid backslash escapes entirely
+    // (`[.]` instead of `\.`) so Java regex and DuckDB's RE2 parse them
+    // identically; replacement is global on both sides (DuckDB needs the
+    // explicit 'g' flag — the q84 discipline). The corpus plants PII
+    // (doc_id%30==0 gains an email + phone suffix) because the organic
+    // fixture text is clean — without the plants the redaction branch
+    // would be untested. Narrow codegen'd scan ops; nothing shuffles.
+    Q("q101_pii_scrub", Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 30 <> 0
+        UNION ALL
+        SELECT doc_id, text || ' contact bob@example.com or call 555-0123 now'
+        FROM documents WHERE doc_id % 30 = 0)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS BIGINT)
+          AS n_email,
+        CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        regexp_replace(regexp_replace(text,
+          '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '[EMAIL]', 'g'),
+          '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS scrubbed
+      FROM corpus""")) { (s, dir) =>
+      val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.filter(col("doc_id") % 30 =!= 0)
+        .unionByName(d.filter(col("doc_id") % 30 === 0)
+          .select(col("doc_id"),
+            concat(col("text"),
+              lit(" contact bob@example.com or call 555-0123 now")).as("text")))
+        .selectExpr("doc_id",
+          "CAST(regexp_count(text, '[a-z0-9]+@[a-z0-9]+[.][a-z]+') AS BIGINT) AS n_email",
+          "CAST(regexp_count(text, '[0-9]{3}-[0-9]{4}') AS BIGINT) AS n_phone",
+          """regexp_replace(regexp_replace(text,
+             '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '[EMAIL]'),
+             '[0-9]{3}-[0-9]{4}', '[PHONE]') AS scrubbed""")
+    },
+
+    // --------------------------------------------------------------- Q102
+    // Per-SOURCE document cap + blocklist — the domain-level curation
+    // step (cap any one domain's contribution, drop blocklisted domains
+    // outright). The cap is the q9 discipline applied to curation: a
+    // bounded TopKByValue aggregate (≤40 rows per source per map task,
+    // two-phase) instead of a window rank, whose parallelism ceiling is
+    // #sources and whose hot-source partition sort is exactly what a
+    // crawl's mega-domain would blow up. The corpus plants a hot source
+    // (100 extra docs under one source id) that the cap must truncate to
+    // 40 while every organic source (25 docs each) passes untouched; the
+    // blocklist drops src7 via a broadcast anti-join.
+    Q("q102_source_cap", Some("""
+      WITH corpus AS (
+        SELECT doc_id, source FROM documents
+        UNION ALL SELECT doc_id + 60000, 'hotsrc'
+        FROM documents WHERE doc_id % 5 = 0),
+      allowed AS (SELECT doc_id, source FROM corpus WHERE source <> 'src7')
+      SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        FROM allowed) t
+      WHERE rk <= 40""")) { (s, dir) =>
+      import s.implicits._
+      val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 60000).as("doc_id"), lit("hotsrc").as("source")))
+      val blocklist = Seq("src7").toDF("source")
+      val cap40 = udaf(new graft.functions.TopKByValue(40))
+      corpus.join(broadcast(blocklist), Seq("source"), "left_anti")
+        // keep the LOWEST doc_ids: rank value = negated id, key breaks ties
+        .groupBy("source")
+        .agg(cap40(negate(col("doc_id").cast("double")), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "vk")))
+        .select(col("source"), col("vk.key").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rk"))
+    },
+
     // ---------------------------------------------------------------- Q95
     // Mixture REBALANCING — the "domain weights" step of data mixing:
     // given target token shares per language (en 40%, others 15%), derive

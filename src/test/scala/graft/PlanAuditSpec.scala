@@ -5,6 +5,9 @@ package graft
   * sort, de-pipelined hot path) fails CI instead of surfacing at 100 TB.
   */
 class PlanAuditSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
   private val sf = "/root/testdata/sf0.001"
   private def plan(name: String): String = {
@@ -15,6 +18,27 @@ class PlanAuditSpec extends SparkSpec {
     // audit only what actually ran
     val cut = p.indexOf("== Initial Plan ==")
     if (cut >= 0) p.substring(0, cut) else p
+  }
+
+  /** Every node of the EXECUTED tree — descends through AQE's stage
+    * wrappers (QueryStageExec is a LEAF whose real plan hangs off
+    * `q.plan`) and reused exchanges, which `SparkPlan.collect` stops at.
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val inner: Seq[SparkPlan] = p match {
+      case q: QueryStageExec => Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Nil
+    }
+    p +: (p.children ++ inner).flatMap(flatten)
+  }
+
+  /** Executed tree of `name`, materialized so AQE finalizes. */
+  private def executed(name: String): Seq[SparkPlan] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    flatten(df.queryExecution.executedPlan)
   }
 
   test("q2: filter and projection reach the parquet scan") {
@@ -76,26 +100,11 @@ class PlanAuditSpec extends SparkSpec {
   test("q92 decontamination broadcasts the eval set; the corpus side never shuffles before the join") {
     // inspect the plan TREE, not string offsets: find the broadcast join
     // and assert its STREAMED child carries no shuffle exchange — robust
-    // to build-side print order and stage-reuse rendering. AQE wraps
-    // stage boundaries in QueryStageExec LEAF nodes, so the traversal
-    // must descend into each stage's wrapped plan explicitly.
+    // to build-side print order and stage-reuse rendering
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val inner: Seq[SparkPlan] = p match {
-        case q: QueryStageExec => Seq(q.plan)
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case r: ReusedExchangeExec => Seq(r.child)
-        case _ => Nil
-      }
-      p +: (p.children ++ inner).flatMap(flatten)
-    }
-    val df = SparkEntry.queries("q92_decontaminate")(spark, sf)
-    df.collect()
-    val all = flatten(df.queryExecution.executedPlan)
+    val all = executed("q92_decontaminate")
     val joins = all.collect { case j: BroadcastHashJoinExec => j }
     assert(joins.nonEmpty, s"eval shingles must broadcast:\n${all.head}")
     joins.foreach { j =>
@@ -115,6 +124,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("approx_percentile"), s"sketch threshold missing:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"threshold table must broadcast, not shuffle the corpus:\n$p")
+  }
+
+  test("q42 capped bucket self-join reuses one exchange: signatures computed once") {
+    // the merge-hinted self-join over cappedBands must plan BOTH sides on
+    // the same shuffle — a ReusedExchangeExec in the executed tree — so
+    // the MinHash kernel runs once per doc, not once per join side
+    val all = executed("q42_lsh_neardup")
+    val reused = all.collect { case r: ReusedExchangeExec => r }
+    assert(reused.nonEmpty,
+      s"no ReusedExchange: the bucket self-join is computing signatures twice\n${all.head}")
+  }
+
+  test("q102 per-source cap aggregates bounded state, no window rank") {
+    val p = plan("q102_source_cap")
+    assert(!p.contains("Window"),
+      s"source cap must not window-sort a hot source's partition:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"bounded TopKByValue aggregate missing:\n$p")
   }
 
   test("q71 hash-sample predicate is a scan-side filter, not a post-agg one") {
