@@ -1159,9 +1159,21 @@ object LlmQueries {
     // once for the loop; a hot boilerplate bucket would otherwise inject
     // k² edges before the first round even starts
     val edges = a.hint("merge").join(b, col("bk64") === col("bk64b"))
-      .select("src", "dst").distinct().persist()
+      .select("src", "dst")
+    labelPropagation(corpus.select("doc_id"), edges)._1
+  }
+
+  /** The q87 loop itself over an EXPLICIT symmetric edge list (src, dst) —
+    * split out so DedupSpec can inject an exact chain graph of known
+    * diameter d and pin the pointer-halving claim as a measured round
+    * count (≤ ceil(log2(d)) + 2), the way PlanAuditSpec pins plans.
+    * Returns (labels, rounds); rounds counts every executed propagation
+    * round including the final no-change confirmation round.
+    */
+  def labelPropagation(docs: DataFrame, edgesIn: DataFrame): (DataFrame, Int) = {
+    val edges = edgesIn.distinct().persist()
     edges.count()
-    var labels = corpus.select(col("doc_id"),
+    var labels = docs.select(col("doc_id"),
       col("doc_id").as("canonical")).persist()
     // convergence by the sum of labels: min-propagation only ever lowers
     // a label, so an unchanged sum == a fixed point (one cheap scalar
@@ -1214,6 +1226,6 @@ object LlmQueries {
       .localCheckpoint(true)
     labels.unpersist()
     edges.unpersist()
-    out
+    (out, round)
   }
 }
