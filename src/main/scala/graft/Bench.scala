@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute loadavg at this instant, or -1 if /proc/loadavg is unreadable.
+    * Recorded per query so an elevated number in the artifact is
+    * self-explaining: loadavg >> allotted cores at the time of the slow run
+    * means machine contention, not a plan regression (r4-r6 each produced
+    * phantom driver-side regressions that needed a manual judge re-run to
+    * adjudicate; this field kills that ambiguity at the source).
+    */
+  private def loadavg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,18 +42,27 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val best =
-        try math.min(once(), once())
-        catch {
+      // Per-query provenance next to the min: wall-clock start (epoch ms),
+      // both raw runs, and loadavg sampled just before each run.
+      val startMs = System.currentTimeMillis()
+      val la0 = loadavg1m()
+      val (runs, la1) =
+        try {
+          val a = once(); val l1 = loadavg1m(); val b = once()
+          (List(a, b), l1)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
             failed ::= name
-            -1.0 // a crashed query must not masquerade as a fast pass
+            (List(-1.0), la0) // a crashed query must not masquerade as a fast pass
         }
-      name -> best
+      (name, runs.min, startMs, runs, List(la0, la1))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val details = results.map { case (k, _, ts, runs, las) =>
+      s"\"$k\":{\"ts_ms\":$ts,\"runs\":${runs.mkString("[", ",", "]")},\"loadavg\":${las.mkString("[", ",", "]")}}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Record-pipeline throughput: synthesize 200k records, KPL-aggregate
@@ -73,7 +95,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline_rps FAILED: ${e.getMessage}"); -1.0
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"pipeline_rps":${rps.toLong},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"details":$details,"failed":$failedJson,"pipeline_rps":${rps.toLong},"sf":"$sfDir","cpus":"$cpus","loadavg_end":${loadavg1m()}}""")
     spark.stop()
   }
 }

@@ -1169,6 +1169,13 @@ object LlmQueries {
     * count (≤ ceil(log2(d)) + 2), the way PlanAuditSpec pins plans.
     * Returns (labels, rounds); rounds counts every executed propagation
     * round including the final no-change confirmation round.
+    *
+    * Contract: `docs.doc_id` must be LongType (convergence is detected via
+    * sum(canonical), read as a Long). `edgesIn` must be symmetric; self-edges
+    * are NOT required — each doc's own current label always participates in
+    * the min, so labels are monotone non-increasing regardless of edge shape
+    * (without that, a self-edge-free symmetric chain can swap labels forever
+    * while the sum-based check reports a false fixed point).
     */
   def labelPropagation(docs: DataFrame, edgesIn: DataFrame): (DataFrame, Int) = {
     val edges = edgesIn.distinct().persist()
@@ -1177,23 +1184,28 @@ object LlmQueries {
       col("doc_id").as("canonical")).persist()
     // convergence by the sum of labels: min-propagation only ever lowers
     // a label, so an unchanged sum == a fixed point (one cheap scalar
-    // action per round instead of a join-and-diff)
-    var prevSum = labels.agg(sum("canonical")).head.getLong(0)
+    // action per round instead of a join-and-diff); coalesce guards the
+    // empty-corpus case where sum() is NULL
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("canonical"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged) {
       round += 1
       val nbr = labels.select(col("doc_id").as("nbr"),
         col("canonical").as("nbr_can"))
-      // min over bucket neighbors' labels (self-edges make this include
-      // the doc's own label); LEFT join keeps docs with no edges at all
-      // (<3 tokens → every band_key NULL → not even a self-edge), which
-      // the oracle's closure anchor keeps too
+      // min over bucket neighbors' labels AND the doc's own current label
+      // (the own-label term makes labels monotone non-increasing even when
+      // the edge list carries no self-edges — see the contract above);
+      // LEFT join keeps docs with no edges at all (<3 tokens → every
+      // band_key NULL), which the oracle's closure anchor keeps too
       val prop = edges.join(nbr, col("dst") === col("nbr"))
         .groupBy(col("src")).agg(min(col("nbr_can")).as("prop_can"))
       val hop = labels.join(prop, labels("doc_id") === prop("src"), "left")
         .select(labels("doc_id"),
-          coalesce(col("prop_can"), labels("canonical")).as("canonical"))
+          coalesce(least(col("prop_can"), labels("canonical")),
+            labels("canonical")).as("canonical"))
       // star contraction / pointer halving: follow the freshly propagated
       // canonical ONE MORE hop through the labels themselves —
       // label(label(x)) — so labels race down chains two hops per round
@@ -1210,7 +1222,7 @@ object LlmQueries {
       // plan is still recomputed from the FULL chain if an executor dies;
       // a checkpoint is not)
       val next = if (round % 5 == 0) step.localCheckpoint() else step.persist()
-      val sumNow = next.agg(sum("canonical")).head.getLong(0)
+      val sumNow = labelSum(next)
       labels.unpersist()
       labels = next
       converged = sumNow == prevSum

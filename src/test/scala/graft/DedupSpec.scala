@@ -78,4 +78,55 @@ class DedupSpec extends SparkSpec {
     assert((1L to 500L).forall(i => cc(i) == i),
       "mega-bucket docs must fall back to self-canonical, not merge")
   }
+
+  /** Symmetric path graph 0—1—…—d (no self-edges) plus its isolated docs. */
+  private def chainGraph(d: Int) = {
+    import spark.implicits._
+    val docs = (0L to d.toLong).toDF("doc_id")
+    val fwd = (0L until d.toLong).map(i => (i, i + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    (docs, edges)
+  }
+
+  test("labelPropagation: pointer halving converges in O(log d) rounds") {
+    // Chains of known diameter pin the pointer-halving claim as a measured
+    // round count: each round applies one neighbor-min then one pointer
+    // chase (label(label(x))), so reach grows geometrically (2, 6, 14, …
+    // = 2^(r+1)-2 hops after r rounds) and a diameter-d chain must settle
+    // in ≤ ceil(log2(d)) + 2 rounds (incl. the no-change confirmation
+    // round). Without halving, a d=64 chain would need ~65 rounds — the
+    // assertion fails loudly if the pointer join is ever dropped.
+    for (d <- Seq(4, 16, 64)) {
+      val (docs, edges) = chainGraph(d)
+      val (labels, rounds) = operators.LlmQueries.labelPropagation(docs, edges)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == d + 1)
+      assert(got.values.forall(_ == 0L),
+        s"d=$d: every node must resolve to root 0, got ${got.filterNot(_._2 == 0L)}")
+      val bound = math.ceil(math.log(d) / math.log(2)).toInt + 2
+      assert(rounds <= bound,
+        s"d=$d: $rounds rounds exceeds pointer-halving bound $bound")
+    }
+  }
+
+  test("labelPropagation: self-edge-free symmetric edges cannot label-swap") {
+    import spark.implicits._
+    // The advisor's counterexample: on chain 1—2—3 WITHOUT self-edges, a
+    // neighbors-only min lets labels swap (1↔2) while the sum stays fixed,
+    // silently converging to wrong labels. The own-label term in the min
+    // must make this resolve fully to 1.
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val (labels, _) = operators.LlmQueries.labelPropagation(docs, edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $got")
+  }
+
+  test("labelPropagation: empty corpus returns empty labels, no NPE") {
+    import spark.implicits._
+    val docs = Seq.empty[Long].toDF("doc_id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val (labels, _) = operators.LlmQueries.labelPropagation(docs, edges)
+    assert(labels.count() == 0L)
+  }
 }
