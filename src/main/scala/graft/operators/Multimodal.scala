@@ -2,27 +2,126 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
+import javax.imageio.ImageIO
 
 /** Multimodal-column operators: opaque binary blobs with typed metadata,
   * decode / feature-extract / resize / frame-sample (BASELINE.json north
   * star — the image/audio path of a training-data pipeline).
   *
-  * No media libraries exist in this environment, so the DECODER is a
-  * clearly-marked deterministic fake ([[FakeDecoder]]); everything Spark-side
-  * is real and tested: the blob wire format, the `binary` column + metadata
-  * struct schema, the batched `mapPartitions` feature-extraction shape (the
-  * Scala analog of a Pandas-UDF/`mapInPandas` batch kernel: a model server
-  * would receive each `grouped(batchSize)` slice as one inference batch),
-  * and the frame-sampling stride arithmetic.
+  * The image path is REAL: blobs are genuine PNG containers produced and
+  * parsed by `javax.imageio` (JDK-built-in, zero extra deps), with the
+  * format sniffed from the container magic bytes the way the KPL path
+  * sniffs its magic. Because the pixels are generated deterministically
+  * from doc_id and PNG is lossless, the DuckDB oracle can recompute every
+  * decoded value arithmetically — a full-table proof that the decode
+  * round-trips bit-exactly. [[FakeDecoder]] remains as the deterministic
+  * spec path pinning the batch-kernel contract (one decoder call per
+  * `grouped(batchSize)` slice — the `mapInPandas`-analog shape a model
+  * server needs to amortize per-call overhead).
   *
   * 100 TB posture: blobs are opaque binary parquet columns, so scans prune
-  * to (id, metadata) unless the blob is actually needed; featurization is a
+  * to (id, metadata) unless the blob is actually needed; decode is a
   * narrow per-partition pass with bounded batch memory (batchSize × blob
   * size); no shuffle anywhere in the decode path.
   */
 object Multimodal {
+
+  /** Real image codec over `javax.imageio`. Encode side exists only to
+    * synthesize fixtures (pixel (x,y,band) = `sample(docId,x,y,band)`);
+    * decode side is the operator under test: magic-byte format sniffing
+    * via `ImageIO.getImageReaders`, then a real PNG/BMP parse to planar
+    * samples. Stats are band-order-invariant (sum/min/max over all
+    * samples) so they hold whatever raster layout the reader returns.
+    */
+  object ImageCodec {
+    /** Deterministic pixel generator, mirrored arithmetically by the
+      * DuckDB oracle: nonneg, so `%` agrees across engines.
+      */
+    def sample(docId: Long, x: Int, y: Int, band: Int): Int =
+      ((docId * 31 + x * 7 + y * 13 + band * 97) % 256).toInt
+
+    /** Per-doc image shape: width 4..16, height 4..14, channels in
+      * {1 gray, 3 RGB, 4 RGBA} — the three PNG color types ImageIO
+      * round-trips losslessly at 8 bits.
+      */
+    def dims(docId: Long): (Int, Int, Int) = (
+      4 + (docId % 13).toInt,
+      4 + (docId % 11).toInt,
+      (docId % 3) match { case 0 => 1; case 1 => 3; case _ => 4 })
+
+    def encode(docId: Long, w: Int, h: Int, channels: Int,
+        format: String = "png"): Array[Byte] = {
+      val imgType = channels match {
+        case 1 => BufferedImage.TYPE_BYTE_GRAY
+        case 3 => BufferedImage.TYPE_3BYTE_BGR
+        case _ => BufferedImage.TYPE_4BYTE_ABGR
+      }
+      val img = new BufferedImage(w, h, imgType)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < channels) {
+            raster.setSample(x, y, b, sample(docId, x, y, b)); b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+
+    final case class Decoded(format: String, width: Int, height: Int,
+        channels: Int, sampleSum: Long, sampleMin: Int, sampleMax: Int)
+
+    /** Sniff the container format from its magic bytes, then fully decode
+      * and fold band-order-invariant sample stats. Null on a foreign blob
+      * (no registered reader claims it) — same drop posture as the KPL
+      * decoder.
+      */
+    def decode(blob: Array[Byte]): Decoded = {
+      if (blob == null) return null
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(blob))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val fmt = reader.getFormatName.toLowerCase
+          val img = reader.read(0)
+          val raster = img.getRaster
+          val (w, h, c) = (img.getWidth, img.getHeight, raster.getNumBands)
+          var sum = 0L; var min = Int.MaxValue; var max = Int.MinValue
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < c) {
+                val v = raster.getSample(x, y, b)
+                sum += v
+                if (v < min) min = v
+                if (v > max) max = v
+                b += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Decoded(fmt, w, h, c, sum, min, max)
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+  }
 
   /** Fake blob container: `"GFT0" ++ width(2B BE) ++ height(2B BE) ++
     * channels(1B) ++ payload`. Stands in for a real image/audio container
@@ -90,13 +189,30 @@ object Multimodal {
     }
   }
 
-  private val encodeBlob = udf { (w: Int, h: Int, c: Int, payload: Array[Byte]) =>
-    BlobCodec.encode(w, h, c, payload)
-  }
-  private val decodeMeta = udf { (blob: Array[Byte]) => BlobCodec.decodeMeta(blob) }
-
   final case class MmIn(doc_id: Long, data: Array[Byte])
   final case class MmFeat(doc_id: Long, features: Seq[Double])
+  final case class ImgDecoded(doc_id: Long, format: String, width: Int,
+      height: Int, channels: Int, sample_sum: Long, sample_min: Int,
+      sample_max: Int)
+
+  /** Batched REAL image decode — same mapInPandas-analog batch shape as
+    * [[featurize]]: each `grouped(batchSize)` slice is one bounded-memory
+    * unit of work per task (batchSize × blob size), decode runs entirely
+    * executor-side with no shuffle.
+    */
+  def decodeImages(in: org.apache.spark.sql.Dataset[MmIn],
+      batchSize: Int = 64): org.apache.spark.sql.Dataset[ImgDecoded] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val d = ImageCodec.decode(r.data)
+          ImgDecoded(r.doc_id, d.format, d.width, d.height, d.channels,
+            d.sampleSum, d.sampleMin, d.sampleMax)
+        }
+      }
+    }
+  }
 
   /** Batched featurization — the mapInPandas-analog batch kernel: each
     * `grouped(batchSize)` slice reaches the decoder as ONE batch call
@@ -114,67 +230,77 @@ object Multimodal {
     }
   }
 
-  /** Blob table synthesized from documents: dimensions derived from doc_id,
-    * payload = text bytes.
+  private val encodePng = udf { (docId: Long) =>
+    val (w, h, c) = ImageCodec.dims(docId)
+    ImageCodec.encode(docId, w, h, c)
+  }
+
+  /** Real PNG blob table synthesized from documents: one genuine PNG per
+    * doc, shape and pixels derived deterministically from doc_id (see
+    * [[ImageCodec.sample]]).
     */
-  private def blobs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.t(s, dir, "documents").select(
-      col("doc_id"),
-      encodeBlob(
-        (lit(16) + col("doc_id") % 64).cast("int"),
-        (lit(16) + col("doc_id") % 48).cast("int"),
-        (lit(1) + col("doc_id") % 3).cast("int"),
-        col("text").cast("binary")).as("blob"))
+  private def pngBlobs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), encodePng(col("doc_id")).as("data")).as[MmIn]
+  }
 
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- Q60
-    // Metadata decode + resize plumbing: encode each document into a blob,
-    // decode the container header back, emit a half-resolution resize plan.
-    // The oracle recomputes what the header must contain — a full-table
-    // encode/decode round-trip proof.
+    // REAL image metadata decode + resize plumbing: each document becomes a
+    // genuine PNG (javax.imageio), the format is sniffed from the magic
+    // bytes and the container fully parsed back; emit the decoded header
+    // plus a half-resolution resize plan. The oracle recomputes what the
+    // decode must return from the generating arithmetic — an end-to-end
+    // proof the real encode/parse round-trips.
     Q("q60_mm_metadata", Some("""
-      SELECT doc_id, 'GFT0' AS format,
-        CAST(16 + doc_id % 64 AS INT) AS width,
-        CAST(16 + doc_id % 48 AS INT) AS height,
-        CAST(1 + doc_id % 3 AS INT)  AS channels,
-        CAST(length(text) AS INT)     AS payload_len,
-        CAST((16 + doc_id % 64) // 2 AS INT) AS resized_w,
-        CAST((16 + doc_id % 48) // 2 AS INT) AS resized_h
+      SELECT doc_id, 'png' AS format,
+        CAST(4 + doc_id % 13 AS INT) AS width,
+        CAST(4 + doc_id % 11 AS INT) AS height,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels,
+        CAST((4 + doc_id % 13) * (4 + doc_id % 11) *
+             (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END) AS BIGINT) AS sample_count,
+        CAST((4 + doc_id % 13) // 2 AS INT) AS resized_w,
+        CAST((4 + doc_id % 11) // 2 AS INT) AS resized_h
       FROM documents""")) { (s, dir) =>
-      blobs(s, dir)
-        .select(col("doc_id"), decodeMeta(col("blob")).as("m"))
-        .select(col("doc_id"), col("m.format").as("format"),
-          col("m.width").as("width"), col("m.height").as("height"),
-          col("m.channels").as("channels"), col("m.payload_len").as("payload_len"),
-          expr("m.width div 2").cast("int").as("resized_w"),
-          expr("m.height div 2").cast("int").as("resized_h"))
+      decodeImages(pngBlobs(s, dir)).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"),
+          (col("width").cast("long") * col("height") * col("channels"))
+            .as("sample_count"),
+          expr("width div 2").cast("int").as("resized_w"),
+          expr("height div 2").cast("int").as("resized_h"))
     },
 
     // ---------------------------------------------------------------- Q61
-    // Batched feature extraction over blobs: Dataset.mapPartitions with
-    // grouped(64) batches — the mapInPandas-style batch kernel shape — then
-    // engine-side rounding so both engines round identically. Output is
-    // exploded to one scalar row per (doc_id, feature index): the driver's
-    // checker sorts/hashes column values, and raw array<double> cells are
-    // unhashable on the oracle side (r02 fail).
+    // REAL decoded-pixel statistics: the same PNG blobs parsed back to raw
+    // samples in the batched mapPartitions kernel, folded to band-order-
+    // invariant stats. PNG is lossless, so the oracle reproduces every
+    // value by regenerating the pixel lattice arithmetically (documents ×
+    // x-range × y-range × band-range) — any decoder bit-error breaks the
+    // hash. mean_milli stays in integer arithmetic (floor division) so
+    // both engines agree exactly.
     Q("q61_mm_features", Some("""
-      SELECT doc_id, CAST(i AS INT) AS feat_idx,
-        round((
-          (strpos('0123456789abcdef', substr(md5('f' || i || ':' || text), 1, 1)) - 1) * 4096 +
-          (strpos('0123456789abcdef', substr(md5('f' || i || ':' || text), 2, 1)) - 1) * 256 +
-          (strpos('0123456789abcdef', substr(md5('f' || i || ':' || text), 3, 1)) - 1) * 16 +
-          (strpos('0123456789abcdef', substr(md5('f' || i || ':' || text), 4, 1)) - 1)
-        ) / 65535.0, 6) AS feat
-      FROM documents, range(0, 8) t(i)""")) { (s, dir) =>
-      import s.implicits._
-      val in = blobs(s, dir).select(col("doc_id"),
-        // strip the container header: featurize the payload, not the frame
-        expr("substring(blob, 10, 2147483647)").as("data")).as[MmIn]
-      featurize(in, 8).toDF()
-        .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "f")))
-        .select(col("doc_id"), col("feat_idx"),
-          round(col("f"), 6).as("feat"))
+      WITH px AS (
+        SELECT d.doc_id,
+          (d.doc_id * 31 + x.xi * 7 + y.yi * 13 + b.bi * 97) % 256 AS val
+        FROM documents d, range(0, 16) x(xi), range(0, 14) y(yi), range(0, 4) b(bi)
+        WHERE x.xi < 4 + d.doc_id % 13
+          AND y.yi < 4 + d.doc_id % 11
+          AND b.bi < CASE d.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+      )
+      SELECT doc_id,
+        CAST(sum(val) AS BIGINT) AS sample_sum,
+        CAST(min(val) AS INT) AS sample_min,
+        CAST(max(val) AS INT) AS sample_max,
+        CAST(sum(val) * 1000 // count(*) AS BIGINT) AS mean_milli
+      FROM px GROUP BY doc_id""")) { (s, dir) =>
+      decodeImages(pngBlobs(s, dir)).toDF()
+        .select(col("doc_id"), col("sample_sum"), col("sample_min"),
+          col("sample_max"),
+          expr("sample_sum * 1000 div (CAST(width AS BIGINT) * height * channels)")
+            .as("mean_milli"))
     },
 
     // ---------------------------------------------------------------- Q62

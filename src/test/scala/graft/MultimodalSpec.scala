@@ -1,8 +1,11 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{BlobCodec, FakeDecoder, MmIn}
+import graft.operators.Multimodal.{BlobCodec, FakeDecoder, ImageCodec, MmIn}
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
+import javax.imageio.ImageIO
 
 /** Blob container codec + fake decoder determinism + the batch-kernel
   * contract of the featurization path.
@@ -35,6 +38,53 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.size == 8)
     assert(f1.forall(x => x >= 0.0 && x <= 1.0))
     assert(other != f1)
+  }
+
+  test("real decode: a known 2x2 gray PNG round-trips bit-exactly") {
+    // Hand-built image, pixels [[1,2],[3,4]] — the decoded stats must be
+    // exactly those four values, proving the javax.imageio path parses
+    // real PNG bytes, not a fake.
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 1)
+    img.getRaster.setSample(1, 0, 0, 2)
+    img.getRaster.setSample(0, 1, 0, 3)
+    img.getRaster.setSample(1, 1, 0, 4)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val blob = bos.toByteArray
+    // it really is a PNG container on the wire
+    assert((blob(0) & 0xFF) == 0x89 && new String(blob, 1, 3, StandardCharsets.US_ASCII) == "PNG")
+    val d = ImageCodec.decode(blob)
+    assert(d == ImageCodec.Decoded("png", 2, 2, 1, 10L, 1, 4), s"got $d")
+  }
+
+  test("real decode: gray/RGB/RGBA PNGs round-trip the generated lattice") {
+    for (docId <- Seq(0L, 1L, 2L, 41L)) {
+      val (w, h, c) = ImageCodec.dims(docId)
+      val d = ImageCodec.decode(ImageCodec.encode(docId, w, h, c))
+      val samples = for {
+        y <- 0 until h; x <- 0 until w; b <- 0 until c
+      } yield ImageCodec.sample(docId, x, y, b)
+      assert(d.format == "png" && d.width == w && d.height == h && d.channels == c)
+      assert(d.sampleSum == samples.map(_.toLong).sum, s"doc $docId sum")
+      assert(d.sampleMin == samples.min && d.sampleMax == samples.max, s"doc $docId min/max")
+    }
+  }
+
+  test("real decode: format sniffing distinguishes BMP from PNG") {
+    val bmp = ImageCodec.encode(7L, 5, 4, 3, format = "bmp")
+    assert(new String(bmp, 0, 2, StandardCharsets.US_ASCII) == "BM")
+    val d = ImageCodec.decode(bmp)
+    assert(d.format == "bmp" && d.width == 5 && d.height == 4 && d.channels == 3)
+    val expected = for {
+      y <- 0 until 4; x <- 0 until 5; b <- 0 until 3
+    } yield ImageCodec.sample(7L, x, y, b).toLong
+    assert(d.sampleSum == expected.sum)
+  }
+
+  test("real decode: foreign bytes decode to null (drop posture)") {
+    assert(ImageCodec.decode(b("not an image at all")) == null)
+    assert(ImageCodec.decode(null) == null)
   }
 
   test("featurize invokes the decoder exactly once per 64-record batch") {
