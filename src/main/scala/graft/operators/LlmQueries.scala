@@ -95,6 +95,19 @@ object LlmQueries {
        FROM documents WHERE doc_id % 10 = 0"""
   }
 
+  /** q47's composite quality score (TTR + punctuation + length terms),
+    * factored so q103's keep policy scores with the SAME formula the
+    * quality operator reports. Both variants expect columns `text` and
+    * `toks` (= text split on ' '); identical expression order on both
+    * engines so the rounded doubles are bit-equal.
+    */
+  private val qualitySparkSql = """round(0.3 * (size(array_distinct(toks)) / size(toks))
+      + 0.4 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '')) / length(text))
+      + 0.3 * least(size(toks) / 100.0, 1.0), 6)"""
+  private val qualityDuckSql = """round(0.3 * (len(list_distinct(toks)) / len(toks))
+      + 0.4 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text))
+      + 0.3 * least(len(toks) / 100.0, 1.0), 6)"""
+
   /** 3-token shingles, 1-based window starts (mirrors DuckDB range(1, n-1));
     * the Spark side computes shingle SETS with the codegen'd
     * `graft_shingles` kernel ([[graft.plans.ShingleSet]]).
@@ -476,7 +489,7 @@ object LlmQueries {
     // Text quality scoring: type-token ratio, punctuation density, stopword
     // ratio, composite score — the standard pre-training quality filters.
     // All narrow codegen'd ops; identical expression order on both engines.
-    Q("q47_text_quality", Some("""
+    Q("q47_text_quality", Some(s"""
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
       SELECT doc_id,
         len(toks) AS n_tok,
@@ -484,9 +497,7 @@ object LlmQueries {
         round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text), 6) AS punct_ratio,
         round(len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t)))
           / len(toks), 6) AS stop_ratio,
-        round(0.3 * (len(list_distinct(toks)) / len(toks))
-            + 0.4 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / length(text))
-            + 0.3 * least(len(toks) / 100.0, 1.0), 6) AS quality
+        $qualityDuckSql AS quality
       FROM t""")) { (s, dir) =>
       Tables.t(s, dir, "documents")
         .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
@@ -496,9 +507,7 @@ object LlmQueries {
           "round(length(regexp_replace(text, '[a-z0-9 ]', '')) / length(text), 6) AS punct_ratio",
           """round(size(filter(toks, t -> array_contains(array('the','a','of','and','to'), t)))
              / size(toks), 6) AS stop_ratio""",
-          """round(0.3 * (size(array_distinct(toks)) / size(toks))
-              + 0.4 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '')) / length(text))
-              + 0.3 * least(size(toks) / 100.0, 1.0), 6) AS quality""")
+          s"$qualitySparkSql AS quality")
     },
 
     // ---------------------------------------------------------------- Q48
@@ -1143,8 +1152,122 @@ object LlmQueries {
              src = MIN(dst) AS kept
       FROM reach GROUP BY src""")) { (s, dir) =>
       connectedComponents(chainCorpus(s, dir))
+    },
+
+    // --------------------------------------------------------------- Q103
+    // QUALITY-AWARE dedup keep policy: production pipelines keep each
+    // duplicate cluster's BEST member, not min(doc_id) — q87's clusters
+    // joined with q47's quality score, argmax(quality, tie → min doc_id)
+    // per cluster. The planted chain corpus makes the interesting branch
+    // fire: B/C copies append distinct junk tokens, which RAISES their
+    // TTR and length terms, so most chains keep a non-original member.
+    // Shape: two exact aggregations (groupBy-max, then min(doc_id) over
+    // the members achieving the max) — no window, no sort; equality on
+    // the rounded quality doubles is exact because the max IS one of the
+    // values. ~2 shuffles on canonical beyond the CC pass itself.
+    Q("q103_quality_keep", Some(s"""
+      WITH RECURSIVE bands AS (${bandTableSql(chainCorpusSql)}),
+      capped AS (${cappedSql("bands")}),
+      edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM capped a JOIN capped b
+                  ON a.band = b.band AND a.band_key = b.band_key),
+      docs AS (SELECT doc_id, text FROM ($chainCorpusSql)),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM docs
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cc AS (SELECT src AS doc_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+      qual AS (SELECT doc_id, $qualityDuckSql AS quality
+               FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM docs) t),
+      m AS (SELECT cc.doc_id, cc.canonical, qual.quality
+            FROM cc JOIN qual ON cc.doc_id = qual.doc_id),
+      mx AS (SELECT canonical, MAX(quality) AS max_quality, COUNT(*) AS n_members
+             FROM m GROUP BY canonical)
+      SELECT m.canonical AS cluster_id, MIN(m.doc_id) AS keep_id,
+             mx.max_quality, mx.n_members
+      FROM m JOIN mx ON m.canonical = mx.canonical AND m.quality = mx.max_quality
+      GROUP BY m.canonical, mx.max_quality, mx.n_members""")) { (s, dir) =>
+      qualityKeep(chainCorpus(s, dir))
+    },
+
+    // --------------------------------------------------------------- Q104
+    // DETERMINISTIC training-order shuffle: global rank by
+    // md5(CAST(doc_id AS STRING)) — the reproducible "random" order a
+    // training run reads the corpus in. Scale shape (see [[trainingOrder]]):
+    // hash-prefix sharding + per-shard window + broadcast shard offsets —
+    // one data shuffle, no global sort, no coalesce-to-1, and (unlike a
+    // repartitionByRange) no sampled boundaries, so the order is exactly
+    // reproducible run-to-run.
+    Q("q104_training_order", Some("""
+      SELECT doc_id,
+        CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          AS BIGINT) AS shuffle_rank
+      FROM documents""")) { (s, dir) =>
+      trainingOrder(Tables.t(s, dir, "documents").select("doc_id"))
     }
   )
+
+  /** q103 kernel: q87 transitive clusters joined with the q47 quality
+    * score, each cluster reduced to its best member ([[keepBest]]).
+    */
+  def qualityKeep(corpus: DataFrame): DataFrame = {
+    val cc = connectedComponents(corpus).select("doc_id", "canonical")
+    val qual = corpus
+      .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", s"$qualitySparkSql AS quality")
+    keepBest(cc.join(qual, "doc_id").select("doc_id", "canonical", "quality"))
+  }
+
+  /** argmax(quality, tie → min doc_id) per cluster over (doc_id, canonical,
+    * quality) rows, as two exact hash aggregations: per-cluster max, then
+    * min(doc_id) among the members achieving it. No window, no sort —
+    * both shuffles key on `canonical`, so at 100 TB this is two map-side-
+    * combining exchanges over cluster-count-sized data. Public so
+    * DedupSpec can pin the tie-break on a controlled cluster table.
+    */
+  def keepBest(m: DataFrame): DataFrame = {
+    val mx = m.groupBy("canonical")
+      .agg(max("quality").as("max_quality"), count(lit(1)).as("n_members"))
+    m.join(mx, "canonical")
+      .filter(col("quality") === col("max_quality"))
+      .groupBy(col("canonical").as("cluster_id"), col("max_quality"),
+        col("n_members"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select("cluster_id", "keep_id", "max_quality", "n_members")
+  }
+
+  /** q104 kernel: deterministic global rank of every doc under the
+    * md5(doc_id) permutation WITHOUT a global sort. Two-pass distributed
+    * ranking — the same structure RangePartitioner uses (a tiny metadata
+    * pass, then one partitioned pass), but with deterministic hash-prefix
+    * shards instead of sampled range boundaries:
+    *  1. shard = first 2 hex digits of the key (256 shards, fixed for any
+    *     corpus size); per-shard counts are a 256-row aggregate collected
+    *     to the driver — bounded by construction, like the IVF centroid
+    *     table — and turned into prefix-sum offsets;
+    *  2. rank = shard offset + row_number within the shard (window
+    *     PARTITIONED by shard — never a global single-partition window),
+    *     offsets joined back by broadcast.
+    * md5 is a bijective-in-practice permutation of doc_ids (a collision
+    * would only tie two docs, broken by the doc_id tiebreak), and hex
+    * prefix order == string order, so shard-major + within-shard order
+    * IS the global md5 order.
+    */
+  def trainingOrder(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val keyed = docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("skey"))
+      .withColumn("shard", expr("CAST(conv(substring(skey, 1, 2), 16, 10) AS INT)"))
+    val counts = keyed.groupBy("shard").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toSeq
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    keyed.join(broadcast(offsets.toDF("shard", "offset")), "shard")
+      .select(col("doc_id"),
+        (col("offset") + row_number().over(w)).as("shuffle_rank"))
+  }
 
   /** Min-label propagation to a fixed point over the LSH bucket graph of
     * `corpus` (doc_id, text) — the q87 kernel, public so specs can run it

@@ -122,6 +122,58 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $got")
   }
 
+  test("keepBest: argmax quality per cluster with min-doc_id tie-break") {
+    import spark.implicits._
+    val m = Seq(
+      (1L, 1L, 0.5), (2L, 1L, 0.9), (3L, 1L, 0.9), // tie: 2 and 3 at 0.9
+      (10L, 10L, 0.1),                             // singleton cluster
+      (20L, 20L, 0.2), (21L, 20L, 0.3)             // clear non-min winner
+    ).toDF("doc_id", "canonical", "quality")
+    val got = operators.LlmQueries.keepBest(m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 0.9, 3L)),   // tie broken to the smaller doc_id
+      10L -> ((10L, 0.1, 1L)),
+      20L -> ((21L, 0.3, 2L))), s"got $got")
+  }
+
+  test("q103 keeps each planted chain's highest-quality member") {
+    // Independent Scala recomputation of the q47 quality formula: for every
+    // multi-member cluster the keep policy must pick exactly the argmax
+    // (tie -> min doc_id) — and the planted junk tokens must make at least
+    // one chain keep a NON-original member (the branch min(doc_id) gets
+    // wrong), or the test corpus isn't exercising the policy at all.
+    val corpus = operators.LlmQueries.chainCorpus(spark, sf).persist()
+    val keep = operators.LlmQueries.qualityKeep(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = operators.LlmQueries.connectedComponents(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    corpus.unpersist()
+
+    def quality(text: String): Double = {
+      val toks = text.split(" ", -1)
+      val ttr = toks.distinct.length.toDouble / toks.length
+      val punct = text.replaceAll("[a-z0-9 ]", "").length.toDouble / text.length
+      val q = 0.3 * ttr + 0.4 * (1.0 - punct) +
+        0.3 * math.min(toks.length / 100.0, 1.0)
+      BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    val members = cc.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    assert(keep.keySet == members.keySet)
+    for ((canon, docs) <- members) {
+      val want = docs.minBy(d => (-quality(texts(d)), d))
+      assert(keep(canon) == want,
+        s"cluster $canon: kept ${keep(canon)}, argmax is $want " +
+          s"(qualities ${docs.map(d => d -> quality(texts(d)))})")
+    }
+    val nonMin = members.filter { case (c, ds) => ds.size > 1 && keep(c) != ds.min }
+    assert(nonMin.nonEmpty,
+      "every cluster kept min(doc_id) — quality-aware branch never fired")
+  }
+
   test("labelPropagation: empty corpus returns empty labels, no NPE") {
     import spark.implicits._
     val docs = Seq.empty[Long].toDF("doc_id")

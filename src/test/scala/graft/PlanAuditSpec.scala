@@ -144,6 +144,24 @@ class PlanAuditSpec extends SparkSpec {
       s"bounded TopKByValue aggregate missing:\n$p")
   }
 
+  test("q104 training-order rank: shard-partitioned window, no coalesce-to-1, offsets broadcast") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val all = executed("q104_training_order")
+    val wins = all.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"rank window missing:\n${all.head}")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global single-partition rank window — the exact thing the shard " +
+        s"two-pass exists to avoid:\n${all.head}"))
+    val single = all.collect {
+      case e: ShuffleExchangeLike if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(single.isEmpty, s"coalesce-to-1 exchange in the rank path:\n${all.head}")
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"shard offsets must broadcast:\n${all.head}")
+  }
+
   test("q71 hash-sample predicate is a scan-side filter, not a post-agg one") {
     val p = plan("q71_hash_sample")
     val filterIdx = p.indexOf("Filter")
