@@ -41,6 +41,7 @@ object Cli {
       interval: Long = 100,
       compress: Option[String] = None,
       verbose: Boolean = false,
+      verifyMd5: Boolean = false,
       spool: String = "./spool")
 
   final case class ProduceConfig(
@@ -66,7 +67,7 @@ object Cli {
       |Flags (consume): -s/--stream (required, comma-separable) -r/--region
       |  -I/--iterator LATEST|TRIM_HORIZON|AT_SEQUENCE_NUMBER|AT_TIMESTAMP
       |  -t/--since RFC3339  --seq N  -l/--limit N  -i/--interval MS
-      |  -c/--compress zlib  -v/--verbose  --spool DIR
+      |  -c/--compress zlib  -v/--verbose  --verify-md5  --spool DIR
       |Flags (produce): -s/--stream (required) -r/--region -k/--key
       |  -a/--aggregated -v/--verbose --spool DIR""".stripMargin
 
@@ -80,7 +81,7 @@ object Cli {
     def flags(rest: Seq[String]): Either[(String, Int), Map[String, String]] = {
       val acc = scala.collection.mutable.Map[String, String]()
       var i = 0
-      val boolFlags = Set("-v", "--verbose", "-a", "--aggregated")
+      val boolFlags = Set("-v", "--verbose", "-a", "--aggregated", "--verify-md5")
       while (i < rest.length) {
         val a = rest(i)
         if (!a.startsWith("-")) return Left((s"unexpected argument $a\n$helpText", 1))
@@ -109,6 +110,7 @@ object Cli {
               interval = get(m, "-i", "--interval").map(_.toLong).getOrElse(100),
               compress = get(m, "-c", "--compress"),
               verbose = m.contains("-v") || m.contains("--verbose"),
+              verifyMd5 = m.contains("--verify-md5"),
               spool = m.getOrElse("--spool", "./spool"))))
           }
         }
@@ -138,7 +140,16 @@ object Cli {
     val reader = new StreamReader(StreamReaderConfig(
       cfg.spool, cfg.streams, start, cfg.limit, cfg.interval))
     val raw = if (batch) reader.loadBatch(spark) else reader.load(spark)
-    val deagg = RecordPipeline.deaggregate(raw)
+    // --verify-md5 extension (C4): drop whole KPL frames whose MD5 trailer
+    // fails BEFORE de-aggregation — a corrupt frame must not contribute any
+    // children. The default keeps reference parity (never verifies,
+    // consumer.go:174). Codegen'd expression on the scan, no extra pass.
+    val verified =
+      if (cfg.verifyMd5) {
+        graft.plans.GraftExtensions.register(spark) // graft_is_kpl / graft_kpl_md5_ok
+        raw.filter(expr("NOT graft_is_kpl(data) OR graft_kpl_md5_ok(data)"))
+      } else raw
+    val deagg = RecordPipeline.deaggregate(verified)
     val decoded =
       if (cfg.compress.contains("zlib"))
         deagg.withColumn("data", RecordPipeline.inflateZlib(col("data")))

@@ -52,6 +52,13 @@ class CliSpec extends SparkSpec {
       "-k", "fixed", "-a", "-v")): @unchecked
     assert(cfg.key.contains("fixed") && cfg.aggregated && cfg.verbose)
   }
+  test("--verify-md5 parses; default stays reference-parity (no verification)") {
+    val Right(Cli.Consume(on)) =
+      Cli.parse(Seq("consume", "-s", "a", "--verify-md5")): @unchecked
+    assert(on.verifyMd5)
+    val Right(Cli.Consume(off)) = Cli.parse(Seq("consume", "-s", "a")): @unchecked
+    assert(!off.verifyMd5)
+  }
 
   // ---- the assembled consume pipeline (SURVEY §3.1 lifecycle)
   private def b(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
