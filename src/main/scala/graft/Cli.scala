@@ -144,10 +144,16 @@ object Cli {
     // fails BEFORE de-aggregation — a corrupt frame must not contribute any
     // children. The default keeps reference parity (never verifies,
     // consumer.go:174). Codegen'd expression on the scan, no extra pass.
+    // NULL data must pass through: both predicates are nullSafeEval, so
+    // without the explicit IS NULL arm a NULL-data row would evaluate to
+    // NULL and be silently dropped — a divergence from the default path
+    // (deaggregate passes NULLs through) beyond the flag's corrupt-frame
+    // scope.
     val verified =
       if (cfg.verifyMd5) {
         graft.plans.GraftExtensions.register(spark) // graft_is_kpl / graft_kpl_md5_ok
-        raw.filter(expr("NOT graft_is_kpl(data) OR graft_kpl_md5_ok(data)"))
+        raw.filter(expr(
+          "data IS NULL OR NOT graft_is_kpl(data) OR graft_kpl_md5_ok(data)"))
       } else raw
     val deagg = RecordPipeline.deaggregate(verified)
     val decoded =

@@ -198,17 +198,20 @@ object Multimodal {
   /** Batched REAL image decode — same mapInPandas-analog batch shape as
     * [[featurize]]: each `grouped(batchSize)` slice is one bounded-memory
     * unit of work per task (batchSize × blob size), decode runs entirely
-    * executor-side with no shuffle.
+    * executor-side with no shuffle. A foreign/undecodable blob (decode →
+    * null) DROPS the row — same posture as the KPL decoder — rather than
+    * killing the task.
     */
   def decodeImages(in: org.apache.spark.sql.Dataset[MmIn],
       batchSize: Int = 64): org.apache.spark.sql.Dataset[ImgDecoded] = {
     import in.sparkSession.implicits._
     in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val d = ImageCodec.decode(r.data)
-          ImgDecoded(r.doc_id, d.format, d.width, d.height, d.channels,
-            d.sampleSum, d.sampleMin, d.sampleMax)
+        batch.flatMap { r =>
+          Option(ImageCodec.decode(r.data)).map { d =>
+            ImgDecoded(r.doc_id, d.format, d.width, d.height, d.channels,
+              d.sampleSum, d.sampleMin, d.sampleMax)
+          }
         }
       }
     }

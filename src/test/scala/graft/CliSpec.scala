@@ -84,6 +84,38 @@ class CliSpec extends SparkSpec {
     assert(lines.toSeq == Seq("2024-01-02 03:04:05 compressed payload"))
   }
 
+  test("--verify-md5 passes NULL-data rows through while dropping corrupt frames") {
+    // graft_is_kpl/graft_kpl_md5_ok are nullSafeEval, so without the
+    // explicit `data IS NULL OR` arm a NULL-data row would filter to NULL
+    // and be silently dropped — diverging from the default path, which
+    // passes NULLs through deaggregate. The verify filter must only drop
+    // provably-corrupt KPL frames.
+    val dir = Files.createTempDirectory("graft-cli").toString
+    val goodFrame = graft.kpl.KplCodec.aggregate(Seq("k1" -> b("good payload\n")))
+    val corruptFrame = {
+      val f = goodFrame.clone()
+      f(f.length - 1) = (f(f.length - 1) ^ 0x5A).toByte // break the MD5 trailer
+      f
+    }
+    val rows = Seq(
+      Row("shardId-000000000000", 1L, Timestamp.valueOf("2024-01-02 03:04:05"),
+        "pk-good", goodFrame, "NONE"),
+      Row("shardId-000000000000", 2L, Timestamp.valueOf("2024-01-02 03:04:06"),
+        "pk-corrupt", corruptFrame, "NONE"),
+      Row("shardId-000000000000", 3L, Timestamp.valueOf("2024-01-02 03:04:07"),
+        "pk-null", null, "NONE"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), RecordSchema.schema)
+      .write.parquet(s"$dir/s1")
+    val cfg = Cli.ConsumeConfig(streams = Seq("s1"), iterator = "TRIM_HORIZON",
+      spool = dir, verifyMd5 = true)
+    val out = Cli.consumeFrame(spark, cfg, batch = true)
+      .collect().map(_.getString(0)).sorted
+    // corrupt frame dropped whole; good frame deaggregated; NULL-data row kept
+    assert(out.length == 2, s"got ${out.toSeq}")
+    assert(out.exists(_.endsWith("good payload")))
+    assert(out.forall(!_.contains("corrupt")))
+  }
+
   // ---- D1: first stream error terminates the query (consumer.go:57-61)
   test("fail-fast: a poisoned shard file kills the whole query") {
     val dir = Files.createTempDirectory("graft-cli").toString

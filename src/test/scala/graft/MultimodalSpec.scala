@@ -87,6 +87,21 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.decode(null) == null)
   }
 
+  test("decodeImages drops corrupt blobs instead of killing the task") {
+    // One genuine PNG, one garbage blob, one null blob in the same
+    // partition: the dataset op must surface only the decodable row —
+    // the KPL-style drop posture — not NPE the whole Spark task.
+    import spark.implicits._
+    val (w, h, c) = ImageCodec.dims(5L)
+    val rows = Seq(
+      MmIn(5L, ImageCodec.encode(5L, w, h, c)),
+      MmIn(6L, b("corrupt: not an image")),
+      MmIn(7L, null))
+    val out = Multimodal.decodeImages(rows.toDS().repartition(1)).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(5L))
+    assert(out.head.width == w && out.head.height == h && out.head.channels == c)
+  }
+
   test("featurize invokes the decoder exactly once per 64-record batch") {
     import spark.implicits._
     val rows = (0 until 200).map(i => MmIn(i.toLong, b(s"payload-$i")))
