@@ -303,11 +303,21 @@ object LlmQueries {
     },
 
     // ---------------------------------------------------------------- Q67
-    // SimHash near-dup pairing: 64-bit fingerprints split into 8 blocks of
-    // 8 bits; by pigeonhole, any pair within Hamming distance ≤7 shares at
-    // least one identical block, so the bucket-equality join on (block_idx,
-    // block) has guaranteed recall for the ≤5 threshold used here — and is
-    // never all-pairs (planted near-dups sit at ≤5, random pairs at ≥6).
+    // SimHash near-dup pairing, at SIGNATURE granularity: 64-bit
+    // fingerprints split into 6 pigeonhole blocks of 10–11 bits — Hamming
+    // ≤ 5 can flip at most 5 blocks, so every qualifying pair still shares
+    // one intact block (guaranteed recall), but each block now has 2^10+
+    // values instead of the 2^8 an 8-block split gives, so random bucket
+    // crowding shrinks 4–8×. The join runs over DISTINCT signatures, not
+    // docs: bag-of-words-identical documents (reordered boilerplate)
+    // collapse to ONE row before the quadratic step, and their pairs are
+    // emitted afterwards by an output-bound expansion join — the sf0.1→sf1
+    // scale run caught the doc-level formulation going quadratic (1.4 s →
+    // 59 s for 10× docs; this is the fix). Over-cap buckets (>BucketCap
+    // distinct sigs sharing a block value — mass boilerplate) are dropped
+    // like every LSH-family generator; Hamming verification is two
+    // codegen'd xor+bit_count ops on 32-bit halves, not a 64-char string
+    // walk.
     Q("q67_simhash_neardup", Some(s"""
       WITH corpus AS ($nearCorpusSql),
       sh AS (SELECT doc_id, array_to_string(
@@ -317,38 +327,68 @@ object LlmQueries {
               THEN 1 ELSE -1 END for t in string_split(text, ' ') ]) >= 0
             THEN '1' ELSE '0' END for b in range(0, 64) ], '') AS sim
         FROM corpus),
-      blocks AS (SELECT doc_id, j AS block_idx, substr(sim, 1 + 8*j, 8) AS block, sim
-                 FROM sh, (SELECT unnest([0,1,2,3,4,5,6,7]) AS j) t),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
-                 a.sim AS sim1, b.sim AS sim2
-               FROM blocks a JOIN blocks b
-                 ON a.block_idx = b.block_idx AND a.block = b.block
-                  AND a.doc_id < b.doc_id)
-      SELECT doc_id1, doc_id2,
-        CAST(list_sum([ CASE WHEN substr(sim1, i, 1) <> substr(sim2, i, 1)
-          THEN 1 ELSE 0 END for i in range(1, 65) ]) AS INT) AS hamming
-      FROM cand
-      WHERE list_sum([ CASE WHEN substr(sim1, i, 1) <> substr(sim2, i, 1)
-          THEN 1 ELSE 0 END for i in range(1, 65) ]) <= 5""")) { (s, dir) =>
+      dsig AS (SELECT DISTINCT sim FROM sh),
+      blocks AS (SELECT sim, j AS bi,
+          substr(sim, (64*j)//6 + 1, (64*(j+1))//6 - (64*j)//6) AS blk
+        FROM dsig, (SELECT unnest([0,1,2,3,4,5]) AS j) t),
+      capped AS (SELECT sim, bi, blk FROM (
+          SELECT sim, bi, blk, COUNT(*) OVER (PARTITION BY bi, blk) AS bucket_n
+          FROM blocks) cb
+        WHERE bucket_n <= $BucketCap),
+      spair AS (SELECT DISTINCT a.sim AS sim1, b.sim AS sim2
+                FROM capped a JOIN capped b
+                  ON a.bi = b.bi AND a.blk = b.blk AND a.sim < b.sim),
+      near AS (SELECT sim1, sim2, hamming FROM (
+          SELECT sim1, sim2,
+            CAST(list_sum([ CASE WHEN substr(sim1, i, 1) <> substr(sim2, i, 1)
+              THEN 1 ELSE 0 END for i in range(1, 65) ]) AS INT) AS hamming
+          FROM spair) hs
+        WHERE hamming <= 5)
+      SELECT least(a.doc_id, b.doc_id) AS doc_id1,
+             greatest(a.doc_id, b.doc_id) AS doc_id2, hamming
+      FROM near JOIN sh a ON a.sim = near.sim1 JOIN sh b ON b.sim = near.sim2
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, CAST(0 AS INT)
+      FROM sh a JOIN sh b ON a.sim = b.sim AND a.doc_id < b.doc_id""")) { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      val sh = nearCorpus(s, dir)
+      val sigs = nearCorpus(s, dir)
         .select(col("doc_id"), expr("graft_simhash64(text)").as("sim"))
-      val blocks = sh.selectExpr("doc_id", "sim", """
-          explode(transform(sequence(0, 7), j ->
-            struct(j AS block_idx, substring(sim, 1 + 8*j, 8) AS block))) AS b""")
-        .select(col("doc_id"), col("sim"), col("b.block_idx").as("block_idx"),
-          col("b.block").as("block"))
-      val a = blocks.select(col("doc_id").as("doc_id1"), col("sim").as("sim1"),
-        col("block_idx"), col("block"))
-      val b = blocks.select(col("doc_id").as("doc_id2"), col("sim").as("sim2"),
-        col("block_idx").as("bi2"), col("block").as("bl2"))
-      val cand = a.hint("merge").join(b,
-        a("block_idx") === b("bi2") && a("block") === b("bl2") &&
-          a("doc_id1") < b("doc_id2"))
-        .select("doc_id1", "doc_id2", "sim1", "sim2").distinct()
-      cand.withColumn("hamming", TextHash.hammingBits(col("sim1"), col("sim2")))
+      val dsig = sigs.select(col("sim")).distinct()
+        .selectExpr("sim",
+          "CAST(conv(substring(sim, 1, 32), 2, 10) AS BIGINT) AS hi",
+          "CAST(conv(substring(sim, 33, 32), 2, 10) AS BIGINT) AS lo")
+      val blocks = dsig.selectExpr("sim", "hi", "lo", """
+          explode(transform(sequence(0, 5), j -> struct(j AS bi,
+            substring(sim, CAST((64 * j) DIV 6 AS INT) + 1,
+              CAST((64 * (j + 1)) DIV 6 AS INT) - CAST((64 * j) DIV 6 AS INT)) AS blk))) AS b""")
+        .select(col("sim"), col("hi"), col("lo"),
+          xxhash64(col("b.bi"), col("b.blk")).as("bk64"))
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy(col("bk64"))))
+        .filter(col("bucket_n") <= BucketCap)
+        .select("sim", "hi", "lo", "bk64")
+      val l = blocks.select(col("sim").as("sim1"), col("hi").as("hi1"),
+        col("lo").as("lo1"), col("bk64"))
+      val r = blocks.select(col("sim").as("sim2"), col("hi").as("hi2"),
+        col("lo").as("lo2"), col("bk64").as("bk64b"))
+      val simPairs = l.hint("merge").join(r,
+        col("bk64") === col("bk64b") && col("sim1") < col("sim2"))
+        .select("sim1", "sim2", "hi1", "lo1", "hi2", "lo2").distinct()
+        .selectExpr("sim1", "sim2",
+          "CAST(bit_count(hi1 ^ hi2) + bit_count(lo1 ^ lo2) AS INT) AS hamming")
         .filter(col("hamming") <= 5)
-        .select("doc_id1", "doc_id2", "hamming")
+      val cross = simPairs
+        .join(sigs.select(col("sim").as("sim1"), col("doc_id").as("ida")), "sim1")
+        .join(sigs.select(col("sim").as("sim2"), col("doc_id").as("idb")), "sim2")
+        .select(least(col("ida"), col("idb")).as("doc_id1"),
+          greatest(col("ida"), col("idb")).as("doc_id2"), col("hamming"))
+      val intra = sigs.select(col("sim"), col("doc_id").as("doc_id1"))
+        .hint("merge")
+        .join(sigs.select(col("sim").as("simb"), col("doc_id").as("doc_id2")),
+          col("sim") === col("simb") && col("doc_id1") < col("doc_id2"))
+        .select(col("doc_id1"), col("doc_id2"),
+          lit(0).cast("int").as("hamming"))
+      cross.unionByName(intra)
     },
 
     // ---------------------------------------------------------------- Q44
@@ -1204,6 +1244,52 @@ object LlmQueries {
           AS BIGINT) AS shuffle_rank
       FROM documents""")) { (s, dir) =>
       trainingOrder(Tables.t(s, dir, "documents").select("doc_id"))
+    },
+
+    // --------------------------------------------------------------- Q105
+    // DETERMINISTIC train/val/test split: the assignment every training
+    // pipeline needs to be reproducible AND stable under corpus growth —
+    // adding documents never moves an existing doc between splits
+    // (hash-based, not row_number/percent-based, which reshuffle the
+    // universe on every insert). Bucket = first hex char of
+    // md5(doc_id): 0..b train (12/16), c..e val (3/16), f test (1/16).
+    // Scale shape: pure narrow projection over the scan — no shuffle, no
+    // window, trivially parallel at any corpus size.
+    Q("q105_hash_split", Some("""
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") <= "b", "train")
+            .when(col("bucket") <= "e", "val")
+            .otherwise("test"))
+    },
+
+    // --------------------------------------------------------------- Q107
+    // STRATIFIED deterministic sampling report: ~10% per-source sample
+    // (first two md5 hex chars < '1a' → 26/256 ≈ 10.16%) with per-stratum
+    // achieved rates — the "hold out a fixed slice of every source"
+    // operation behind eval-set carving and data ablations, plus the audit
+    // that no stratum drifted. Same hash-stability property as q105.
+    // Scale shape: one shuffle (groupBy source) over map-side partial
+    // counts; the sample membership itself is computed in the scan
+    // projection, so the heavy column (text) is never shuffled.
+    Q("q107_stratified_sample", Some("""
+      SELECT source, COUNT(*) AS n_docs,
+        SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 1 ELSE 0 END) AS n_sampled
+      FROM documents GROUP BY source""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("source"),
+          (substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
+            .cast("long").as("sampled"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("sampled")).as("n_sampled"))
     }
   )
 
@@ -1362,5 +1448,66 @@ object LlmQueries {
     labels.unpersist()
     edges.unpersist()
     (out, round)
+  }
+
+  /** Pre-verification candidate-set sizes for the dedup family — the
+    * empirical answer to "does candidate generation stay near-linear in
+    * corpus size, or is a bucket quietly going quadratic?" Each count is
+    * the row count of the SAME candidate generator the named query feeds
+    * into its verify stage (no verification applied — we are measuring the
+    * join fan-out the BucketCap guard is supposed to bound). Reported
+    * alongside per-query corpus sizes so growth can be normalized as
+    * pairs/doc across scale factors (see BASELINE.md's sf0.1 vs sf1
+    * table).
+    */
+  def candidateCounts(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    graft.plans.GraftExtensions.register(s)
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // q42: LSH candidate pairs over the near-dup corpus
+    val q42 = candidatePairs(nearCorpus(s, dir)).count()
+    // q83: bucket-neighbor rows feeding the 1-hop min (self-join, pre-agg)
+    val capped83 = cappedBands(nearCorpus(s, dir))
+    val q83 = capped83.select(col("doc_id"), col("bk64"))
+      .hint("merge")
+      .join(capped83.select(col("doc_id").as("nbr_id"), col("bk64").as("bk64b")),
+        col("bk64") === col("bk64b")).count()
+    // q87: distinct undirected bucket-graph edges feeding label propagation
+    val capped87 = cappedBands(chainCorpus(s, dir))
+    val q87 = capped87.select(col("doc_id").as("src"), col("bk64"))
+      .hint("merge")
+      .join(capped87.select(col("doc_id").as("dst"), col("bk64").as("bk64b")),
+        col("bk64") === col("bk64b") && col("src") < col("dst"))
+      .select("src", "dst").distinct().count()
+    // q96: delta-bands x index-bands candidates
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" xtr tok end")).as("text"))
+    val q96 = cappedBands(delta).select(col("doc_id").as("delta_id"),
+        col("bk64").as("bk64d"))
+      .hint("merge")
+      .join(cappedBands(docs).select(col("doc_id").as("index_id"), col("bk64")),
+        col("bk64d") === col("bk64"))
+      .select("delta_id", "index_id").distinct().count()
+    // q97: distinct doc pairs sharing a below-cap 20-token shingle
+    val corpus97 = docs.unionByName(
+      docs.filter(col("doc_id") % 20 === 0 && size(split(col("text"), " ")) >= 25)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat(lit("ctxa ctxb ctxc "),
+            array_join(slice(split(col("text"), " "), 1, 25), " "),
+            lit(" ctxd ctxe")).as("text")))
+    val sh97 = corpus97
+      .selectExpr("doc_id", "explode(graft_shingles(text, 20)) AS sh")
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh64"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh64"))))
+      .filter(col("df") <= BucketCap)
+      .select("doc_id", "sh64")
+    val q97 = sh97.select(col("doc_id").as("doc_id1"), col("sh64"))
+      .hint("merge")
+      .join(sh97.select(col("doc_id").as("doc_id2"), col("sh64").as("sh64b")),
+        col("sh64") === col("sh64b") && col("doc_id1") < col("doc_id2"))
+      .select("doc_id1", "doc_id2").distinct().count()
+    Seq("docs" -> docs.count(),
+      "q42_pairs" -> q42, "q83_neighbor_rows" -> q83, "q87_edges" -> q87,
+      "q96_pairs" -> q96, "q97_pairs" -> q97)
   }
 }

@@ -120,7 +120,52 @@ object VectorQueries {
             ORDER BY round(list_dot_product(p.qv, c.v) / (p.qn * c.nrm), 6) DESC,
                      c.vec_id) AS INT) AS rk
         FROM probe p JOIN n c ON c.label = p.label AND c.vec_id <> p.query_id) t
-      WHERE rk <= 5""")) { (s, dir) => ivfTopK(s, dir, probes = 2) }
+      WHERE rk <= 5""")) { (s, dir) => ivfTopK(s, dir, probes = 2) },
+
+    // --------------------------------------------------------------- Q106
+    // Embedding HYGIENE + normalization: the ingest guard in front of every
+    // vector operator — recompute each vector's L2 norm exactly (squared
+    // terms routed through DECIMAL so the reduction is order-independent,
+    // the q77/q78 discipline), emit the unit-normalized vector as an exact
+    // integer payload (floor(x/norm × 1e6) per dim, comma-joined — floor,
+    // not round, so no engine tie-break can diverge), and flag degenerate
+    // near-zero vectors instead of letting them NaN a cosine downstream
+    // (a zero vector yields an all-zero payload by definition, same guard
+    // as q78's zero-scale branch). Scale shape: pure narrow projection
+    // over the scan — no shuffle, no explode; the 100 TB form is a
+    // map-only pass.
+    Q("q106_embed_normalize", Some("""
+      WITH s AS (
+        SELECT vec_id,
+          CAST(list_sum(list_transform(embedding::DOUBLE[],
+            x -> CAST(x * x AS DECIMAL(26,12)))) AS DOUBLE) AS sumsq,
+          embedding::DOUBLE[] AS v
+        FROM embeddings)
+      SELECT vec_id,
+        CAST(floor(sqrt(sumsq) * 1000000) AS BIGINT) AS l2_norm_micro,
+        sumsq < 0.000001 AS degenerate,
+        CASE WHEN sumsq < 0.000001
+          THEN array_to_string([0 for x in v], ',')
+          ELSE array_to_string(list_transform(v,
+            x -> CAST(floor(x / sqrt(sumsq) * 1000000) AS BIGINT)), ',')
+        END AS unit_payload
+      FROM s""")) { (s, dir) =>
+      Tables.t(s, dir, "embeddings")
+        .selectExpr("vec_id",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .selectExpr("vec_id", "v",
+          """CAST(aggregate(v, CAST(0 AS DECIMAL(26,12)),
+               (a, x) -> CAST(a + CAST(x * x AS DECIMAL(26,12)) AS DECIMAL(26,12)))
+             AS DOUBLE) AS sumsq""")
+        .selectExpr("vec_id",
+          "CAST(floor(sqrt(sumsq) * 1000000) AS BIGINT) AS l2_norm_micro",
+          "sumsq < 0.000001 AS degenerate",
+          """CASE WHEN sumsq < 0.000001
+               THEN array_join(transform(v, x -> '0'), ',')
+               ELSE array_join(transform(v,
+                 x -> CAST(CAST(floor(x / sqrt(sumsq) * 1000000) AS BIGINT) AS STRING)), ',')
+             END AS unit_payload""")
+    }
   )
 
   /** IVF multi-probe candidate scores, probe count as a parameter: each

@@ -169,4 +169,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(filterIdx > aggIdx, // executedPlan prints top-down: agg above scan filter
       s"sample filter must sit below the aggregation (scan side):\n$p")
   }
+
+  test("q105/q106 map-only operators carry no exchange at all") {
+    // hash split and embedding normalization are pure narrow projections —
+    // any Exchange here means someone introduced a shuffle into what must
+    // be a map-only pass at 100 TB
+    import org.apache.spark.sql.execution.exchange.Exchange
+    for (q <- Seq("q105_hash_split", "q106_embed_normalize")) {
+      val ex = executed(q).collect { case e: Exchange => e }
+      assert(ex.isEmpty, s"$q must be map-only, found: ${ex.map(_.nodeName)}")
+    }
+  }
+
+  test("q107 stratified sample: membership is computed pre-shuffle, text never shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val all = executed("q107_stratified_sample")
+    val shuffles = all.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size == 1, s"expected exactly one groupBy shuffle, got ${shuffles.size}")
+    // partial aggregation collapses map-side: the exchange moves per-source
+    // partial counts, never doc rows — and the text column must be pruned
+    // out at the scan (membership needs only doc_id, the report only source)
+    shuffles.foreach { e =>
+      val cols = e.child.output.map(_.name).mkString(",")
+      assert(!cols.contains("text"), s"text column reached the shuffle: $cols")
+    }
+    val p = plan("q107_stratified_sample")
+    val read = p.replaceAll("(?s).*FileScan parquet \\[([^\\]]*)\\].*", "$1")
+    assert(!read.contains("text"), s"scan must prune text: $read")
+  }
 }
