@@ -165,6 +165,118 @@ object VectorQueries {
                ELSE array_join(transform(v,
                  x -> CAST(CAST(floor(x / sqrt(sumsq) * 1000000) AS BIGINT) AS STRING)), ',')
              END AS unit_payload""")
+    },
+
+    // --------------------------------------------------------------- Q108
+    // Random-hyperplane LSH near-dup over embeddings — the 100 TB scale
+    // path for q46. q46's IVF cells are a FIXED coarse partition (10
+    // labels), so its within-cell all-pairs join is quadratic in cell size
+    // as the corpus grows (the sf1 run measures q46 growing 13× for 10×
+    // vectors). Here candidates come from sign-pattern buckets instead:
+    // 128 deterministic hyperplanes (components derived from md5(p:d), so
+    // both engines build the identical matrix), signature = 128 projection
+    // signs, banded 8×16 bits — a cosine-0.99 planted pair agrees on a
+    // 16-bit band with p≈0.48, so ≥1 of 8 bands hits with p≈0.995, while a
+    // cosine-0.5 random pair passes a band with p≈0.0015 — then the same
+    // capped-bucket-equality join + exact cosine ≥ 0.9 verification as the
+    // text-LSH family. Projections are summed in DECIMAL so the sign bit
+    // is order-independent and bit-equal across engines. Bucket count
+    // grows with the corpus (2^16 values per band), so candidate growth
+    // stays near-linear where q46's is quadratic — and unlike q46 it can
+    // also surface cross-cell near-dups. Cost: one broadcast join against
+    // the 8192-row plane table + two bounded shuffles; never all-pairs.
+    Q("q108_embed_lsh_neardup", Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000,
+          [ CASE WHEN i = 1 THEN 0 ELSE v[i] END for i in range(1, len(v) + 1) ]
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        WHERE vec_id % 20 = 0),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      comps AS (SELECT vec_id, d, v[d + 1] AS x FROM base, range(0, 64) t(d)),
+      planes AS (
+        SELECT p, d,
+          (( (strpos('0123456789abcdef', substr(hs, 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(hs, 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(hs, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hs, 4, 1)) - 1)
+           ) / 32767.5) - 1.0 AS h
+        FROM (SELECT p, d,
+                md5('hp' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS hs
+              FROM range(0, 128) t1(p), range(0, 64) t2(d)) hq),
+      bits AS (SELECT vec_id, p, SUM(CAST(x * h AS DECIMAL(18,12))) AS dot
+               FROM comps c JOIN planes pl ON c.d = pl.d
+               GROUP BY vec_id, p),
+      bands AS (SELECT vec_id, p // 16 AS band_idx,
+                  string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END,
+                             '' ORDER BY p) AS band
+                FROM bits GROUP BY vec_id, p // 16),
+      capped AS (SELECT vec_id, band_idx, band FROM (
+          SELECT vec_id, band_idx, band,
+            COUNT(*) OVER (PARTITION BY band_idx, band) AS bucket_n
+          FROM bands) cb
+        WHERE bucket_n <= ${graft.operators.LlmQueries.BucketCap}),
+      cand AS (SELECT DISTINCT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+               FROM capped a JOIN capped b
+                 ON a.band_idx = b.band_idx AND a.band = b.band
+                  AND a.vec_id < b.vec_id)
+      SELECT vec_id1, vec_id2,
+        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+      FROM cand JOIN n a ON vec_id1 = a.vec_id JOIN n b ON vec_id2 = b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9""")) {
+      (s, dir) =>
+      import graft.operators.LlmQueries.BucketCap
+      graft.plans.GraftExtensions.register(s) // graft_vector_dot
+      val e = Tables.t(s, dir, "embeddings")
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
+      val planted = e.filter(col("vec_id") % 20 === 0)
+        .selectExpr("vec_id + 10000 AS vec_id",
+          "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
+      val base = e.unionByName(planted)
+        .select(col("vec_id"), col("v"),
+          sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
+      // deterministic hyperplane matrix — tiny (8192 rows), broadcast
+      val planes = s.range(0, 128).toDF("plane_id")
+        .select(col("plane_id"), explode(expr("sequence(0, 63)")).as("dim"))
+        .selectExpr("plane_id", "dim",
+          """(CAST(conv(substring(md5(concat('hp', CAST(plane_id AS STRING),
+             ':', CAST(dim AS STRING))), 1, 4), 16, 10) AS INT)
+             / 32767.5) - 1.0 AS h""")
+      val comps = base.select(col("vec_id"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      // per-(vector, plane) projection sign: decimal partial sums collapse
+      // map-side; the plane table broadcasts
+      val bits = comps.join(broadcast(planes), "dim")
+        .groupBy(col("vec_id"), col("plane_id"))
+        .agg(sum(expr("CAST(x * h AS DECIMAL(18,12))")).as("dot"))
+        .select(col("vec_id"), col("plane_id"),
+          when(col("dot") >= 0, "1").otherwise("0").as("bit"))
+      val bands = bits
+        .withColumn("band_idx", expr("CAST(plane_id DIV 16 AS INT)"))
+        .groupBy(col("vec_id"), col("band_idx")) // 16-row groups: bounded state
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(plane_id, bit))), s -> s.bit), '')")
+          .as("band"))
+        .select(col("vec_id"), xxhash64(col("band_idx"), col("band")).as("bk64"))
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy(col("bk64"))))
+        .filter(col("bucket_n") <= BucketCap)
+        .select("vec_id", "bk64")
+      val cand = bands.select(col("vec_id").as("vec_id1"), col("bk64"))
+        .hint("merge")
+        .join(bands.select(col("vec_id").as("vec_id2"), col("bk64").as("bk64b")),
+          col("bk64") === col("bk64b") && col("vec_id1") < col("vec_id2"))
+        .select("vec_id1", "vec_id2").distinct()
+      cand
+        .join(base.select(col("vec_id").as("vec_id1"), col("v").as("va"),
+          col("nrm").as("na")), "vec_id1")
+        .join(base.select(col("vec_id").as("vec_id2"), col("v").as("vb"),
+          col("nrm").as("nb")), "vec_id2")
+        .select(col("vec_id1"), col("vec_id2"),
+          round(expr("graft_vector_dot(va, vb)") / (col("na") * col("nb")), 6)
+            .as("sim"))
+        .filter(col("sim") >= 0.9)
     }
   )
 

@@ -72,4 +72,22 @@ class VectorSpec extends SparkSpec {
     val Seq(r1, r2, r3) = Seq(1, 2, 3).map(recall)
     assert(r1 <= r2 && r2 <= r3, s"recall not monotone: $r1, $r2, $r3")
   }
+
+  test("q108 hyperplane-LSH recall covers q46's exact within-cell pairs") {
+    // q46 is the exact (quadratic-in-cell) formulation; q108 is the scale
+    // path. Both are deterministic on the fixture, so recall is a fixed
+    // number — today 25/25. Assert ≥ 0.9 to pin the banding parameters
+    // (128 planes, 8×16 bands): a parameter change that tanks recall on
+    // the planted near-dups fails here, not at 100 TB.
+    def pairSet(name: String) =
+      run(name).select("vec_id1", "vec_id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet("q46_ivf_neardup")
+    val lsh = pairSet("q108_embed_lsh_neardup")
+    assert(exact.nonEmpty, "fixture must plant near-dup pairs")
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"hyperplane-LSH recall $recall < 0.9 vs q46")
+    // and every emitted pair is cosine-verified, never bucket-trusted
+    assert(run("q108_embed_lsh_neardup").where(col("sim") < 0.9).count() == 0)
+  }
 }
