@@ -179,8 +179,10 @@ object VectorQueries {
     // 16-bit band with p≈0.48, so ≥1 of 8 bands hits with p≈0.995, while a
     // cosine-0.5 random pair passes a band with p≈0.0015 — then the same
     // capped-bucket-equality join + exact cosine ≥ 0.9 verification as the
-    // text-LSH family. Projections are summed in DECIMAL so the sign bit
-    // is order-independent and bit-equal across engines. Bucket count
+    // text-LSH family. Projections run in the codegen'd
+    // `graft_hyperplane_sig` kernel: ascending double dot products, the
+    // same order as DuckDB's list_dot_product (the VectorDot contract), so
+    // the sign bits are bit-equal across engines. Bucket count
     // grows with the corpus (2^16 values per band), so candidate growth
     // stays near-linear where q46's is quadratic — and unlike q46 it can
     // also surface cross-cell near-dups. Cost: one broadcast join against
@@ -194,7 +196,6 @@ object VectorQueries {
         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         WHERE vec_id % 20 = 0),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
-      comps AS (SELECT vec_id, d, v[d + 1] AS x FROM base, range(0, 64) t(d)),
       planes AS (
         SELECT p, d,
           (( (strpos('0123456789abcdef', substr(hs, 1, 1)) - 1) * 4096
@@ -205,12 +206,12 @@ object VectorQueries {
         FROM (SELECT p, d,
                 md5('hp' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS hs
               FROM range(0, 128) t1(p), range(0, 64) t2(d)) hq),
-      bits AS (SELECT vec_id, p, SUM(CAST(x * h AS DECIMAL(18,12))) AS dot
-               FROM comps c JOIN planes pl ON c.d = pl.d
-               GROUP BY vec_id, p),
+      pvec AS (SELECT p, list(h ORDER BY d) AS hv FROM planes GROUP BY p),
+      bits AS (SELECT vec_id, p,
+                 CASE WHEN list_dot_product(v, hv) >= 0 THEN '1' ELSE '0' END AS bit
+               FROM base, pvec),
       bands AS (SELECT vec_id, p // 16 AS band_idx,
-                  string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END,
-                             '' ORDER BY p) AS band
+                  string_agg(bit, '' ORDER BY p) AS band
                 FROM bits GROUP BY vec_id, p // 16),
       capped AS (SELECT vec_id, band_idx, band FROM (
           SELECT vec_id, band_idx, band,
@@ -236,29 +237,17 @@ object VectorQueries {
       val base = e.unionByName(planted)
         .select(col("vec_id"), col("v"),
           sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
-      // deterministic hyperplane matrix — tiny (8192 rows), broadcast
-      val planes = s.range(0, 128).toDF("plane_id")
-        .select(col("plane_id"), explode(expr("sequence(0, 63)")).as("dim"))
-        .selectExpr("plane_id", "dim",
-          """(CAST(conv(substring(md5(concat('hp', CAST(plane_id AS STRING),
-             ':', CAST(dim AS STRING))), 1, 4), 16, 10) AS INT)
-             / 32767.5) - 1.0 AS h""")
-      val comps = base.select(col("vec_id"),
-        posexplode(col("v")).as(Seq("dim", "x")))
-      // per-(vector, plane) projection sign: decimal partial sums collapse
-      // map-side; the plane table broadcasts
-      val bits = comps.join(broadcast(planes), "dim")
-        .groupBy(col("vec_id"), col("plane_id"))
-        .agg(sum(expr("CAST(x * h AS DECIMAL(18,12))")).as("dot"))
-        .select(col("vec_id"), col("plane_id"),
-          when(col("dot") >= 0, "1").otherwise("0").as("bit"))
-      val bands = bits
-        .withColumn("band_idx", expr("CAST(plane_id DIV 16 AS INT)"))
-        .groupBy(col("vec_id"), col("band_idx")) // 16-row groups: bounded state
-        .agg(expr(
-          "array_join(transform(array_sort(collect_list(struct(plane_id, bit))), s -> s.bit), '')")
-          .as("band"))
-        .select(col("vec_id"), xxhash64(col("band_idx"), col("band")).as("bk64"))
+      // one codegen'd kernel pass per vector: 128 projection signs as a
+      // 128-char bit string (plane matrix is a JVM static mirrored by the
+      // oracle's md5-derived planes CTE), then 8×16-bit bands — no
+      // explode, no per-product Decimal, the signature scan stays in one
+      // WholeStageCodegen span like the text-LSH family's graft_minhash16
+      val bands = base
+        .selectExpr("vec_id", "graft_hyperplane_sig(v) AS sig")
+        .selectExpr("vec_id", """
+          explode(transform(sequence(0, 7), j -> struct(
+            j AS band_idx, substring(sig, 1 + 16*j, 16) AS band))) AS b""")
+        .select(col("vec_id"), xxhash64(col("b.band_idx"), col("b.band")).as("bk64"))
         .withColumn("bucket_n",
           count(lit(1)).over(Window.partitionBy(col("bk64"))))
         .filter(col("bucket_n") <= BucketCap)

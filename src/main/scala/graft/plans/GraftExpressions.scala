@@ -200,6 +200,70 @@ final case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_hyperplane_sig(array<double>) → string`: 128 random-hyperplane
+  * projection signs as a 128-char bit string — q108's signature kernel.
+  * Plane components are derived from md5("hp<p>:<d>") (first 4 hex chars
+  * → [0, 65535] → scaled to [-1, 1]), so the DuckDB oracle rebuilds the
+  * IDENTICAL matrix in SQL; each projection is an ascending left-to-right
+  * double dot product, the same order as `list_dot_product`, so the sign
+  * bits are bit-equal across engines (the [[VectorDot]] contract). A JVM
+  * kernel because the decimal-summed relational formulation allocates a
+  * Decimal per product — 17M allocations at sf0.1 (~22 s); this is one
+  * array pass (~17M flops, tens of ms).
+  */
+final case class HyperplaneSig(child: Expression) extends UnaryExpression {
+  private def isArrD(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isArrD(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires an ARRAY<DOUBLE> argument")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_hyperplane_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneSig.sig(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.HyperplaneSig.sig($c.toDoubleArray())")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  val Planes = 128
+  val Dims = 64
+
+  /** H[p][d] = (hex4(md5("hp<p>:<d>")) / 32767.5) - 1 — the exact formula
+    * the oracle's `planes` CTE computes from the same md5 hex chars.
+    */
+  private lazy val H: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Planes, Dims) { (p, d) =>
+      md.reset()
+      val h = md.digest(s"hp$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex4 = ((h(0) & 0xFF) << 8) | (h(1) & 0xFF)
+      (hex4 / 32767.5) - 1.0
+    }
+  }
+
+  def sig(v: Array[Double]): UTF8String = {
+    val bits = new Array[Byte](Planes)
+    val n = math.min(v.length, Dims)
+    var p = 0
+    while (p < Planes) {
+      val hp = H(p)
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += v(d) * hp(d); d += 1 }
+      bits(p) = if (s >= 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromBytes(bits)
+  }
+}
+
 /** Injector: `SparkSession.builder.withExtensions(new GraftExtensions)` at
   * session build time, or [[GraftExtensions.register]] on a live session.
   */
@@ -238,6 +302,9 @@ object GraftExtensions {
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(one(args, "graft_simhash64"))),
+    ("graft_hyperplane_sig",
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
+      (args: Seq[Expression]) => HyperplaneSig(one(args, "graft_hyperplane_sig"))),
     ("graft_shingles",
       new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
       (args: Seq[Expression]) => {
