@@ -121,6 +121,21 @@ object Multimodal {
         } finally reader.dispose()
       } finally iis.close()
     }
+
+    /** Full raster decode for pixel-level ops (resize); null on foreign
+      * blobs — same drop posture as [[decode]].
+      */
+    def decodeImage(blob: Array[Byte]): BufferedImage = {
+      if (blob == null) return null
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(blob))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        reader.setInput(iis)
+        try reader.read(0) finally reader.dispose()
+      } finally iis.close()
+    }
   }
 
   /** Fake blob container: `"GFT0" ++ width(2B BE) ++ height(2B BE) ++
@@ -233,6 +248,54 @@ object Multimodal {
     }
   }
 
+  final case class ImgResizedStats(doc_id: Long, rw: Int, rh: Int,
+      rsum: Long, rmin: Int, rmax: Int)
+
+  /** Batched REAL half-resolution resize: decode the PNG raster, take the
+    * nearest-neighbor downsample (source pixel (2x, 2y) per target pixel —
+    * the deterministic resize mode, so the oracle can regenerate every
+    * resized sample arithmetically), fold stats. Same bounded-batch
+    * mapPartitions shape and null-drop posture as [[decodeImages]];
+    * degenerate targets (rw or rh = 0) drop like undecodable blobs.
+    */
+  def resizeHalfStats(in: org.apache.spark.sql.Dataset[MmIn],
+      batchSize: Int = 64): org.apache.spark.sql.Dataset[ImgResizedStats] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          Option(ImageCodec.decodeImage(r.data)).flatMap { img =>
+            val raster = img.getRaster
+            val c = raster.getNumBands
+            val rw = img.getWidth / 2
+            val rh = img.getHeight / 2
+            if (rw == 0 || rh == 0) None
+            else {
+              var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+              var y = 0
+              while (y < rh) {
+                var x = 0
+                while (x < rw) {
+                  var b = 0
+                  while (b < c) {
+                    val v = raster.getSample(2 * x, 2 * y, b)
+                    sum += v
+                    if (v < mn) mn = v
+                    if (v > mx) mx = v
+                    b += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              Some(ImgResizedStats(r.doc_id, rw, rh, sum, mn, mx))
+            }
+          }
+        }
+      }
+    }
+  }
+
   private val encodePng = udf { (docId: Long) =>
     val (w, h, c) = ImageCodec.dims(docId)
     ImageCodec.encode(docId, w, h, c)
@@ -318,6 +381,34 @@ object Multimodal {
         .selectExpr("doc_id", """
           array_join(transform(sequence(0, 3), j ->
             substring(text, 1 + j * (length(text) div 4), 8)), '|') AS frames""")
+    },
+
+    // --------------------------------------------------------------- Q109
+    // REAL image RESIZE: q60 only plans the half-resolution target; this
+    // executes it — decode the PNG raster, nearest-neighbor downsample
+    // (target pixel (x, y) ← source pixel (2x, 2y)), fold stats over the
+    // resized raster. Deterministic pixel generation makes the resize
+    // itself oracle-able: DuckDB regenerates exactly the even-coordinate
+    // lattice samples and must agree bit-for-bit. Same scale posture as
+    // q61: narrow batched per-partition decode pass, no shuffle until the
+    // (tiny) result.
+    Q("q109_mm_resize", Some("""
+      WITH px AS (
+        SELECT d.doc_id,
+          CAST((4 + d.doc_id % 13) // 2 AS INT) AS rw,
+          CAST((4 + d.doc_id % 11) // 2 AS INT) AS rh,
+          (d.doc_id * 31 + (2 * x.xi) * 7 + (2 * y.yi) * 13 + b.bi * 97) % 256 AS val
+        FROM documents d, range(0, 8) x(xi), range(0, 7) y(yi), range(0, 4) b(bi)
+        WHERE x.xi < (4 + d.doc_id % 13) // 2
+          AND y.yi < (4 + d.doc_id % 11) // 2
+          AND b.bi < CASE d.doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+      )
+      SELECT doc_id, rw, rh,
+        CAST(sum(val) AS BIGINT) AS rsum,
+        CAST(min(val) AS INT) AS rmin,
+        CAST(max(val) AS INT) AS rmax
+      FROM px GROUP BY doc_id, rw, rh""")) { (s, dir) =>
+      resizeHalfStats(pngBlobs(s, dir)).toDF()
     }
   )
 }

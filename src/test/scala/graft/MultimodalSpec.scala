@@ -87,6 +87,25 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.decode(null) == null)
   }
 
+  test("resizeHalfStats: nearest-neighbor picks exactly the even lattice") {
+    // doc 0: 4x4 gray — resized 2x2 takes source pixels (0,0) (2,0) (0,2)
+    // (2,2); assert against the hand-computed sample() values, proving a
+    // real raster decode + downsample, not a stats shortcut
+    import spark.implicits._
+    val (w, h, c) = ImageCodec.dims(0L)
+    assert((w, h, c) == (4, 4, 1))
+    val in = Seq(Multimodal.MmIn(0L, ImageCodec.encode(0L, w, h, c)),
+      Multimodal.MmIn(1L, b("not an image"))).toDS()
+    val out = Multimodal.resizeHalfStats(in).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(0L)) // corrupt blob dropped
+    val expected = for (y <- Seq(0, 2); x <- Seq(0, 2))
+      yield ImageCodec.sample(0L, x, y, 0)
+    val r = out.head
+    assert(r.rw == 2 && r.rh == 2)
+    assert(r.rsum == expected.map(_.toLong).sum &&
+      r.rmin == expected.min && r.rmax == expected.max)
+  }
+
   test("decodeImages drops corrupt blobs instead of killing the task") {
     // One genuine PNG, one garbage blob, one null blob in the same
     // partition: the dataset op must surface only the decodable row —
