@@ -22,7 +22,8 @@ object DedupMetrics {
     Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val counts = operators.LlmQueries.candidateCounts(spark, sfDir)
+    val counts = operators.LlmQueries.candidateCounts(spark, sfDir) ++
+      operators.VectorQueries.candidateCounts(spark, sfDir)
     val fields = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"dedup_candidates","sf":"$sfDir",$fields}""")
     spark.stop()

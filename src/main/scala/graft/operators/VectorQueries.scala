@@ -182,11 +182,14 @@ object VectorQueries {
     // text-LSH family. Projections run in the codegen'd
     // `graft_hyperplane_sig` kernel: ascending double dot products, the
     // same order as DuckDB's list_dot_product (the VectorDot contract), so
-    // the sign bits are bit-equal across engines. Bucket count
-    // grows with the corpus (2^16 values per band), so candidate growth
-    // stays near-linear where q46's is quadratic — and unlike q46 it can
-    // also surface cross-cell near-dups. Cost: one broadcast join against
-    // the 8192-row plane table + two bounded shuffles; never all-pairs.
+    // the sign bits are bit-equal across engines. Bucket count grows with
+    // the corpus (2^16 values per band), so candidates collapse vs q46's
+    // Σcell² — measured 397× fewer at sf1 (DEDUP_CANDIDATES_r08.json:
+    // 55.7k vs 22.1M; q46 grew exactly 100× for 10× vectors). The
+    // residual n²·2⁻¹⁶·bands random-collision term every sign-LSH carries
+    // is the documented tradeoff; band width is the log₂(n) knob that
+    // keeps it flat at larger corpora. Unlike q46 this also surfaces
+    // cross-cell near-dups.
     Q("q108_embed_lsh_neardup", Some(s"""
       WITH base AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -268,6 +271,43 @@ object VectorQueries {
         .filter(col("sim") >= 0.9)
     }
   )
+
+  /** Pre-verification candidate-pair counts for the embedding near-dup
+    * pair: q46's within-cell all-pairs vs q108's hyperplane buckets — the
+    * embedding-side twin of [[LlmQueries.candidateCounts]]. Measured at
+    * sf0.1 vs sf1 this shows WHY q108 exists: fixed coarse cells make
+    * q46's candidate set quadratic in corpus size, while sign-pattern
+    * buckets keep q108's near-linear.
+    */
+  def candidateCounts(s: SparkSession, dir: String): Seq[(String, Long)] = {
+    import graft.operators.LlmQueries.BucketCap
+    graft.plans.GraftExtensions.register(s)
+    val e = Tables.t(s, dir, "embeddings")
+      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v")
+    val planted = e.filter(col("vec_id") % 20 === 0)
+      .selectExpr("vec_id + 10000 AS vec_id", "label",
+        "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
+    val base = e.unionByName(planted)
+    // q46 candidates: same-cell pairs (the join's row count before cosine)
+    val q46 = base.select(col("vec_id").as("id1"), col("label"))
+      .join(base.select(col("vec_id").as("id2"), col("label").as("l2")),
+        col("label") === col("l2") && col("id1") < col("id2")).count()
+    // q108 candidates: capped hyperplane-band bucket pairs, pre-cosine
+    val bands = base
+      .selectExpr("vec_id", "graft_hyperplane_sig(v) AS sig")
+      .selectExpr("vec_id", """
+        explode(transform(sequence(0, 7), j -> struct(
+          j AS band_idx, substring(sig, 1 + 16*j, 16) AS band))) AS b""")
+      .select(col("vec_id"), xxhash64(col("b.band_idx"), col("b.band")).as("bk64"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bk64"))))
+      .filter(col("bucket_n") <= BucketCap)
+      .select("vec_id", "bk64")
+    val q108 = bands.select(col("vec_id").as("id1"), col("bk64"))
+      .join(bands.select(col("vec_id").as("id2"), col("bk64").as("bk64b")),
+        col("bk64") === col("bk64b") && col("id1") < col("id2"))
+      .select("id1", "id2").distinct().count()
+    Seq("vectors" -> base.count(), "q46_pairs" -> q46, "q108_pairs" -> q108)
+  }
 
   /** IVF multi-probe candidate scores, probe count as a parameter: each
     * query scores every vector in its HOME cell plus its `probes - 1`
