@@ -1305,22 +1305,23 @@ object LlmQueries {
   }
 
   /** argmax(quality, tie → min doc_id) per cluster over (doc_id, canonical,
-    * quality) rows, as two exact hash aggregations: per-cluster max, then
-    * min(doc_id) among the members achieving it. No window, no sort —
-    * both shuffles key on `canonical`, so at 100 TB this is two map-side-
-    * combining exchanges over cluster-count-sized data. Public so
-    * DedupSpec can pin the tie-break on a controlled cluster table.
+    * quality) rows, as ONE exact hash aggregation: max of the struct
+    * (quality, -doc_id) orders lexicographically — highest quality first,
+    * then the negated id so ties resolve to the SMALLEST doc_id. No
+    * window, no sort, and crucially a single pass over the member table:
+    * the earlier two-aggregation form (groupBy-max + join-back-and-filter)
+    * consumed `m` twice, which recomputed the whole corpus+quality subtree
+    * per use — at sf1 that doubled q103's non-CC cost. One map-side-
+    * combining exchange on `canonical` at any scale. Public so DedupSpec
+    * can pin the tie-break on a controlled cluster table.
     */
-  def keepBest(m: DataFrame): DataFrame = {
-    val mx = m.groupBy("canonical")
-      .agg(max("quality").as("max_quality"), count(lit(1)).as("n_members"))
-    m.join(mx, "canonical")
-      .filter(col("quality") === col("max_quality"))
-      .groupBy(col("canonical").as("cluster_id"), col("max_quality"),
-        col("n_members"))
-      .agg(min(col("doc_id")).as("keep_id"))
-      .select("cluster_id", "keep_id", "max_quality", "n_members")
-  }
+  def keepBest(m: DataFrame): DataFrame =
+    m.groupBy(col("canonical").as("cluster_id"))
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("best.nid")).as("keep_id"),
+        col("best.quality").as("max_quality"), col("n_members"))
 
   /** q104 kernel: deterministic global rank of every doc under the
     * md5(doc_id) permutation WITHOUT a global sort. Two-pass distributed
