@@ -1290,6 +1290,34 @@ object LlmQueries {
             .cast("long").as("sampled"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("sampled")).as("n_sampled"))
+    },
+
+    // --------------------------------------------------------------- Q110
+    // Stutter REMOVAL — the cleaning twin of q91's repetition *scoring*:
+    // collapse runs of consecutive identical tokens to one occurrence
+    // ("the the the" → "the"), the classic crawl/OCR artifact fix, and
+    // report how many tokens were dropped. Pure narrow projection (array
+    // lambda over the token vector, no shuffle) — a map-only pass at any
+    // corpus size, and the emitted clean_text is the exact payload a
+    // downstream tokenizer consumes, so the oracle compares it verbatim.
+    Q("q110_stutter_removal", Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id,
+        array_to_string([ toks[i] for i in range(1, len(toks) + 1)
+                          if i = 1 or toks[i] <> toks[i-1] ], ' ') AS clean_text,
+        CAST(len(toks) - len([ toks[i] for i in range(1, len(toks) + 1)
+                               if i = 1 or toks[i] <> toks[i-1] ]) AS INT)
+          AS n_removed
+      FROM t""")) { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id",
+          """filter(transform(toks, (w, i) -> struct(w AS w, i AS i)),
+               s -> s.i = 0 OR s.w != element_at(toks, s.i)) AS kept""",
+          "size(toks) AS n_toks")
+        .selectExpr("doc_id",
+          "array_join(transform(kept, s -> s.w), ' ') AS clean_text",
+          "CAST(n_toks - size(kept) AS INT) AS n_removed")
     }
   )
 
