@@ -1201,10 +1201,10 @@ object LlmQueries {
     // per cluster. The planted chain corpus makes the interesting branch
     // fire: B/C copies append distinct junk tokens, which RAISES their
     // TTR and length terms, so most chains keep a non-original member.
-    // Shape: two exact aggregations (groupBy-max, then min(doc_id) over
-    // the members achieving the max) — no window, no sort; equality on
-    // the rounded quality doubles is exact because the max IS one of the
-    // values. ~2 shuffles on canonical beyond the CC pass itself.
+    // Shape: a single argmax aggregation — max(struct(quality, -doc_id))
+    // per cluster (see [[qualityKeep]]) — no window, no sort, no second
+    // pass; tie on quality resolves to min doc_id via the negated id in
+    // the struct. ONE shuffle on canonical beyond the CC pass itself.
     Q("q103_quality_keep", Some(s"""
       WITH RECURSIVE bands AS (${bandTableSql(chainCorpusSql)}),
       capped AS (${cappedSql("bands")}),
@@ -1281,8 +1281,8 @@ object LlmQueries {
     // projection, so the heavy column (text) is never shuffled.
     Q("q107_stratified_sample", Some("""
       SELECT source, COUNT(*) AS n_docs,
-        SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
-            THEN 1 ELSE 0 END) AS n_sampled
+        CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       FROM documents GROUP BY source""")) { (s, dir) =>
       Tables.t(s, dir, "documents")
         .select(col("source"),

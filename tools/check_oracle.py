@@ -47,6 +47,19 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
         return problems
     for c in g.columns:
         a, b = g[c].to_numpy(), w[c].to_numpy()
+        # Dtype-strict: an integer column on one side vs a float column on
+        # the other means the DECLARED types disagree (e.g. DuckDB HUGEINT
+        # -> float64 vs Spark BIGINT -> int64). The driver's gate hashes
+        # "4.0" vs "4" as a mismatch, so float-comparing here would pass
+        # what the driver fails (this is exactly how q107's bare
+        # SUM(CASE...) slipped through in round 8). Fail loudly instead.
+        kinds = {a.dtype.kind, b.dtype.kind}
+        if "f" in kinds and kinds & {"i", "u"}:
+            problems.append(
+                f"col {c}: dtype mismatch spark={a.dtype} oracle={b.dtype} "
+                f"(integer vs float — likely a missing CAST in the oracle SQL; "
+                f"DuckDB widens SUM of integers to HUGEINT/float)")
+            continue
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             af = a.astype(float); bf = b.astype(float)
             eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
