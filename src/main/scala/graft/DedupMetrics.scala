@@ -23,6 +23,7 @@ object DedupMetrics {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val counts = operators.LlmQueries.candidateCounts(spark, sfDir) ++
+      operators.StatsQueries.candidateCounts(spark, sfDir) ++
       operators.VectorQueries.candidateCounts(spark, sfDir)
     val fields = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"metric":"dedup_candidates","sf":"$sfDir",$fields}""")

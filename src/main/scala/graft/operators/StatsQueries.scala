@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -27,6 +28,56 @@ object StatsQueries {
 
   private def dsum(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(28,4))) AS DOUBLE)"
+
+  /** q75's blocking table: (doc_id, text, tok0, band) with blocks larger
+    * than `cap` docs dropped — the [[LlmQueries.BucketCap]] guard applied
+    * to the (first-token, length-band) key. The per-block count is a
+    * window over the same key the candidate join shuffles on, so the cap
+    * adds no extra exchange. Public so EditDedupSpec can plant a
+    * hot-first-token corpus and [[graft.DedupMetrics]] can measure pair
+    * growth across scale points.
+    */
+  def editBlocks(docs: DataFrame, cap: Int = LlmQueries.BucketCap): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        expr("split_part(text, ' ', 1)").as("tok0"),
+        expr("n_chars div 16").as("band"))
+      .withColumn("block_n",
+        count(lit(1)).over(Window.partitionBy(col("tok0"), col("band"))))
+      .filter(col("block_n") <= cap)
+      .drop("block_n")
+
+  /** q75's candidate pairs (left_id < right_id) from capped blocks, before
+    * edit-distance verification — the measurable surface of the cap.
+    */
+  def editCandidates(docs: DataFrame,
+                     cap: Int = LlmQueries.BucketCap): DataFrame = {
+    val d = editBlocks(docs, cap)
+    val a = d.select(col("doc_id").as("left_id"), col("text").as("lt"),
+      col("tok0"), col("band"))
+    val b = d.select(col("doc_id").as("right_id"), col("text").as("rt"),
+      col("tok0"), col("band"))
+    // merge hint: both sides shuffle on the block key with identical child
+    // plans → ReusedExchange computes the blocking table once.
+    a.hint("merge").join(b, Seq("tok0", "band"))
+      .where(col("left_id") < col("right_id"))
+  }
+
+  /** Edit-distance near-dup over capped blocks, exact banded levenshtein
+    * verify: O(len·k) per pair via the threshold form (returns -1 above
+    * the threshold, filtered out).
+    */
+  def editNearDup(docs: DataFrame,
+                  cap: Int = LlmQueries.BucketCap): DataFrame =
+    editCandidates(docs, cap)
+      .select(col("left_id"), col("right_id"),
+        levenshtein(col("lt"), col("rt"), 25).as("edit_dist"))
+      .where(col("edit_dist") >= 0)
+
+  /** Candidate-growth probe rows for [[graft.DedupMetrics]]. */
+  def candidateCounts(s: SparkSession, dir: String): Seq[(String, Long)] =
+    Seq("q75_pairs" ->
+      editCandidates(Tables.t(s, dir, "documents")).count())
 
   /** Exact decimal moment sums (identical text runs on both engines). */
   private val moments = Seq(
@@ -225,31 +276,31 @@ object StatsQueries {
     // (first token + length band) — never all-pairs — verified with exact
     // levenshtein ≤ 25. Same candidate recall tradeoff as banded LSH: a
     // pair split across blocks is unseen, which both engines replicate
-    // exactly. At 100 TB the block key is the shuffle key; block sizes are
-    // bounded, so the per-block self-join stays local and skew-safe.
-    Q("q75_edit_neardup", Some("""
+    // exactly. Blocks over [[LlmQueries.BucketCap]] docs are DROPPED, same
+    // guard as every LSH-family generator: a natural-language corpus
+    // concentrates first tokens ("The …"), and an uncapped hot block is a
+    // quadratic self-join waiting for scale (this was the suite's last
+    // uncapped candidate generator). At 100 TB the block key is the
+    // shuffle key; with the cap every per-block self-join is ≤ cap² pairs,
+    // so the stage is skew-safe by construction. Both engines apply the
+    // identical cap, so the oracle stays bit-exact.
+    Q("q75_edit_neardup", Some(s"""
+      WITH blk AS (
+        SELECT doc_id, text, split_part(text, ' ', 1) AS tok0,
+               n_chars // 16 AS band
+        FROM documents),
+      capped AS (
+        SELECT doc_id, text, tok0, band FROM (
+          SELECT doc_id, text, tok0, band,
+            COUNT(*) OVER (PARTITION BY tok0, band) AS block_n
+          FROM blk) cb
+        WHERE block_n <= ${LlmQueries.BucketCap})
       SELECT a.doc_id AS left_id, b.doc_id AS right_id,
         levenshtein(a.text, b.text) AS edit_dist
-      FROM documents a JOIN documents b
-        ON split_part(a.text, ' ', 1) = split_part(b.text, ' ', 1)
-       AND a.n_chars // 16 = b.n_chars // 16
-       AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b
+        ON a.tok0 = b.tok0 AND a.band = b.band AND a.doc_id < b.doc_id
       WHERE levenshtein(a.text, b.text) <= 25""")) { (s, dir) =>
-      val d = Tables.t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          expr("split_part(text, ' ', 1)").as("tok0"),
-          expr("n_chars div 16").as("band"))
-      val a = d.select(col("doc_id").as("left_id"), col("text").as("lt"),
-        col("tok0"), col("band"))
-      val b = d.select(col("doc_id").as("right_id"), col("text").as("rt"),
-        col("tok0"), col("band"))
-      a.join(b, Seq("tok0", "band"))
-        .where(col("left_id") < col("right_id"))
-        .select(col("left_id"), col("right_id"),
-          // threshold form: banded DP early-exits at distance > 25 —
-          // O(len·k) instead of O(len²) per pair (returns -1 above it)
-          levenshtein(col("lt"), col("rt"), 25).as("edit_dist"))
-        .where(col("edit_dist") >= 0)
+      editNearDup(Tables.t(s, dir, "documents"))
     },
 
     // ---------------------------------------------------------------- Q76

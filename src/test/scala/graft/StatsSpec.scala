@@ -110,6 +110,41 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q75 hot-first-token blocks are capped: fan-out stays bounded") {
+    import spark.implicits._
+    // 500 docs sharing first token AND length band — natural-language
+    // first-token concentration ("The …") in its worst form. Uncapped,
+    // the (tok0, band) self-join emits C(500,2) ≈ 125k pairs; the
+    // BucketCap guard must drop the whole block. Plus one small block
+    // (distinct first token) whose near-dup pair must survive untouched.
+    val mega = (1L to 500L).map { i =>
+      (i, f"The common boilerplate sentence number $i%04d")
+    }
+    val pair = Seq(
+      (1001L, "Zebra quick brown fox jumps over the lazy dog"),
+      (2001L, "Zebra quick brown fox jumped over the lazy dog"))
+    val corpus = (mega ++ pair)
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+
+    val capped = operators.StatsQueries.editCandidates(corpus)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1001L, 2001L)),
+      s"cap must keep exactly the small block's pair, got ${capped.size} pairs")
+
+    // with the cap lifted the quadratic blow-up is real — the guard is
+    // doing work, not passing an already-small block
+    val uncapped = operators.StatsQueries.editCandidates(corpus, cap = 1000).count()
+    assert(uncapped >= 500L * 499 / 2,
+      s"uncapped blocks should explode quadratically, got $uncapped")
+
+    // the surviving pair verifies at its true edit distance
+    val nd = operators.StatsQueries.editNearDup(corpus).collect()
+    assert(nd.length == 1 && nd.head.getLong(0) == 1001L
+      && nd.head.getInt(2) == 2 && nd.head.getLong(1) == 2001L)
+  }
+
   test("q76 gap-fill emits a dense day × event_type grid with zero fills") {
     val df = run("q76_gapfill")
     val types = df.select("event_type").distinct().count()
