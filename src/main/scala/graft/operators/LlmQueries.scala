@@ -1325,11 +1325,22 @@ object LlmQueries {
     * score, each cluster reduced to its best member ([[keepBest]]).
     */
   def qualityKeep(corpus: DataFrame): DataFrame = {
-    val cc = connectedComponents(corpus).select("doc_id", "canonical")
-    val qual = corpus
+    // the corpus feeds BOTH the CC pass and the quality scorer — persist
+    // it so the (expensive, generated) corpus subtree is computed once,
+    // then checkpoint the narrow member table and release the cache: the
+    // CC output is already materialized (labelPropagation checkpoints),
+    // so after this nothing lazy still references the corpus (unpersisted
+    // at sf1 the corpus was rebuilt per consumer, ~2× its build cost)
+    val c = corpus.persist()
+    val cc = connectedComponents(c).select("doc_id", "canonical")
+    val qual = c
       .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"$qualitySparkSql AS quality")
-    keepBest(cc.join(qual, "doc_id").select("doc_id", "canonical", "quality"))
+    val members = cc.join(qual, "doc_id")
+      .select("doc_id", "canonical", "quality")
+      .localCheckpoint(true)
+    c.unpersist()
+    keepBest(members)
   }
 
   /** argmax(quality, tie → min doc_id) per cluster over (doc_id, canonical,
@@ -1356,24 +1367,34 @@ object LlmQueries {
     * ranking — the same structure RangePartitioner uses (a tiny metadata
     * pass, then one partitioned pass), but with deterministic hash-prefix
     * shards instead of sampled range boundaries:
-    *  1. shard = first 2 hex digits of the key (256 shards, fixed for any
-    *     corpus size); per-shard counts are a 256-row aggregate collected
-    *     to the driver — bounded by construction, like the IVF centroid
-    *     table — and turned into prefix-sum offsets;
+    *  1. shard = first `prefixHexDigits` hex digits of the key (16^p
+    *     shards, fixed for any corpus size); per-shard counts are a
+    *     16^p-row aggregate collected to the driver — bounded by
+    *     construction, like the IVF centroid table — and turned into
+    *     prefix-sum offsets;
     *  2. rank = shard offset + row_number within the shard (window
     *     PARTITIONED by shard — never a global single-partition window),
     *     offsets joined back by broadcast.
     * md5 is a bijective-in-practice permutation of doc_ids (a collision
     * would only tie two docs, broken by the doc_id tiebreak), and hex
     * prefix order == string order, so shard-major + within-shard order
-    * IS the global md5 order.
+    * IS the global md5 order — for ANY prefix width: widening the prefix
+    * only refines the same string order, so the rank is
+    * width-invariant (SamplingSpec pins ranks identical at widths 2 and
+    * 4). The width is therefore purely a parallelism knob: p=3 gives
+    * 4096-way sort parallelism (~0.02% of the corpus per window task at
+    * any scale) where the old fixed p=2 capped it at 256 tasks; p=4
+    * (65536 shards) is the 100 TB setting. Keys are uniform (md5), so
+    * shard skew is a non-issue at every width.
     */
-  def trainingOrder(docs: DataFrame): DataFrame = {
+  def trainingOrder(docs: DataFrame, prefixHexDigits: Int = 3): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val p = prefixHexDigits
+    require(p >= 1 && p <= 7, s"prefix width $p outside conv()'s INT range")
     val keyed = docs
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("skey"))
-      .withColumn("shard", expr("CAST(conv(substring(skey, 1, 2), 16, 10) AS INT)"))
+      .withColumn("shard", expr(s"CAST(conv(substring(skey, 1, $p), 16, 10) AS INT)"))
     val counts = keyed.groupBy("shard").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._1)
@@ -1406,65 +1427,99 @@ object LlmQueries {
     * diameter d and pin the pointer-halving claim as a measured round
     * count (≤ ceil(log2(d)) + 2), the way PlanAuditSpec pins plans.
     * Returns (labels, rounds); rounds counts every executed propagation
-    * round including the final no-change confirmation round.
+    * round including the final no-change confirmation round (the round
+    * whose empty change-set ends the loop).
     *
-    * Contract: `docs.doc_id` must be LongType (convergence is detected via
-    * sum(canonical), read as a Long). `edgesIn` must be symmetric; self-edges
-    * are NOT required — each doc's own current label always participates in
-    * the min, so labels are monotone non-increasing regardless of edge shape
-    * (without that, a self-edge-free symmetric chain can swap labels forever
-    * while the sum-based check reports a false fixed point).
+    * Contract: `docs.doc_id` must be LongType. `edgesIn` must be
+    * symmetric; self-edges are NOT required — each doc's own current label
+    * always participates in the min, so labels are monotone non-increasing
+    * regardless of edge shape (without that, a self-edge-free symmetric
+    * chain can swap labels forever while an empty per-round change-set
+    * reports a false fixed point).
     */
   def labelPropagation(docs: DataFrame, edgesIn: DataFrame): (DataFrame, Int) = {
     val edges = edgesIn.distinct().persist()
     edges.count()
     var labels = docs.select(col("doc_id"),
       col("doc_id").as("canonical")).persist()
-    // convergence by the sum of labels: min-propagation only ever lowers
-    // a label, so an unchanged sum == a fixed point (one cheap scalar
-    // action per round instead of a join-and-diff); coalesce guards the
-    // empty-corpus case where sum() is NULL
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("canonical"), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
+    // SHRINKING FRONTIER: each round propagates only from docs whose label
+    // changed in the previous round (round 0: everything). Re-sending an
+    // unchanged label is a no-op under min-merge — it was already sent the
+    // round after it last changed — so an empty frontier IS the edge-prop
+    // fixed point, which for a symmetric edge list forces labels constant
+    // (= the min) on every component. Late rounds of a large-diameter
+    // component thus join a tiny frontier against the edges instead of
+    // the full corpus-sized label set, and convergence is detected by the
+    // frontier count the loop needs anyway (no extra sum() action).
+    var frontier = labels
+    var frontierN = labels.count()
     var round = 0
-    while (!converged) {
+    while (frontierN > 0) {
       round += 1
-      val nbr = labels.select(col("doc_id").as("nbr"),
+      val nbr = frontier.select(col("doc_id").as("nbr"),
         col("canonical").as("nbr_can"))
-      // min over bucket neighbors' labels AND the doc's own current label
-      // (the own-label term makes labels monotone non-increasing even when
-      // the edge list carries no self-edges — see the contract above);
-      // LEFT join keeps docs with no edges at all (<3 tokens → every
-      // band_key NULL), which the oracle's closure anchor keeps too
+      // min over FRONTIER bucket-neighbors' labels AND the doc's own
+      // current label (the own-label term makes labels monotone
+      // non-increasing even when the edge list carries no self-edges —
+      // see the contract above); LEFT join keeps docs with no edges at
+      // all (<3 tokens → every band_key NULL), which the oracle's
+      // closure anchor keeps too
       val prop = edges.join(nbr, col("dst") === col("nbr"))
         .groupBy(col("src")).agg(min(col("nbr_can")).as("prop_can"))
       val hop = labels.join(prop, labels("doc_id") === prop("src"), "left")
         .select(labels("doc_id"),
           coalesce(least(col("prop_can"), labels("canonical")),
-            labels("canonical")).as("canonical"))
-      // star contraction / pointer halving: follow the freshly propagated
-      // canonical ONE MORE hop through the labels themselves —
-      // label(label(x)) — so labels race down chains two hops per round
-      // and convergence drops from O(diameter) to O(log diameter) rounds.
-      // Every canonical value is itself a doc_id (labels start as doc_ids
-      // and min-propagation only ever picks existing labels), so the
-      // pointer join is total and preserves the row count.
-      val ptr = hop.select(col("doc_id").as("c_id"), col("canonical").as("c_can"))
-      val step = hop.join(ptr, hop("canonical") === ptr("c_id"))
-        .select(hop("doc_id"), col("c_can").as("canonical"))
-      // lineage hygiene: each round's plan nests the previous round's, so
-      // on a deep component an unbounded chain would bloat planning and
-      // break lineage-based recovery — truncate every 5 rounds (a cached
-      // plan is still recomputed from the FULL chain if an executor dies;
-      // a checkpoint is not)
-      val next = if (round % 5 == 0) step.localCheckpoint() else step.persist()
-      val sumNow = labelSum(next)
+            labels("canonical")).as("canonical"),
+          labels("canonical").as("prev_can"))
+        .withColumn("hchg", col("canonical") < col("prev_can"))
+        .persist()
+      // star contraction / pointer halving, FRONTIER-RESTRICTED and fused
+      // into ONE self-join: a chase through target t only improves x this
+      // round when x's pointer just moved (hchg) or t's label just moved
+      // (c_chg) — otherwise label(label(x)) was already applied the round
+      // one of them last changed. Restricting to hop-changed targets
+      // alone breaks the O(log d) chain bound (measured 46 rounds on a
+      // d=4096 chain); the fused x-changed-OR-target-changed predicate
+      // reproduces full halving's reach — DedupSpec pins the bound at
+      // ≤ ceil(log2 d)+2 measured rounds on planted chains, and a
+      // 300-random-graph sweep against union-find pinned the fused form
+      // before it shipped. Every canonical value is itself a doc_id
+      // (labels start as doc_ids and min-propagation only ever picks
+      // existing labels), so the pointer join is total; the build side is
+      // hop keyed by doc_id, which reuses hop's partitioning, leaving the
+      // probe-side shuffle on `canonical` as the round's only
+      // corpus-sized exchange beyond the prop merge.
+      val ptr = hop.select(col("doc_id").as("c_id"),
+        col("canonical").as("c_can"), col("hchg").as("c_chg"))
+      val step = hop.join(ptr, hop("canonical") === ptr("c_id"), "left")
+        .select(hop("doc_id"),
+          when(hop("hchg") || coalesce(col("c_chg"), lit(false)),
+            least(coalesce(col("c_can"), hop("canonical")), hop("canonical")))
+            .otherwise(hop("canonical")).as("canonical"),
+          col("prev_can"))
+        .select(col("doc_id"), col("canonical"),
+          (col("canonical") < col("prev_can")).as("chg"))
+      // lineage hygiene: the round references `hop` from both sides of
+      // the pointer join, so the logical plan would still grow
+      // geometrically between occasional truncations (an every-5-rounds
+      // variant OOM'd the driver just STRINGIFYING the plan). Truncate
+      // every round: an eager localCheckpoint keeps each round's plan a
+      // constant-depth tree over a LogicalRDD, and its materialization
+      // does the same work a persist-plus-count would. (On a real
+      // cluster a reliable checkpoint dir would make this
+      // fault-tolerant too.)
+      val next = step.localCheckpoint()
+      val newFrontier = next.filter(col("chg"))
+        .select("doc_id", "canonical").persist()
+      frontierN = newFrontier.count()
+      hop.unpersist()
+      frontier.unpersist()
       labels.unpersist()
+      // keep the persisted frame itself as `labels` (its extra `chg`
+      // column is inert — every consumer selects columns by name) so the
+      // unpersist above releases the right cache next round
       labels = next
-      converged = sumNow == prevSum
-      prevSum = sumNow
+      frontier = newFrontier
     }
     // release every loop artifact before returning: an eager localCheckpoint
     // of the result truncates the whole loop lineage, so the final labels
@@ -1475,6 +1530,7 @@ object LlmQueries {
       (col("doc_id") === col("canonical")).as("kept"))
       .localCheckpoint(true)
     labels.unpersist()
+    frontier.unpersist()
     edges.unpersist()
     (out, round)
   }

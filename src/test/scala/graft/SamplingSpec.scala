@@ -62,4 +62,19 @@ class SamplingSpec extends SparkSpec {
     val (n, sampled) = after("src_new")
     assert(n == 200 && sampled > 0 && sampled < 60)
   }
+
+  test("q104 training order is invariant to the shard-prefix width") {
+    // hex-prefix order is string order at ANY width, so the prefix is a
+    // pure parallelism knob: ranks must be bit-identical at width 2
+    // (the old fixed 256-shard ceiling) and width 4 (the 100 TB setting)
+    val docs = Tables.t(spark, sf, "documents").select("doc_id")
+    def ranks(p: Int) =
+      operators.LlmQueries.trainingOrder(docs, prefixHexDigits = p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r2 = ranks(2)
+    val r4 = ranks(4)
+    assert(r2 == r4, "ranks drifted between prefix widths 2 and 4")
+    // and the ranks are a permutation of 1..n
+    assert(r2.values.toSeq.sorted == (1L to r2.size.toLong))
+  }
 }
