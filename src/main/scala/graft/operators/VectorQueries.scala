@@ -175,7 +175,8 @@ object VectorQueries {
     // vectors). Here candidates come from sign-pattern buckets instead:
     // 128 deterministic hyperplanes (components derived from md5(p:d), so
     // both engines build the identical matrix), signature = 128 projection
-    // signs, banded 8×16 bits — a cosine-0.99 planted pair agrees on a
+    // signs, banded ⌊128/bits⌋ × [[hyperplaneBandBits]] bits (8×16 at
+    // every fixture scale) — a cosine-0.99 planted pair agrees on a
     // 16-bit band with p≈0.48, so ≥1 of 8 bands hits with p≈0.995, while a
     // cosine-0.5 random pair passes a band with p≈0.0015 — then the same
     // capped-bucket-equality join + exact cosine ≥ 0.9 verification as the
@@ -186,9 +187,11 @@ object VectorQueries {
     // the corpus (2^16 values per band), so candidates collapse vs q46's
     // Σcell² — measured 397× fewer at sf1 (DEDUP_CANDIDATES_r08.json:
     // 55.7k vs 22.1M; q46 grew exactly 100× for 10× vectors). The
-    // residual n²·2⁻¹⁶·bands random-collision term every sign-LSH carries
-    // is the documented tradeoff; band width is the log₂(n) knob that
-    // keeps it flat at larger corpora. Unlike q46 this also surfaces
+    // residual n²·2⁻ᵇⁱᵗˢ·bands random-collision term every sign-LSH
+    // carries is bounded by the corpus-size band-width knob: both engines
+    // widen bands to ceil(log₂ n)+2 bits past 2¹⁶ vectors (the oracle's
+    // `params` CTE mirrors [[hyperplaneBandBits]]), keeping the term
+    // ≤ n·bands/4 — linear — at any scale. Unlike q46 this also surfaces
     // cross-cell near-dups.
     Q("q108_embed_lsh_neardup", Some(s"""
       WITH base AS (
@@ -213,9 +216,13 @@ object VectorQueries {
       bits AS (SELECT vec_id, p,
                  CASE WHEN list_dot_product(v, hv) >= 0 THEN '1' ELSE '0' END AS bit
                FROM base, pvec),
-      bands AS (SELECT vec_id, p // 16 AS band_idx,
+      params AS (SELECT GREATEST(16, LEAST(32,
+                   CAST(ceil(log2(GREATEST(COUNT(*), 2))) AS INT) + 2)) AS w
+                 FROM base),
+      bands AS (SELECT vec_id, p // w AS band_idx,
                   string_agg(bit, '' ORDER BY p) AS band
-                FROM bits GROUP BY vec_id, p // 16),
+                FROM bits, params WHERE p < w * (128 // w)
+                GROUP BY vec_id, p // w),
       capped AS (SELECT vec_id, band_idx, band FROM (
           SELECT vec_id, band_idx, band,
             COUNT(*) OVER (PARTITION BY band_idx, band) AS bucket_n
@@ -230,7 +237,6 @@ object VectorQueries {
       FROM cand JOIN n a ON vec_id1 = a.vec_id JOIN n b ON vec_id2 = b.vec_id
       WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9""")) {
       (s, dir) =>
-      import graft.operators.LlmQueries.BucketCap
       graft.plans.GraftExtensions.register(s) // graft_vector_dot
       val e = Tables.t(s, dir, "embeddings")
         .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
@@ -240,21 +246,19 @@ object VectorQueries {
       val base = e.unionByName(planted)
         .select(col("vec_id"), col("v"),
           sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
+      // corpus count drives the band width ([[hyperplaneBandBits]]) — an
+      // eager bounded action like the IVF centroid collect; the oracle
+      // derives the same width from COUNT(*) so both engines re-band in
+      // lockstep as the corpus grows
+      val n = base.count()
       // one codegen'd kernel pass per vector: 128 projection signs as a
       // 128-char bit string (plane matrix is a JVM static mirrored by the
-      // oracle's md5-derived planes CTE), then 8×16-bit bands — no
-      // explode, no per-product Decimal, the signature scan stays in one
-      // WholeStageCodegen span like the text-LSH family's graft_minhash16
-      val bands = base
-        .selectExpr("vec_id", "graft_hyperplane_sig(v) AS sig")
-        .selectExpr("vec_id", """
-          explode(transform(sequence(0, 7), j -> struct(
-            j AS band_idx, substring(sig, 1 + 16*j, 16) AS band))) AS b""")
-        .select(col("vec_id"), xxhash64(col("b.band_idx"), col("b.band")).as("bk64"))
-        .withColumn("bucket_n",
-          count(lit(1)).over(Window.partitionBy(col("bk64"))))
-        .filter(col("bucket_n") <= BucketCap)
-        .select("vec_id", "bk64")
+      // oracle's md5-derived planes CTE), then ⌊128/bits⌋ bands of
+      // ceil(log₂ n)+2 bits (≥16) — no explode-per-product Decimal, the
+      // signature scan stays in one WholeStageCodegen span like the
+      // text-LSH family's graft_minhash16
+      val bands = hyperplaneBands(
+        base.selectExpr("vec_id", "graft_hyperplane_sig(v) AS sig"), n)
       val cand = bands.select(col("vec_id").as("vec_id1"), col("bk64"))
         .hint("merge")
         .join(bands.select(col("vec_id").as("vec_id2"), col("bk64").as("bk64b")),
@@ -272,6 +276,41 @@ object VectorQueries {
     }
   )
 
+  /** q108's band-width knob: sign-LSH carries an n²·2⁻ᵇⁱᵗˢ·bands random-
+    * collision term, so a FIXED 16-bit band goes quadratic once the corpus
+    * outgrows 2¹⁶ vectors. Width ceil(log₂ n)+2 keeps the expected random
+    * collisions per band at n²/2^bits ≤ n/4 — linear at every corpus size
+    * — floored at 16 (so every test SF and the DuckDB oracle's fixture
+    * scales keep the historical 8×16 banding bit-for-bit) and capped at 32
+    * (≥4 bands of the 128-bit signature; beyond n≈2³⁰ recall of a
+    * cosine-0.99 pair falls to ~0.65 and the right fix is a longer
+    * signature, not fewer bands). The oracle SQL computes the SAME formula
+    * from COUNT(*), so both engines re-band in lockstep as the corpus
+    * grows. VectorSpec pins the formula and the band reshape.
+    */
+  def hyperplaneBandBits(n: Long): Int =
+    math.max(16, math.min(32,
+      math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2)).toInt + 2))
+
+  /** Signature table (vec_id, sig: 128-char bit string) → capped band
+    * buckets (vec_id, bk64), band width from [[hyperplaneBandBits]] —
+    * shared by q108 and [[candidateCounts]] so the measured candidate set
+    * is exactly the query's.
+    */
+  def hyperplaneBands(sigs: DataFrame, n: Long,
+                      cap: Int = graft.operators.LlmQueries.BucketCap): DataFrame = {
+    val bits = hyperplaneBandBits(n)
+    val nb = 128 / bits
+    sigs.selectExpr("vec_id", s"""
+        explode(transform(sequence(0, ${nb - 1}), j -> struct(
+          j AS band_idx, substring(sig, 1 + $bits*j, $bits) AS band))) AS b""")
+      .select(col("vec_id"), xxhash64(col("b.band_idx"), col("b.band")).as("bk64"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("bk64"))))
+      .filter(col("bucket_n") <= cap)
+      .select("vec_id", "bk64")
+  }
+
   /** Pre-verification candidate-pair counts for the embedding near-dup
     * pair: q46's within-cell all-pairs vs q108's hyperplane buckets — the
     * embedding-side twin of [[LlmQueries.candidateCounts]]. Measured at
@@ -280,7 +319,6 @@ object VectorQueries {
     * buckets keep q108's near-linear.
     */
   def candidateCounts(s: SparkSession, dir: String): Seq[(String, Long)] = {
-    import graft.operators.LlmQueries.BucketCap
     graft.plans.GraftExtensions.register(s)
     val e = Tables.t(s, dir, "embeddings")
       .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v")
@@ -292,16 +330,10 @@ object VectorQueries {
     val q46 = base.select(col("vec_id").as("id1"), col("label"))
       .join(base.select(col("vec_id").as("id2"), col("label").as("l2")),
         col("label") === col("l2") && col("id1") < col("id2")).count()
-    // q108 candidates: capped hyperplane-band bucket pairs, pre-cosine
-    val bands = base
-      .selectExpr("vec_id", "graft_hyperplane_sig(v) AS sig")
-      .selectExpr("vec_id", """
-        explode(transform(sequence(0, 7), j -> struct(
-          j AS band_idx, substring(sig, 1 + 16*j, 16) AS band))) AS b""")
-      .select(col("vec_id"), xxhash64(col("b.band_idx"), col("b.band")).as("bk64"))
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bk64"))))
-      .filter(col("bucket_n") <= BucketCap)
-      .select("vec_id", "bk64")
+    // q108 candidates: capped hyperplane-band bucket pairs, pre-cosine —
+    // the SAME generator as the query (width knob included)
+    val bands = hyperplaneBands(
+      base.selectExpr("vec_id", "graft_hyperplane_sig(v) AS sig"), base.count())
     val q108 = bands.select(col("vec_id").as("id1"), col("bk64"))
       .join(bands.select(col("vec_id").as("id2"), col("bk64").as("bk64b")),
         col("bk64") === col("bk64b") && col("id1") < col("id2"))

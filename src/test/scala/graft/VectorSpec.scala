@@ -90,4 +90,33 @@ class VectorSpec extends SparkSpec {
     // and every emitted pair is cosine-verified, never bucket-trusted
     assert(run("q108_embed_lsh_neardup").where(col("sim") < 0.9).count() == 0)
   }
+
+  test("q108 band width scales with corpus size: floor 16, log2 growth, cap 32") {
+    import operators.VectorQueries.{hyperplaneBandBits, hyperplaneBands}
+    // every correctness-fixture scale (≤ sf0.1, n ≤ 2205) stays on the
+    // historical 8×16 banding; the bench scales re-band upward...
+    assert(Seq(0L, 1L, 2205L, 16384L, 22050L, 44100L, 65536L)
+      .map(hyperplaneBandBits) == Seq(16, 16, 16, 16, 17, 18, 18))
+    // ...then bits ≈ ceil(log2 n)+2, capped where <4 bands would remain
+    assert(hyperplaneBandBits(1L << 17) == 19)
+    assert(hyperplaneBandBits(1L << 20) == 22)
+    assert(hyperplaneBandBits(1L << 30) == 32)
+    assert(hyperplaneBandBits(Long.MaxValue / 2) == 32)
+    // the reshape really re-bands: at a width-18 corpus size each sig
+    // yields floor(128/18)=7 bands, and two identical vectors still
+    // share every bucket while orthogonal ones share none
+    import spark.implicits._
+    val sigs = Seq(
+      (1L, "1" * 128), (2L, "1" * 128), (3L, "10" * 64))
+      .toDF("vec_id", "sig")
+    val b = hyperplaneBands(sigs, n = 44100L)
+      .groupBy("vec_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == Map(1L -> 7L, 2L -> 7L, 3L -> 7L))
+    val shared = hyperplaneBands(sigs, n = 44100L)
+      .groupBy("bk64").agg(collect_set(col("vec_id")).as("ids"))
+      .collect().map(_.getSeq[Long](1).toSet)
+    assert(shared.count(_ == Set(1L, 2L)) == 7)
+    assert(!shared.exists(s => s.contains(3L) && s.size > 1))
+  }
 }
