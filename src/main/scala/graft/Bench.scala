@@ -36,7 +36,14 @@ object Bench {
     // contention spike would otherwise be indistinguishable from a plan
     // regression (r02 recorded a 6.2s outlier on a query that steadily
     // runs <1s).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated allowlist for targeted measurement runs
+    // (e.g. SPARK_GRAFT_QUERIES=q87_dedup_cc,q103_quality_keep); the
+    // driver never sets it, so round artifacts always cover the full suite
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -65,8 +65,16 @@ object ScaleData {
     }.reduce(_ unionByName _)
 
   /** Replica i>0: deterministically permute the word order of `text` (hash
-    * sort keyed on (word, position, replica)), recompute n_chars. Keeps
-    * vocabulary and length; destroys shingle overlap with the original.
+    * sort keyed on (word, position, replica)) AND substitute ~1/8 of the
+    * tokens with a replica-tagged variant of the same approximate length,
+    * then recompute n_chars. The permutation alone destroys 3-token
+    * shingle overlap (MinHash/Jaccard independence), but SimHash is
+    * order-INdependent — word reordering preserves the bag of words, so
+    * un-perturbed replicas would be Hamming-0 SimHash duplicates of their
+    * originals and q43/q67's scale numbers would measure a planted
+    * collapse, not the engine (round-8 ADVICE). Replacing 12.5% of tokens
+    * flips well past the SimHash near-dup threshold while keeping length
+    * and vocabulary distributions close to real.
     */
   private def shuffleDoc(d: DataFrame, i: Int): DataFrame =
     if (i == 0) d
@@ -74,7 +82,10 @@ object ScaleData {
       .withColumn("text", array_join(expr(
         s"""transform(
               sort_array(transform(split(text, ' '),
-                (w, j) -> struct(xxhash64(w, j, $i) AS k, w AS w))),
+                (w, j) -> struct(xxhash64(w, j, $i) AS k,
+                  CASE WHEN pmod(xxhash64('mut', w, j, $i), 8) = 0
+                       THEN concat('r$i', substring(w, 3))
+                       ELSE w END AS w))),
               s -> s.w)"""), " "))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
