@@ -38,6 +38,14 @@ object Multimodal {
     * samples) so they hold whatever raster layout the reader returns.
     */
   object ImageCodec {
+    // ImageIO's stream factories default to a DISK-backed cache: every
+    // encode/decode spawns (and deletes) a temp file under java.io.tmpdir,
+    // which serializes on the filesystem across executor threads — at sf2
+    // (100k blobs × 32 threads) the decode queries grew ~4× for 2× rows
+    // from tempfile contention alone. These blobs are KBs; cache in
+    // memory. JVM-global, set once at class-init of the codec.
+    ImageIO.setUseCache(false)
+
     /** Deterministic pixel generator, mirrored arithmetically by the
       * DuckDB oracle: nonneg, so `%` agrees across engines.
       */
