@@ -1318,8 +1318,73 @@ object LlmQueries {
         .selectExpr("doc_id",
           "array_join(transform(kept, s -> s.w), ' ') AS clean_text",
           "CAST(n_toks - size(kept) AS INT) AS n_removed")
+    },
+
+    // --------------------------------------------------------------- Q111
+    // Bigram LM quality scoring — the CCNet-style "does this read like
+    // language the corpus has seen" filter: score each document by the
+    // average add-one-smoothed bigram conditional probability under the
+    // corpus's OWN bigram model, P(w2|w1) = (c12+1)/(c1+V). Everything is
+    // INTEGER arithmetic — term = ((c12+1)·10⁶) div (c1+V), score =
+    // sum(term) div n — so both engines agree bit-for-bit with no log()
+    // or float division to diverge by an ulp (a real perplexity is a
+    // monotone transform of this per-bigram signal). Docs with <2 tokens
+    // have no bigrams and drop, like q42's <3-token docs.
+    // Scale shape: the bigram/unigram count tables are vocab-bounded
+    // (≪ corpus; Zipf keeps the distinct-bigram set far below the token
+    // count), so the model build is two map-side-combining aggregations;
+    // scoring is two linear joins of the exploded bigram stream against
+    // those tables (AQE broadcasts them when the vocab fits) plus one
+    // per-doc aggregation. At open-web scale the exact count tables give
+    // way to a count-min sketch — the same generator-vs-scale-path split
+    // as q46/q108 — but the exact form IS the oracle anchor.
+    Q("q111_bigram_lm_score", Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bg0 AS (SELECT doc_id,
+                unnest([ struct_pack(w1 := t[i], w2 := t[i + 1])
+                         for i in range(1, len(t)) ]) AS b
+              FROM toks WHERE len(t) >= 2),
+      bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+      v AS (SELECT COUNT(DISTINCT tok) AS vs
+            FROM (SELECT unnest(t) AS tok FROM toks)),
+      bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      uc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      terms AS (SELECT bg.doc_id,
+                  ((bc.c12 + 1) * 1000000) // (uc.c1 + v.vs) AS term
+                FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1), v)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(term) // COUNT(*) AS BIGINT) AS lm_score_micro
+      FROM terms GROUP BY doc_id""")) { (s, dir) =>
+      bigramLmScore(Tables.t(s, dir, "documents"))
     }
   )
+
+  /** q111 kernel: per-doc average add-one-smoothed bigram conditional
+    * probability in exact micro-units (integer floor division only — see
+    * the q111 registration comment). Public so StatsSpec can pin the
+    * arithmetic on a hand-computed corpus.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val tokenized = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val toks = tokenized.filter(size(col("t")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // vocabulary over ALL docs' tokens (the oracle's unnest is unfiltered
+    // too — single-token docs still contribute to V)
+    val vDf = tokenized.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vs"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uc = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .crossJoin(broadcast(vDf))
+      .select(col("doc_id"),
+        expr("((c12 + 1) * 1000000L) div (c1 + vs)").as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(term) div count(1)").as("lm_score_micro"))
+  }
 
   /** q103 kernel: q87 transitive clusters joined with the q47 quality
     * score, each cluster reduced to its best member ([[keepBest]]).

@@ -145,6 +145,23 @@ class StatsSpec extends SparkSpec {
       && nd.head.getInt(2) == 2 && nd.head.getLong(1) == 2001L)
   }
 
+  test("q111 bigram LM scores match hand-computed smoothed probabilities") {
+    import spark.implicits._
+    // corpus: doc 1 = "a b a b" (bigrams ab, ba, ab), doc 2 = "c c"
+    // (bigram cc), doc 3 = "z" (no bigrams — dropped, but its token
+    // joins the vocabulary). V = 4 (a, b, c, z).
+    // counts: c12(ab)=2, c12(ba)=1, c12(cc)=1; c1(a)=2, c1(b)=1, c1(c)=1
+    // doc 1 terms: ab = (2+1)e6 div (2+4) = 500000 (×2),
+    //              ba = (1+1)e6 div (1+4) = 400000
+    //   → n=3, score = 1400000 div 3 = 466666
+    // doc 2 term:  cc = (1+1)e6 div (1+4) = 400000 → n=1, score=400000
+    val corpus = Seq((1L, "a b a b"), (2L, "c c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = operators.LlmQueries.bigramLmScore(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (3L, 466666L), 2L -> (1L, 400000L)))
+  }
+
   test("q76 gap-fill emits a dense day × event_type grid with zero fills") {
     val df = run("q76_gapfill")
     val types = df.select("event_type").distinct().count()
