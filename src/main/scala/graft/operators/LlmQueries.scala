@@ -1356,6 +1356,36 @@ object LlmQueries {
         CAST(SUM(term) // COUNT(*) AS BIGINT) AS lm_score_micro
       FROM terms GROUP BY doc_id""")) { (s, dir) =>
       bigramLmScore(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q112
+    // q111's COUNT-MIN-SKETCH scale path, bound-audited — the same
+    // anchor-vs-scale-path split as q46→q108 and q86→q88: the exact
+    // bigram/unigram count tables are the oracle anchor, the CMS is what
+    // a 100 TB corpus actually broadcasts, and this query verifies the
+    // substitution's one-sided error contract per bigram occurrence
+    // (est ≥ exact, overcount ≤ eps·N), reduced per doc. The oracle
+    // emits literal TRUEs for the audit booleans — the q74 within-bound
+    // pattern. See [[bigramLmCms]].
+    Q("q112_bigram_lm_cms", Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bg0 AS (SELECT doc_id,
+                unnest([ struct_pack(w1 := t[i], w2 := t[i + 1])
+                         for i in range(1, len(t)) ]) AS b
+              FROM toks WHERE len(t) >= 2),
+      bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+      v AS (SELECT COUNT(DISTINCT tok) AS vs
+            FROM (SELECT unnest(t) AS tok FROM toks)),
+      bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      uc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      terms AS (SELECT bg.doc_id,
+                  ((bc.c12 + 1) * 1000000) // (uc.c1 + v.vs) AS term
+                FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1), v)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(term) // COUNT(*) AS BIGINT) AS lm_score_micro,
+        TRUE AS cms12_ok, TRUE AS cms1_ok
+      FROM terms GROUP BY doc_id""")) { (s, dir) =>
+      bigramLmCms(Tables.t(s, dir, "documents"))
     }
   )
 
@@ -1364,7 +1394,11 @@ object LlmQueries {
     * the q111 registration comment). Public so StatsSpec can pin the
     * arithmetic on a hand-computed corpus.
     */
-  def bigramLmScore(docs: DataFrame): DataFrame = {
+  /** q111/q112 shared scoring stream: exploded bigrams joined with their
+    * exact corpus counts and the vocabulary size — one row per bigram
+    * occurrence with (doc_id, w1, w2, c12, c1, vs).
+    */
+  private def bigramJoined(docs: DataFrame): DataFrame = {
     val tokenized = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     val toks = tokenized.filter(size(col("t")) >= 2)
     val bg = toks.select(col("doc_id"), explode(expr(
@@ -1379,11 +1413,57 @@ object LlmQueries {
     val uc = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
       .crossJoin(broadcast(vDf))
+  }
+
+  def bigramLmScore(docs: DataFrame): DataFrame =
+    bigramJoined(docs)
       .select(col("doc_id"),
         expr("((c12 + 1) * 1000000L) div (c1 + vs)").as("term"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(term) div count(1)").as("lm_score_micro"))
+
+  /** q112 kernel: q111's exact score PLUS a count-min-sketch audit — the
+    * open-web scale path for the bigram model. At 100 TB the exact
+    * bigram/unigram count tables stop fitting anywhere comfortable; a CMS
+    * of the same streams is megabytes at any corpus size, broadcastable,
+    * and carries the classic one-sided guarantee est ≥ exact, and
+    * est ≤ exact + eps·N with probability `confidence` per point. This
+    * query IS the audit of that substitution: for every bigram occurrence
+    * it probes both sketches and verifies the overcount stays within
+    * eps·N (N from the sketch's own totalCount — no extra pass), reduced
+    * per doc with bool_and. The oracle emits literal TRUEs — the q74
+    * HLL/approx-percentile within-bound pattern. Sketch probes go through
+    * a Scala UDF because Spark ships a count_min_sketch AGGREGATE but no
+    * probe function; the UDF is two array reads per row over a broadcast
+    * sketch, outside every shuffle. Deterministic: fixed seed, and CMS
+    * merge is counter addition (commutative), so the sketch is identical
+    * whatever the aggregation order.
+    */
+  def bigramLmCms(docs: DataFrame, eps: Double = 1e-4,
+      confidence: Double = 0.999, seed: Int = 42): DataFrame = {
+    val joined = bigramJoined(docs)
+      .withColumn("bigram", concat_ws(" ", col("w1"), col("w2")))
+    val spark = docs.sparkSession
+    val cms12 = joined.stat.countMinSketch("bigram", eps, confidence, seed)
+    val cms1 = joined.stat.countMinSketch(joined("w1"), eps, confidence, seed)
+    // eps·N slack from the sketches' own stream lengths (both sketches
+    // saw one item per bigram occurrence, so the Ns agree)
+    val slack12 = math.ceil(eps * cms12.totalCount()).toLong
+    val slack1 = math.ceil(eps * cms1.totalCount()).toLong
+    val b12 = spark.sparkContext.broadcast(cms12)
+    val b1 = spark.sparkContext.broadcast(cms1)
+    val est12 = udf((s: String) => b12.value.estimateCount(s))
+    val est1 = udf((s: String) => b1.value.estimateCount(s))
+    joined
+      .withColumn("e12", est12(col("bigram")))
+      .withColumn("e1", est1(col("w1")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(((c12 + 1) * 1000000L) div (c1 + vs)) div count(1)")
+          .as("lm_score_micro"),
+        expr(s"bool_and(e12 >= c12 AND e12 <= c12 + $slack12)").as("cms12_ok"),
+        expr(s"bool_and(e1 >= c1 AND e1 <= c1 + $slack1)").as("cms1_ok"))
   }
 
   /** q103 kernel: q87 transitive clusters joined with the q47 quality

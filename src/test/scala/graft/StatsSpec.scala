@@ -162,6 +162,20 @@ class StatsSpec extends SparkSpec {
     assert(got == Map(1L -> (3L, 466666L), 2L -> (1L, 400000L)))
   }
 
+  test("q112 CMS path reproduces q111's exact scores and honors its bounds") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "c c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val rows = operators.LlmQueries.bigramLmCms(corpus).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    // exact score column identical to q111's; both audit booleans hold
+    // (at this corpus size the sketch should be collision-free, so the
+    // one-sided estimate equals the exact count)
+    assert(rows == Map(1L -> (3L, 466666L, true, true),
+      2L -> (1L, 400000L, true, true)))
+  }
+
   test("q76 gap-fill emits a dense day × event_type grid with zero fills") {
     val df = run("q76_gapfill")
     val types = df.select("event_type").distinct().count()
