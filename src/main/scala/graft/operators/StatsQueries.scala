@@ -116,14 +116,97 @@ object StatsQueries {
         - ((sxy - sx * sy / n_rows) / (sxx - sx * sx / n_rows)) * (sx / n_rows), 6)
        AS regr_intercept""")
 
+  /** EXACT per-group interpolated percentiles WITHOUT per-group value
+    * buffering — the distributed selection algorithm: range-partition the
+    * (group, value) stream, count per (partition, group) in one tiny
+    * metadata pass (#partitions × #groups rows, driver-bounded like the
+    * IVF centroid table), turn the counts into global rank offsets, then
+    * stream each sorted partition once more emitting ONLY the ≤ 2·|ps|
+    * values per group whose global rank an interpolation needs. Identical
+    * numbers to `expr("percentile(v, p)")` (ExactPercentileSpec pins
+    * bit-equality against the builtin), but the heavy pass is a parallel
+    * range-partitioned sort at every group cardinality — the builtin
+    * buffers EVERY value of a group on one reducer, which at 100 TB with
+    * 3 groups is billions of doubles on 3 tasks. Ties are safe: equal
+    * values may split across partitions or sort arbitrarily among
+    * themselves, but every rank in a tie run maps to the same value.
+    * This regime (few groups × many rows) is exactly where buffering
+    * dies; for the opposite regime (millions of tiny groups) the builtin
+    * is fine and this driver-side rank table would not be.
+    *
+    * Returns ((group, p) -> value). `df` must have exactly the group and
+    * value columns named by the args; value must be numeric (cast to
+    * double, matching the builtin's DoubleType arithmetic).
+    */
+  def exactGroupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): Map[(String, Double), Double] = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .repartitionByRange(col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .as[(String, Double)]
+      .persist()
+    try {
+      val counts = base.toDF("g", "v").withColumn("pid", spark_partition_id())
+        .groupBy("pid", "g").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val nByG: Map[String, Long] =
+        counts.toSeq.groupBy(_._1._2).map { case (g, m) => g -> m.map(_._2).sum }
+      val offsets: Map[(Int, String), Long] =
+        counts.toSeq.groupBy(_._1._2).flatMap { case (_, entries) =>
+          val sorted = entries.sortBy(_._1._1)
+          val prefix = sorted.map(_._2).scanLeft(0L)(_ + _)
+          sorted.map(_._1).zip(prefix)
+        }
+      val needed: Map[String, Set[Long]] = nByG.map { case (g, n) =>
+        g -> ps.flatMap { p =>
+          val pos = p * (n - 1)
+          val k = math.floor(pos).toLong
+          Seq(k, math.min(k + 1, n - 1))
+        }.toSet
+      }
+      val offB = s.sparkContext.broadcast(offsets)
+      val needB = s.sparkContext.broadcast(needed)
+      val picked = base.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var curG: String = null
+        var idx = 0L
+        it.flatMap { case (g, v) =>
+          if (g != curG) { curG = g; idx = offB.value((pid, g)) }
+          val r = idx
+          idx += 1
+          if (needB.value.getOrElse(g, Set.empty[Long]).contains(r))
+            Iterator((g, r, v))
+          else Iterator.empty
+        }
+      }.collect().map { case (g, r, v) => (g, r) -> v }.toMap
+      (for { (g, n) <- nByG; p <- ps } yield {
+        val pos = p * (n - 1)
+        val lower = math.floor(pos).toLong
+        val higher = math.ceil(pos).toLong
+        val vLo = picked((g, lower))
+        // the builtin's interpolation arithmetic, op for op
+        // (Percentile.getPercentile): the WEIGHTED two-term form — the
+        // algebraically-equal lo + frac*(hi - lo) differs by an ulp and
+        // fails the bit-equality spec
+        val value =
+          if (higher == lower) vLo
+          else (higher - pos) * vLo + (pos - lower) * picked((g, higher))
+        (g, p) -> value
+      }).toMap
+    } finally base.unpersist()
+  }
+
   /** Scale-safe robust-stats DEFAULT path: approx_percentile only — a
-    * mergeable t-digest sketch with bounded per-group state. The exact
-    * `percentile` in q86 buffers every value of each group in memory on
-    * the final aggregator — with 3 groups at 100 TB that is billions of
-    * values on 3 reducer tasks, a genuine scale-killer — so q86 is the
-    * oracle cross-check and THIS is the shape a production pipeline runs.
-    * Public so PlanAuditSpec can assert the plan carries no exact
-    * Percentile buffering.
+    * mergeable t-digest sketch with bounded per-group state. q86's exact
+    * percentiles run on [[exactGroupPercentiles]] (range-partitioned rank
+    * selection, no per-group buffering) since round 9, so the sketch path
+    * here is about sub-percent state, not survival. Public so
+    * PlanAuditSpec can assert the plan carries no exact Percentile
+    * buffering.
     */
   def approxRobust(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "lineitem")
@@ -430,19 +513,39 @@ object StatsQueries {
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
       GROUP BY m.l_returnflag, m.median_price, m.p25, m.p75""")) { (s, dir) =>
+      // since round 9 the exact quantiles come from the range-partitioned
+      // selection pass ([[exactGroupPercentiles]]) instead of the builtin
+      // `percentile` aggregate — same numbers (spec-pinned bit-equal),
+      // but no reducer ever buffers a whole group, so the exact form is
+      // itself scale-safe now
+      import s.implicits._
       val li = Tables.t(s, dir, "lineitem")
-      val med = li.groupBy("l_returnflag")
-        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
-      li.join(med, "l_returnflag")
+      val pcts = exactGroupPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.75))
+      val groups = pcts.keys.map(_._1).toSeq.distinct.sorted
+      val med = groups
+        .map(g => (g, pcts((g, 0.5)), pcts((g, 0.25)), pcts((g, 0.75))))
+        .toDF("l_returnflag", "m_raw", "p25_raw", "p75_raw")
+        .select(col("l_returnflag"),
+          round(col("m_raw"), 6).as("median_price"),
+          round(col("p25_raw"), 6).as("p25"),
+          round(col("p75_raw"), 6).as("p75"))
+      // MAD = median of |v - rounded median|: a second selection pass
+      // over the deviation stream
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"),
+          abs(col("l_extendedprice") - col("median_price")).as("d"))
+      val madM = exactGroupPercentiles(dev, "l_returnflag", "d", Seq(0.5))
+      val mad = groups.map(g => (g, madM((g, 0.5))))
+        .toDF("l_returnflag", "mad_raw")
+        .select(col("l_returnflag"), round(col("mad_raw"), 6).as("mad"))
+      li.join(broadcast(med), "l_returnflag")
         .groupBy("l_returnflag", "median_price", "p25", "p75")
         .agg(
-          round(expr("percentile(abs(l_extendedprice - median_price), 0.5)"), 6)
-            .as("mad"),
           sum(when(col("l_extendedprice") > col("p75") + (col("p75") - col("p25")) * 1.5, 1)
             .when(col("l_extendedprice") < col("p25") - (col("p75") - col("p25")) * 1.5, 1)
             .otherwise(0)).cast("long").as("n_outliers"))
+        .join(broadcast(mad), "l_returnflag")
         .select(col("l_returnflag"), col("median_price"),
           round(col("p75") - col("p25"), 6).as("iqr"), col("mad"), col("n_outliers"))
     },

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins [[operators.StatsQueries.exactGroupPercentiles]] — the
+  * range-partitioned selection pass that q86 runs instead of the builtin
+  * `percentile` aggregate — BIT-equal to the builtin on every probed
+  * quantile. If the selection misses a rank, mis-offsets a partition, or
+  * interpolates in a different op order, these comparisons fail on exact
+  * Double equality, not a tolerance.
+  */
+class ExactPercentileSpec extends SparkSpec {
+
+  private val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+
+  private def builtin(df: org.apache.spark.sql.DataFrame, g: String,
+      v: String): Map[(String, Double), Double] =
+    df.groupBy(col(g).cast("string").as("g"))
+      .agg(expr(s"percentile(CAST($v AS DOUBLE), ${ps.head})").as("p0"),
+        ps.tail.map(p => expr(s"percentile(CAST($v AS DOUBLE), $p)").as(s"p$p")): _*)
+      .collect()
+      .flatMap(r => ps.zipWithIndex.map { case (p, i) =>
+        (r.getString(0), p) -> r.getDouble(i + 1)
+      }).toMap
+
+  test("selection pass is bit-equal to builtin percentile on lineitem") {
+    val li = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+    val got = operators.StatsQueries.exactGroupPercentiles(
+      li, "l_returnflag", "l_extendedprice", ps)
+    val want = builtin(li, "l_returnflag", "l_extendedprice")
+    assert(got.keySet == want.keySet)
+    for (k <- want.keySet)
+      assert(got(k) == want(k), s"$k: got ${got(k)} want ${want(k)}")
+  }
+
+  test("selection pass survives ties, singletons, and tiny groups") {
+    import spark.implicits._
+    // adversarial: a 1-row group, a 2-row group, a group that is one
+    // giant tie run, a group with ties straddling likely partition
+    // boundaries, and negative values
+    val rows =
+      Seq(("one", 42.0)) ++
+      Seq(("two", 1.0), ("two", 2.0)) ++
+      (1 to 500).map(_ => ("tie", 7.5)) ++
+      (1 to 300).flatMap(i => Seq(("mix", (i % 10).toDouble), ("mix", -1.0))) ++
+      (1 to 97).map(i => ("odd", i.toDouble * 1.7 - 50))
+    val df = rows.toDF("g", "v").repartition(13) // scramble input layout
+    val got = operators.StatsQueries.exactGroupPercentiles(df, "g", "v", ps)
+    val want = builtin(df, "g", "v")
+    assert(got.keySet == want.keySet)
+    for (k <- want.keySet)
+      assert(got(k) == want(k), s"$k: got ${got(k)} want ${want(k)}")
+  }
+}
