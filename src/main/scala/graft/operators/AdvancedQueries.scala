@@ -159,15 +159,20 @@ object AdvancedQueries {
         round(quantile_cont(l_extendedprice, 0.5),  6) AS p50,
         round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
       FROM lineitem GROUP BY l_returnflag""")) { (s, dir) =>
-      Tables.t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        // array form: ONE percentile aggregate (one sort/count-map pass)
-        // instead of three independent ones
-        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ps"))
+      // exact quantiles via StatsQueries.exactGroupPercentiles (range-
+      // partitioned rank selection, bit-equal to the builtin percentile
+      // but with no per-group reducer buffering — see q86)
+      import s.implicits._
+      val pcts = StatsQueries.exactGroupPercentiles(
+        Tables.t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.75))
+      pcts.keys.map(_._1).toSeq.distinct.sorted
+        .map(g => (g, pcts((g, 0.25)), pcts((g, 0.5)), pcts((g, 0.75))))
+        .toDF("l_returnflag", "p25r", "p50r", "p75r")
         .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 6).as("p25"),
-          round(element_at(col("ps"), 2), 6).as("p50"),
-          round(element_at(col("ps"), 3), 6).as("p75"))
+          round(col("p25r"), 6).as("p25"),
+          round(col("p50r"), 6).as("p50"),
+          round(col("p75r"), 6).as("p75"))
     },
 
     // ---------------------------------------------------------------- Q68

@@ -82,8 +82,9 @@ class PlanAuditSpec extends SparkSpec {
     // the scale-safe robust-stats path (sketch + rank-error audit) must
     // aggregate with mergeable bounded-state operators only — an exact
     // Percentile buffers every group value on the final aggregator (the
-    // q86/q58 scale caveat), and neither the default path nor its audit
-    // may reintroduce one
+    // historical q86/q58 cliff, since reworked onto range-partitioned
+    // selection), and neither the default path nor its audit may
+    // reintroduce one
     val ran = plan("q88_approx_robust")
     assert(ran.contains("approx_percentile"), s"sketch agg missing:\n$ran")
     assert(!ran.replace("approx_percentile", "").contains("percentile("),
