@@ -1583,7 +1583,9 @@ object LlmQueries {
     * reports a false fixed point).
     */
   def labelPropagation(docs: DataFrame, edgesIn: DataFrame): (DataFrame, Int) = {
-    val edges = edgesIn.distinct().persist()
+    // edges are re-read on the dst side every round — pre-partition them
+    // on dst ONCE so no round re-shuffles the edge list
+    val edges = edgesIn.distinct().repartition(col("dst")).persist()
     edges.count()
     var labels = docs.select(col("doc_id"),
       col("doc_id").as("canonical")).persist()
@@ -1618,32 +1620,74 @@ object LlmQueries {
           labels("canonical").as("prev_can"))
         .withColumn("hchg", col("canonical") < col("prev_can"))
         .persist()
-      // star contraction / pointer halving, FRONTIER-RESTRICTED and fused
-      // into ONE self-join: a chase through target t only improves x this
-      // round when x's pointer just moved (hchg) or t's label just moved
-      // (c_chg) — otherwise label(label(x)) was already applied the round
-      // one of them last changed. Restricting to hop-changed targets
-      // alone breaks the O(log d) chain bound (measured 46 rounds on a
-      // d=4096 chain); the fused x-changed-OR-target-changed predicate
-      // reproduces full halving's reach — DedupSpec pins the bound at
-      // ≤ ceil(log2 d)+2 measured rounds on planted chains, and a
-      // 300-random-graph sweep against union-find pinned the fused form
-      // before it shipped. Every canonical value is itself a doc_id
-      // (labels start as doc_ids and min-propagation only ever picks
-      // existing labels), so the pointer join is total; the build side is
-      // hop keyed by doc_id, which reuses hop's partitioning, leaving the
-      // probe-side shuffle on `canonical` as the round's only
-      // corpus-sized exchange beyond the prop merge.
-      val ptr = hop.select(col("doc_id").as("c_id"),
-        col("canonical").as("c_can"), col("hchg").as("c_chg"))
-      val step = hop.join(ptr, hop("canonical") === ptr("c_id"), "left")
-        .select(hop("doc_id"),
-          when(hop("hchg") || coalesce(col("c_chg"), lit(false)),
-            least(coalesce(col("c_can"), hop("canonical")), hop("canonical")))
-            .otherwise(hop("canonical")).as("canonical"),
-          col("prev_can"))
-        .select(col("doc_id"), col("canonical"),
-          (col("canonical") < col("prev_can")).as("chg"))
+      // star contraction / pointer halving, FRONTIER-RESTRICTED: a chase
+      // through target t only improves x this round when x's pointer just
+      // moved (hchg) or t's label just moved — otherwise label(label(x))
+      // was already applied the round one of them last changed.
+      // Restricting to hop-changed targets alone breaks the O(log d)
+      // chain bound (measured 46 rounds on a d=4096 chain); the
+      // x-changed-OR-target-changed predicate reproduces full halving's
+      // reach — DedupSpec pins the bound at ≤ ceil(log2 d)+2 measured
+      // rounds on planted chains, and both physical forms below were
+      // swept against union-find on 300 random graphs before shipping.
+      // Every canonical value is itself a doc_id (labels start as
+      // doc_ids and min-propagation only ever picks existing labels), so
+      // the pointer joins are total on their stream sides.
+      //
+      // TWO physical forms, picked per round by the measured changed-set
+      // size (the count also materializes hop's cache, which the step
+      // job below reuses):
+      //  - BIG round (early): one fused self-join — hop ⟕ hop on
+      //    canonical with the when() predicate. One corpus-sized
+      //    exchange; the fewest stages while everything is big anyway.
+      //  - SMALL round (late): the changed set broadcasts, so the chase
+      //    splits into (a) hop ⟕ broadcast(chPtr) — no shuffle of hop —
+      //    and (b) the small ch stream against hop-as-map on doc_id —
+      //    hop's own partitioning, only ch moves — merged back on
+      //    doc_id. Late rounds of a big corpus then move NO corpus-sized
+      //    data at all: on a 1000-executor cluster the tail of a
+      //    large-diameter component costs small-side shuffles only.
+      val chN = hop.filter(col("hchg")).count()
+      if (chN == 0) {
+        // the hop pass changed nothing, so the chase cannot either (its
+        // targets are exactly the changed set): this round IS the
+        // no-change confirmation round — skip building and checkpointing
+        // an identical label table and exit with the current one
+        hop.unpersist()
+        frontier.unpersist()
+        frontierN = 0
+      } else {
+      val step0 =
+        if (chN < 2000000L) {
+          val ch = hop.filter(col("hchg"))
+          val chPtr = broadcast(ch.select(col("doc_id").as("c_id"),
+            col("canonical").as("c_can")))
+          val stepB = hop.join(chPtr, hop("canonical") === chPtr("c_id"), "left")
+            .select(hop("doc_id"),
+              coalesce(least(col("c_can"), hop("canonical")),
+                hop("canonical")).as("canonical"),
+              col("prev_can"))
+          val fullPtr = hop.select(col("doc_id").as("p_id"),
+            col("canonical").as("p_can"))
+          val chA = ch.join(fullPtr, ch("canonical") === fullPtr("p_id"))
+            .select(ch("doc_id").as("a_id"), col("p_can").as("a_can"))
+          stepB.join(chA, stepB("doc_id") === chA("a_id"), "left")
+            .select(stepB("doc_id"),
+              coalesce(least(col("a_can"), stepB("canonical")),
+                stepB("canonical")).as("canonical"),
+              col("prev_can"))
+        } else {
+          val ptr = hop.select(col("doc_id").as("c_id"),
+            col("canonical").as("c_can"), col("hchg").as("c_chg"))
+          hop.join(ptr, hop("canonical") === ptr("c_id"), "left")
+            .select(hop("doc_id"),
+              when(hop("hchg") || coalesce(col("c_chg"), lit(false)),
+                least(coalesce(col("c_can"), hop("canonical")), hop("canonical")))
+                .otherwise(hop("canonical")).as("canonical"),
+              col("prev_can"))
+        }
+      val step = step0.select(col("doc_id"), col("canonical"),
+        (col("canonical") < col("prev_can")).as("chg"))
       // lineage hygiene: the round references `hop` from both sides of
       // the pointer join, so the logical plan would still grow
       // geometrically between occasional truncations (an every-5-rounds
@@ -1665,6 +1709,7 @@ object LlmQueries {
       // unpersist above releases the right cache next round
       labels = next
       frontier = newFrontier
+      }
     }
     // release every loop artifact before returning: an eager localCheckpoint
     // of the result truncates the whole loop lineage, so the final labels
