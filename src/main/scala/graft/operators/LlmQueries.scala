@@ -1582,7 +1582,8 @@ object LlmQueries {
     * chain can swap labels forever while an empty per-round change-set
     * reports a false fixed point).
     */
-  def labelPropagation(docs: DataFrame, edgesIn: DataFrame): (DataFrame, Int) = {
+  def labelPropagation(docs: DataFrame, edgesIn: DataFrame,
+      broadcastChaseBelow: Long = 2000000L): (DataFrame, Int) = {
     // edges are re-read on the dst side every round — pre-partition them
     // on dst ONCE so no round re-shuffles the edge list
     val edges = edgesIn.distinct().repartition(col("dst")).persist()
@@ -1658,7 +1659,7 @@ object LlmQueries {
         frontierN = 0
       } else {
       val step0 =
-        if (chN < 2000000L) {
+        if (chN < broadcastChaseBelow) {
           val ch = hop.filter(col("hchg"))
           val chPtr = broadcast(ch.select(col("doc_id").as("c_id"),
             col("canonical").as("c_can")))

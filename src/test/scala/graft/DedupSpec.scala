@@ -88,6 +88,24 @@ class DedupSpec extends SparkSpec {
     (docs, edges)
   }
 
+  test("both chase forms (broadcast and fused) produce identical labels and rounds") {
+    // the physical form is picked per round by the changed-set size; test
+    // corpora are always below the 2M default, so without forcing the
+    // threshold the big-round FUSED branch would never run in tests. Pin
+    // both forms to identical labels AND round counts on chains (where
+    // the halving reach matters) and on the planted-bucket corpus.
+    for (d <- Seq(16, 64)) {
+      val (docs, edges) = chainGraph(d)
+      val (lb, rb) = operators.LlmQueries.labelPropagation(docs, edges)
+      val (lf, rf) = operators.LlmQueries.labelPropagation(docs, edges,
+        broadcastChaseBelow = 0L) // force the fused branch every round
+      assert(rb == rf, s"d=$d: rounds differ broadcast=$rb fused=$rf")
+      val mb = lb.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mf = lf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(mb == mf, s"d=$d: labels differ between chase forms")
+    }
+  }
+
   test("labelPropagation: pointer halving converges in O(log d) rounds") {
     // Chains of known diameter pin the pointer-halving claim as a measured
     // round count: each round applies one neighbor-min then one pointer
