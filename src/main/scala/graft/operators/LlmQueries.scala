@@ -1555,15 +1555,36 @@ object LlmQueries {
     * on controlled corpora. Output: (doc_id, canonical, kept).
     */
   def connectedComponents(corpus: DataFrame): DataFrame = {
-    val capped = cappedBands(corpus)
-    val a = capped.select(col("doc_id").as("src"), col("bk64"))
-    val b = capped.select(col("doc_id").as("dst"), col("bk64").as("bk64b"))
-    // bucket-equality edge list (symmetric, self-edges included) over the
-    // CAPPED buckets — the same exchange-reuse join as q83, materialized
-    // once for the loop; a hot boilerplate bucket would otherwise inject
-    // k² edges before the first round even starts
-    val edges = a.hint("merge").join(b, col("bk64") === col("bk64b"))
-      .select("src", "dst")
+    // STAR edges per CAPPED bucket (r10; r9 joined all pairs within each
+    // bucket): every member ↔ the bucket's min doc_id. Connectivity — and
+    // hence components and their min labels — is identical to the
+    // all-pairs bucket join, because any two co-bucketed docs connect
+    // through the bucket min; but the list is ≤ 2(k−1) edges per k-member
+    // bucket instead of k², so every pass that touches edges (the dedup,
+    // the src repartition, each round's scan, the round-1 groupBy fold)
+    // moves a BucketCap/2-times smaller table at any scale, and no join
+    // exists at all where r9 ran the suite's biggest self-join. The
+    // oracle keeps its all-pairs closure: same components, same labels.
+    //
+    // The bucket-min and the [[BucketCap]] count ride ONE WindowExec over
+    // the bk64 hash partitioning (same frame, no ordering): the cap drops
+    // whole buckets, never individual members, so min-over-bucket is the
+    // same computed before or after the cap filter — composing
+    // cappedBands + a second min window would sort the banded table
+    // twice for the same rows. Both edge directions then come out of one
+    // map-side explode of the two orientations (a union of the star rows
+    // with their own swap would evaluate the minhash tree twice).
+    val w = Window.partitionBy(col("bk64"))
+    val edges = bandTable(corpus)
+      .filter(col("band_key").isNotNull)
+      .select(col("doc_id"), xxhash64(col("band"), col("band_key")).as("bk64"))
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+      .filter(col("bucket_n") <= BucketCap && col("doc_id") =!= col("bmin"))
+      .select(explode(array(
+        struct(col("doc_id").as("src"), col("bmin").as("dst")),
+        struct(col("bmin").as("src"), col("doc_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     labelPropagation(corpus.select("doc_id"), edges)._1
   }
 
@@ -1583,145 +1604,140 @@ object LlmQueries {
     * reports a false fixed point).
     */
   def labelPropagation(docs: DataFrame, edgesIn: DataFrame,
-      broadcastChaseBelow: Long = 2000000L): (DataFrame, Int) = {
-    // edges are re-read on the dst side every round — pre-partition them
-    // on dst ONCE so no round re-shuffles the edge list
-    val edges = edgesIn.distinct().repartition(col("dst")).persist()
-    edges.count()
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("canonical")).persist()
-    // SHRINKING FRONTIER: each round propagates only from docs whose label
-    // changed in the previous round (round 0: everything). Re-sending an
-    // unchanged label is a no-op under min-merge — it was already sent the
-    // round after it last changed — so an empty frontier IS the edge-prop
-    // fixed point, which for a symmetric edge list forces labels constant
-    // (= the min) on every component. Late rounds of a large-diameter
-    // component thus join a tiny frontier against the edges instead of
-    // the full corpus-sized label set, and convergence is detected by the
-    // frontier count the loop needs anyway (no extra sum() action).
-    var frontier = labels
-    var frontierN = labels.count()
+      broadcastChaseBelow: Long = 2000000L,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val session = docs.sparkSession
+    // lineage hygiene: each round references the merged delta from both
+    // sides of the pointer join, so the logical plan grows geometrically
+    // between truncations (an every-5-rounds variant OOM'd the driver just
+    // STRINGIFYING the plan). Truncate every round: an eager checkpoint
+    // keeps each round's plan a constant-depth tree over a LogicalRDD.
+    // localCheckpoint (default) stores blocks on executors — fast, but an
+    // executor loss mid-loop recomputes from nothing; passing
+    // `checkpointDir` switches to reliable HDFS/DFS checkpoints so the
+    // loop survives executor death on a real cluster (DedupSpec pins both
+    // modes label-identical).
+    checkpointDir.foreach(session.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def ptime[T](name: String)(f: => T): T = { val t0=System.nanoTime; val r=f; if (sys.env.contains("GRAFT_CC_PROFILE")) println(f"CCPROF $name: ${(System.nanoTime-t0)/1e9}%.2f s"); r }
+    // Pre-partition the edges on SRC, once. Every round aggregates
+    // min-per-src — round 1 directly (groupBy(src) over the cache), later
+    // rounds after a broadcast join that PRESERVES the streamed side's
+    // partitioning — so a src-partitioned cache makes every round's
+    // aggregate exchange-free: after the build, no round moves the edge
+    // list at all while the frontier broadcasts. (A frontier too big to
+    // broadcast re-shuffles edges dst-wards for that round's sort-merge
+    // join; that regime is the first round or two of a giant corpus,
+    // where a shuffle per round is the floor anyway.) ONE shuffle for
+    // build+dedup, not two: repartition FIRST, then dropDuplicates —
+    // hash(src) is a subset of the (src, dst) grouping keys, so the
+    // dedup aggregate satisfies its clustered distribution in place and
+    // EnsureRequirements inserts no second exchange.
+    val edges = edgesIn.repartition(col("src"))
+      .dropDuplicates("src", "dst").persist()
+    ptime("edges repartition+dedup")(edges.count())
+    // SPARSE-DELTA LABELS (the r10 rewrite; r9 carried a corpus-sized
+    // label table through every round): labels only ever differ from the
+    // identity for docs inside a non-trivial component, so the loop state
+    // is just `delta` = the (doc_id, canonical) pairs with
+    // canonical < doc_id — docs absent from delta are their own label.
+    // Every per-round join, chase, and checkpoint below is DELTA-sized
+    // (bounded by total multi-doc component membership, not corpus size);
+    // the corpus-sized doc list appears exactly ONCE, in the final left
+    // join that expands delta back to total labels. At 100 TB the rounds
+    // move megabytes while the r9 form re-materialized terabytes per
+    // round — this is the difference that matters on a real cluster.
+    //
+    // SHRINKING FRONTIER: each round propagates only from docs whose
+    // label changed in the previous round (round 0: everything — folded
+    // into the edge aggregation, see below). Re-sending an unchanged
+    // label is a no-op under min-merge, so an empty frontier IS the
+    // edge-prop fixed point, which for a symmetric edge list forces
+    // labels constant (= the min) on every component. Two actions per
+    // round (r9 ran three): the eager checkpoint job materializes
+    // hop-merge + chase fused, and a cheap count over the checkpointed
+    // delta reads off the new frontier.
+    var delta = docs.limit(0).select(col("doc_id"),
+      col("doc_id").as("canonical"))
+    var frontier = delta
+    var frontierN = ptime("docs.count")(docs.count())
     var round = 0
     while (frontierN > 0) {
       round += 1
-      val nbr = frontier.select(col("doc_id").as("nbr"),
-        col("canonical").as("nbr_can"))
-      // min over FRONTIER bucket-neighbors' labels AND the doc's own
-      // current label (the own-label term makes labels monotone
-      // non-increasing even when the edge list carries no self-edges —
-      // see the contract above); LEFT join keeps docs with no edges at
-      // all (<3 tokens → every band_key NULL), which the oracle's
-      // closure anchor keeps too
-      val prop = edges.join(nbr, col("dst") === col("nbr"))
-        .groupBy(col("src")).agg(min(col("nbr_can")).as("prop_can"))
-      val hop = labels.join(prop, labels("doc_id") === prop("src"), "left")
-        .select(labels("doc_id"),
-          coalesce(least(col("prop_can"), labels("canonical")),
-            labels("canonical")).as("canonical"),
-          labels("canonical").as("prev_can"))
-        .withColumn("hchg", col("canonical") < col("prev_can"))
-        .persist()
-      // star contraction / pointer halving, FRONTIER-RESTRICTED: a chase
-      // through target t only improves x this round when x's pointer just
-      // moved (hchg) or t's label just moved — otherwise label(label(x))
-      // was already applied the round one of them last changed.
-      // Restricting to hop-changed targets alone breaks the O(log d)
-      // chain bound (measured 46 rounds on a d=4096 chain); the
-      // x-changed-OR-target-changed predicate reproduces full halving's
-      // reach — DedupSpec pins the bound at ≤ ceil(log2 d)+2 measured
-      // rounds on planted chains, and both physical forms below were
-      // swept against union-find on 300 random graphs before shipping.
-      // Every canonical value is itself a doc_id (labels start as
-      // doc_ids and min-propagation only ever picks existing labels), so
-      // the pointer joins are total on their stream sides.
-      //
-      // TWO physical forms, picked per round by the measured changed-set
-      // size (the count also materializes hop's cache, which the step
-      // job below reuses):
-      //  - BIG round (early): one fused self-join — hop ⟕ hop on
-      //    canonical with the when() predicate. One corpus-sized
-      //    exchange; the fewest stages while everything is big anyway.
-      //  - SMALL round (late): the changed set broadcasts, so the chase
-      //    splits into (a) hop ⟕ broadcast(chPtr) — no shuffle of hop —
-      //    and (b) the small ch stream against hop-as-map on doc_id —
-      //    hop's own partitioning, only ch moves — merged back on
-      //    doc_id. Late rounds of a big corpus then move NO corpus-sized
-      //    data at all: on a 1000-executor cluster the tail of a
-      //    large-diameter component costs small-side shuffles only.
-      val chN = hop.filter(col("hchg")).count()
-      if (chN == 0) {
-        // the hop pass changed nothing, so the chase cannot either (its
-        // targets are exactly the changed set): this round IS the
-        // no-change confirmation round — skip building and checkpointing
-        // an identical label table and exit with the current one
-        hop.unpersist()
-        frontier.unpersist()
-        frontierN = 0
-      } else {
-      val step0 =
-        if (chN < broadcastChaseBelow) {
-          val ch = hop.filter(col("hchg"))
-          val chPtr = broadcast(ch.select(col("doc_id").as("c_id"),
-            col("canonical").as("c_can")))
-          val stepB = hop.join(chPtr, hop("canonical") === chPtr("c_id"), "left")
-            .select(hop("doc_id"),
-              coalesce(least(col("c_can"), hop("canonical")),
-                hop("canonical")).as("canonical"),
-              col("prev_can"))
-          val fullPtr = hop.select(col("doc_id").as("p_id"),
-            col("canonical").as("p_can"))
-          val chA = ch.join(fullPtr, ch("canonical") === fullPtr("p_id"))
-            .select(ch("doc_id").as("a_id"), col("p_can").as("a_can"))
-          stepB.join(chA, stepB("doc_id") === chA("a_id"), "left")
-            .select(stepB("doc_id"),
-              coalesce(least(col("a_can"), stepB("canonical")),
-                stepB("canonical")).as("canonical"),
-              col("prev_can"))
-        } else {
-          val ptr = hop.select(col("doc_id").as("c_id"),
-            col("canonical").as("c_can"), col("hchg").as("c_chg"))
-          hop.join(ptr, hop("canonical") === ptr("c_id"), "left")
-            .select(hop("doc_id"),
-              when(hop("hchg") || coalesce(col("c_chg"), lit(false)),
-                least(coalesce(col("c_can"), hop("canonical")), hop("canonical")))
-                .otherwise(hop("canonical")).as("canonical"),
-              col("prev_can"))
+      // min over FRONTIER bucket-neighbors' labels; the doc's own current
+      // label joins in at the merge step (the own-label term makes labels
+      // monotone non-increasing even when the edge list carries no
+      // self-edges — see the contract above). Below the broadcast
+      // threshold the frontier ships to the edge partitions, so the
+      // (larger) edge list never re-shuffles; round 1 folds the identity
+      // frontier away entirely: min(nbr_can) over "everything labeled
+      // itself" is just min(dst) per src over the edge list — only the
+      // already-persisted edges shuffle src-wards with map-side partial
+      // mins, and no corpus-sized set exists anywhere.
+      val prop =
+        if (round == 1)
+          edges.groupBy(col("src")).agg(min(col("dst")).as("prop_can"))
+        else {
+          val nbr = frontier.select(col("doc_id").as("nbr"),
+            col("canonical").as("nbr_can"))
+          val nbrSide = if (frontierN < broadcastChaseBelow) broadcast(nbr) else nbr
+          edges.join(nbrSide, col("dst") === col("nbr"))
+            .groupBy(col("src")).agg(min(col("nbr_can")).as("prop_can"))
         }
-      val step = step0.select(col("doc_id"), col("canonical"),
-        (col("canonical") < col("prev_can")).as("chg"))
-      // lineage hygiene: the round references `hop` from both sides of
-      // the pointer join, so the logical plan would still grow
-      // geometrically between occasional truncations (an every-5-rounds
-      // variant OOM'd the driver just STRINGIFYING the plan). Truncate
-      // every round: an eager localCheckpoint keeps each round's plan a
-      // constant-depth tree over a LogicalRDD, and its materialization
-      // does the same work a persist-plus-count would. (On a real
-      // cluster a reliable checkpoint dir would make this
-      // fault-tolerant too.)
-      val next = step.localCheckpoint()
-      val newFrontier = next.filter(col("chg"))
-        .select("doc_id", "canonical").persist()
-      frontierN = newFrontier.count()
-      hop.unpersist()
-      frontier.unpersist()
-      labels.unpersist()
-      // keep the persisted frame itself as `labels` (its extra `chg`
-      // column is inert — every consumer selects columns by name) so the
-      // unpersist above releases the right cache next round
-      labels = next
-      frontier = newFrontier
-      }
+      // merge proposals into the sparse delta: full outer join on doc_id
+      // (both sides delta-sized). prev = the doc's current label (its own
+      // delta entry, or itself); cur = min(prev, proposal).
+      val merged = delta
+        .withColumnRenamed("canonical", "old_can")
+        .join(prop.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          coalesce(col("old_can"), col("doc_id")).as("prev_can"),
+          least(coalesce(col("prop_can"), col("doc_id")),
+            coalesce(col("old_can"), col("doc_id"))).as("cur"))
+        .persist()
+      // star contraction / pointer halving over the merged delta: follow
+      // each pointer one more hop (label(label(x))) so reach grows
+      // geometrically — DedupSpec pins ≤ ceil(log2 d)+2 measured rounds
+      // on planted chains. Every canonical value is itself a doc_id, and
+      // a chase target absent from the delta is its own label, so the
+      // left join + coalesce is total. In the r9 corpus-sized form this
+      // self-join needed two physical variants and a changed-set count to
+      // stay affordable; delta-sized, the unconditional single form is
+      // strictly more reach for negligible cost (the whole table is the
+      // size of the changed docs' components).
+      val ptr = merged.select(col("doc_id").as("p_id"), col("cur").as("p_can"))
+      val chased = merged.join(ptr, merged("cur") === ptr("p_id"), "left")
+        .select(merged("doc_id"),
+          coalesce(col("p_can"), col("cur")).as("canonical"),
+          col("prev_can"))
+        .withColumn("chg", col("canonical") < col("prev_can"))
+        // rows that gained no improvement over the identity never enter
+        // the delta (keeping it minimal); genuine delta rows always have
+        // canonical < doc_id, so this drops only the no-op proposals
+        .filter(col("canonical") < col("doc_id"))
+      val next = ptime(s"round $round truncate")(truncate(chased))
+      frontierN = ptime(s"round $round frontier count")(next.filter(col("chg")).count())
+      merged.unpersist()
+      delta = next.select("doc_id", "canonical")
+      frontier = next.filter(col("chg")).select("doc_id", "canonical")
     }
-    // release every loop artifact before returning: an eager localCheckpoint
-    // of the result truncates the whole loop lineage, so the final labels
-    // cache (corpus-sized) and the edge cache can be dropped — the only
-    // thing left pinned is the returned result's own (small) blocks, which
-    // the session owns for as long as the caller may re-read the DataFrame
-    val out = labels.select(col("doc_id"), col("canonical"),
-      (col("doc_id") === col("canonical")).as("kept"))
+    // ONE corpus-sized pass, after the loop converged: expand the sparse
+    // delta over the full doc list. The delta row count is known-small
+    // (bounded by multi-doc component membership), so broadcast it under
+    // the same threshold that gates the frontier; the eager localCheckpoint
+    // truncates the whole loop lineage so the edge cache can drop — the
+    // only thing left pinned is the returned result's own blocks, which
+    // the session owns for as long as the caller may re-read the DataFrame.
+    val deltaN = if (round == 0) 0L else ptime("delta count")(delta.count())
+    val deltaSide = if (deltaN < broadcastChaseBelow) broadcast(delta) else delta
+    val out = docs.join(deltaSide.withColumnRenamed("canonical", "d_can"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("d_can"), col("doc_id")).as("canonical"),
+        coalesce(col("d_can"), col("doc_id")).equalTo(col("doc_id")).as("kept"))
       .localCheckpoint(true)
-    labels.unpersist()
-    frontier.unpersist()
+    ptime("final expand")(out.count())
     edges.unpersist()
     (out, round)
   }
@@ -1747,13 +1763,14 @@ object LlmQueries {
       .hint("merge")
       .join(capped83.select(col("doc_id").as("nbr_id"), col("bk64").as("bk64b")),
         col("bk64") === col("bk64b")).count()
-    // q87: distinct undirected bucket-graph edges feeding label propagation
+    // q87: distinct undirected star edges (member ↔ bucket-min) feeding
+    // label propagation — the generator connectedComponents actually runs
     val capped87 = cappedBands(chainCorpus(s, dir))
-    val q87 = capped87.select(col("doc_id").as("src"), col("bk64"))
-      .hint("merge")
-      .join(capped87.select(col("doc_id").as("dst"), col("bk64").as("bk64b")),
-        col("bk64") === col("bk64b") && col("src") < col("dst"))
-      .select("src", "dst").distinct().count()
+    val q87 = capped87.withColumn("bmin",
+        min(col("doc_id")).over(Window.partitionBy(col("bk64"))))
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(col("doc_id").as("src"), col("bmin").as("dst"))
+      .distinct().count()
     // q96: delta-bands x index-bands candidates
     val delta = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 10000).as("doc_id"),

@@ -192,6 +192,24 @@ class DedupSpec extends SparkSpec {
       "every cluster kept min(doc_id) — quality-aware branch never fired")
   }
 
+  test("labelPropagation: reliable checkpoint dir yields identical labels and rounds") {
+    // cluster fault-tolerance option: a reliable checkpoint dir swaps the
+    // per-round localCheckpoint (executor-block storage, lost on executor
+    // death) for DFS checkpoints. Pin that the mode switch changes ONLY
+    // durability: labels and round counts identical on a chain.
+    val (docs, edges) = chainGraph(32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val (lb, rb) = operators.LlmQueries.labelPropagation(docs, edges)
+    val (lc, rc) = operators.LlmQueries.labelPropagation(docs, edges,
+      checkpointDir = Some(dir))
+    assert(rb == rc, s"rounds differ local=$rb reliable=$rc")
+    val mb = lb.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mc = lc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mb == mc, "labels differ between checkpoint modes")
+    assert(new java.io.File(dir).listFiles.nonEmpty,
+      "reliable mode must actually write checkpoint files")
+  }
+
   test("labelPropagation: empty corpus returns empty labels, no NPE") {
     import spark.implicits._
     val docs = Seq.empty[Long].toDF("doc_id")
