@@ -217,7 +217,7 @@ object VectorQueries {
                  CASE WHEN list_dot_product(v, hv) >= 0 THEN '1' ELSE '0' END AS bit
                FROM base, pvec),
       params AS (SELECT GREATEST(16, LEAST(32,
-                   CAST(ceil(log2(GREATEST(COUNT(*), 2))) AS INT) + 2)) AS w
+                   CAST(LENGTH(BIN(GREATEST(COUNT(*), 2) - 1)) AS INT) + 2)) AS w
                  FROM base),
       bands AS (SELECT vec_id, p // w AS band_idx,
                   string_agg(bit, '' ORDER BY p) AS band
@@ -287,10 +287,22 @@ object VectorQueries {
     * signature, not fewer bands). The oracle SQL computes the SAME formula
     * from COUNT(*), so both engines re-band in lockstep as the corpus
     * grows. VectorSpec pins the formula and the band reshape.
+    *
+    * ceil(log₂ n) is computed with INTEGER bit-length arithmetic — the
+    * bit position of n−1 — never a libm log ratio: log(2^29)/log(2)
+    * evaluates to 29.000000000000004 under libm, so a ceil over the
+    * ratio picks 30 at exactly n=2^29 (and is platform-dependent in
+    * general) while the oracle's exact log2 picks 29 — the band width,
+    * and with it the whole candidate set, would diverge between engines
+    * right at powers of two. The oracle params CTE uses the equivalent
+    * integer form LENGTH(BIN(n−1)), so neither side can straddle a
+    * floating-point rounding boundary.
     */
-  def hyperplaneBandBits(n: Long): Int =
-    math.max(16, math.min(32,
-      math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2)).toInt + 2))
+  def hyperplaneBandBits(n: Long): Int = {
+    val m = math.max(n, 2L)
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(16, math.min(32, ceilLog2 + 2))
+  }
 
   /** Signature table (vec_id, sig: 128-char bit string) → capped band
     * buckets (vec_id, bk64), band width from [[hyperplaneBandBits]] —

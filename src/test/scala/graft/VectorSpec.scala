@@ -102,6 +102,14 @@ class VectorSpec extends SparkSpec {
     assert(hyperplaneBandBits(1L << 20) == 22)
     assert(hyperplaneBandBits(1L << 30) == 32)
     assert(hyperplaneBandBits(Long.MaxValue / 2) == 32)
+    // EXACT powers of two are the rounding hazard: libm's
+    // log(2^29)/log(2) = 29.000000000000004, so a float-ratio ceil
+    // would pick width 31+... wrongly at n=2^29 while DuckDB's exact
+    // log2 (now LENGTH(BIN(n-1)) on both sides) picks 31 — pin every
+    // power of two in the active 16..32 window
+    for (k <- 14 to 31)
+      assert(hyperplaneBandBits(1L << k) ==
+        math.max(16, math.min(32, k + 2)), s"k=$k")
     // the reshape really re-bands: at a width-18 corpus size each sig
     // yields floor(128/18)=7 bands, and two identical vectors still
     // share every bucket while orthogonal ones share none
