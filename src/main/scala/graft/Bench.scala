@@ -102,7 +102,13 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline_rps FAILED: ${e.getMessage}"); -1.0
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"details":$details,"failed":$failedJson,"pipeline_rps":${rps.toLong},"sf":"$sfDir","cpus":"$cpus","loadavg_end":${loadavg1m()}}""")
+    // selected/total counts make a filtered artifact self-identifying: an
+    // accidentally inherited SPARK_GRAFT_QUERIES would otherwise emit a
+    // partial-suite total that is format-identical to a full-suite run
+    // and silently poison the per-query 2× gate and round comparisons
+    val filterJson = only.map(o => "\"" + o.toSeq.sorted.mkString(",") + "\"")
+      .getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_selected":${selected.size},"queries_total":${SparkEntry.queries.size},"query_filter":$filterJson,"queries":$qs,"details":$details,"failed":$failedJson,"pipeline_rps":${rps.toLong},"sf":"$sfDir","cpus":"$cpus","loadavg_end":${loadavg1m()}}""")
     spark.stop()
   }
 }

@@ -136,13 +136,17 @@ object StatsQueries {
     *
     * Returns ((group, p) -> value). `df` must have exactly the group and
     * value columns named by the args; value must be numeric (cast to
-    * double, matching the builtin's DoubleType arithmetic).
+    * double, matching the builtin's DoubleType arithmetic). NULL values
+    * are dropped before ranking — the builtin `percentile` silently
+    * skips them too, and without the filter a null would either break
+    * the (String, Double) decode or corrupt every rank offset after it.
     */
   def exactGroupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): Map[(String, Double), Double] = {
     val s = df.sparkSession
     import s.implicits._
     val base = df
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
       .repartitionByRange(col("g"), col("v"))

@@ -51,4 +51,23 @@ class ExactPercentileSpec extends SparkSpec {
     for (k <- want.keySet)
       assert(got(k) == want(k), s"$k: got ${got(k)} want ${want(k)}")
   }
+
+  test("NULL values are skipped exactly like the builtin") {
+    import spark.implicits._
+    // nulls interleaved through a group must not shift rank offsets or
+    // break the typed decode; the builtin silently drops them, so the
+    // selection pass must rank only the non-null stream
+    val rows: Seq[(String, java.lang.Double)] =
+      (1 to 200).flatMap { i =>
+        Seq(("a", java.lang.Double.valueOf(i.toDouble)),
+          ("a", null: java.lang.Double))
+      } ++ Seq(("b", java.lang.Double.valueOf(3.0)),
+        ("b", null: java.lang.Double), ("b", java.lang.Double.valueOf(9.0)))
+    val df = rows.toDF("g", "v").repartition(7)
+    val got = operators.StatsQueries.exactGroupPercentiles(df, "g", "v", ps)
+    val want = builtin(df, "g", "v")
+    assert(got.keySet == want.keySet)
+    for (k <- want.keySet)
+      assert(got(k) == want(k), s"$k: got ${got(k)} want ${want(k)}")
+  }
 }
