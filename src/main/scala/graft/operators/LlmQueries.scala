@@ -1387,6 +1387,38 @@ object LlmQueries {
         TRUE AS cms12_ok, TRUE AS cms1_ok
       FROM terms GROUP BY doc_id""")) { (s, dir) =>
       bigramLmCms(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q113
+    // q92's COUNT-MIN-SKETCH scale path — the same anchor-vs-scale-path
+    // split as q111→q112. q92 broadcasts the distinct eval-shingle set
+    // into the exact join; at 100 TB an eval suite's shingle set can
+    // outgrow a comfortable broadcast, and the exact join becomes a
+    // corpus-sized shuffle. Here a CMS of the eval shingles (MB-sized at
+    // ANY eval-set size) is broadcast as a PRE-FILTER: a corpus shingle
+    // reaches the exact join only if the sketch has seen its key. CMS
+    // error is one-sided (est ≥ exact), so est = 0 PROVES non-membership
+    // — the pre-filter can never drop a true hit, and false positives
+    // are killed by the exact join behind it. The oracle is q92's
+    // UNFILTERED exact computation, so the driver's hash-equality row IS
+    // the no-false-negative audit — stronger than an in-band boolean.
+    // DedupMetrics reports the pre-filter's candidate reduction.
+    Q("q113_decontaminate_cms", Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 30001, 'leak ctx pre ' || text || ' post trail'
+        FROM documents WHERE doc_id % 50 = 0),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      sh AS (SELECT doc_id, unnest(${shingleSetSql(5)}) AS sh,
+             len(${shingleSetSql(5)}) AS n_sh
+           FROM tok),
+      ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+      SELECT s.doc_id, COUNT(*) AS n_hits,
+        round(COUNT(*) / MAX(s.n_sh), 6) AS contaminated_frac
+      FROM sh s JOIN ev USING (sh)
+      WHERE s.doc_id % 50 <> 0
+      GROUP BY s.doc_id""")) { (s, dir) =>
+      decontaminateCms(Tables.t(s, dir, "documents"))
     }
   )
 
@@ -1515,6 +1547,75 @@ object LlmQueries {
           .as("lm_score_micro"),
         expr(s"bool_and(e12 >= c12 AND e12 <= c12 + $slack12)").as("cms12_ok"),
         expr(s"bool_and(e1 >= c1 AND e1 <= c1 + $slack1)").as("cms1_ok"))
+  }
+
+  /** q92/q113 shared shingle streams over the planted-leak corpus:
+    * (all-doc 5-token shingle rows (doc_id, n_sh, sh), distinct eval
+    * shingles). The eval set is eagerly materialized — q113 reads it
+    * twice (sketch build + exact join).
+    */
+  private def decontamShingles(docs: DataFrame): (DataFrame, DataFrame) = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 30001).as("doc_id"),
+        concat(lit("leak ctx pre "), col("text"), lit(" post trail")).as("text")))
+    val sh = corpus
+      .selectExpr("doc_id", "graft_shingles(text, 5) AS shs")
+      .selectExpr("doc_id", "size(shs) AS n_sh", "explode(shs) AS sh")
+    val ev = sh.filter(col("doc_id") % 50 === 0).select("sh").distinct()
+      .localCheckpoint(true)
+    (sh, ev)
+  }
+
+  /** q113 kernel: q92's exact decontamination behind a broadcast CMS
+    * membership pre-filter (see the q113 registration comment for the
+    * scale rationale). Returns exactly q92's rows: the pre-filter is
+    * semantics-free because CMS error is one-sided — est = 0 proves the
+    * shingle never occurred in the eval set, and any false positive it
+    * lets through dies in the exact join. The exact join is deliberately
+    * NOT broadcast-hinted: at eval-set sizes where the sketch path
+    * matters the distinct shingle set exceeds broadcast range and the
+    * join must shuffle — but only the pre-filter SURVIVORS shuffle,
+    * which is the entire point (AQE still picks a broadcast join on its
+    * own at fixture scale).
+    */
+  def decontaminateCms(docs: DataFrame, eps: Double = 1e-4,
+      confidence: Double = 0.999, seed: Int = 42): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val (sh, ev) = decontamShingles(docs)
+    val bytes = ev.as[String]
+      .select(new OneCmsAgg(eps, confidence, seed).toColumn).head()
+    val b = spark.sparkContext.broadcast(CountMinSketch.readFrom(bytes))
+    val mightContain = udf((s: String) => b.value.estimateCount(s) >= 1L)
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .filter(mightContain(col("sh")))
+      .join(ev, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        round(count(lit(1)) / max(col("n_sh")), 6).as("contaminated_frac"))
+  }
+
+  /** One CMS over a stream of string keys, unit weight — q113's eval-
+    * membership sketch (the pair variant is [[TwoCmsAgg]]).
+    */
+  private class OneCmsAgg(eps: Double, confidence: Double, seed: Int)
+      extends Aggregator[String, CountMinSketch, Array[Byte]] {
+    def zero: CountMinSketch = CountMinSketch.create(eps, confidence, seed)
+    def reduce(b: CountMinSketch, s: String): CountMinSketch = {
+      b.addString(s); b
+    }
+    def merge(a: CountMinSketch, b: CountMinSketch): CountMinSketch = {
+      a.mergeInPlace(b); a
+    }
+    def finish(b: CountMinSketch): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos); bos.toByteArray
+    }
+    def bufferEncoder: Encoder[CountMinSketch] =
+      Encoders.javaSerialization[CountMinSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
   /** Both q112 sketches in one aggregation pass (see [[bigramLmCms]]):
@@ -1881,8 +1982,24 @@ object LlmQueries {
       .join(sh97.select(col("doc_id").as("doc_id2"), col("sh64").as("sh64b")),
         col("sh64") === col("sh64b") && col("doc_id1") < col("doc_id2"))
       .select("doc_id1", "doc_id2").distinct().count()
+    // q113: corpus shingle rows entering the decontamination join,
+    // before vs after the CMS membership pre-filter — the reduction
+    // factor is what the broadcast sketch buys at shuffle time
+    val (sh113, ev113) = decontamShingles(docs)
+    val corpusSh = sh113.filter(col("doc_id") % 50 =!= 0)
+    val q113Total = corpusSh.count()
+    val q113Kept = {
+      val spark = s
+      import spark.implicits._
+      val bytes = ev113.as[String]
+        .select(new OneCmsAgg(1e-4, 0.999, 42).toColumn).head()
+      val b = s.sparkContext.broadcast(CountMinSketch.readFrom(bytes))
+      val mightContain = udf((x: String) => b.value.estimateCount(x) >= 1L)
+      corpusSh.filter(mightContain(col("sh"))).count()
+    }
     Seq("docs" -> docs.count(),
       "q42_pairs" -> q42, "q83_neighbor_rows" -> q83, "q87_edges" -> q87,
-      "q96_pairs" -> q96, "q97_pairs" -> q97)
+      "q96_pairs" -> q96, "q97_pairs" -> q97,
+      "q113_shingle_rows" -> q113Total, "q113_cms_kept" -> q113Kept)
   }
 }

@@ -210,6 +210,19 @@ class DedupSpec extends SparkSpec {
       "reliable mode must actually write checkpoint files")
   }
 
+  test("q113 CMS pre-filter reproduces q92's exact rows and actually filters") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    // same rows as the exact path: the sketch's one-sided error means the
+    // pre-filter may only ADD candidates (killed by the exact join),
+    // never drop a hit — so the two queries must be row-identical
+    val exact = SparkEntry.queries("q92_decontaminate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cms = operators.LlmQueries.decontaminateCms(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cms == exact, "CMS path diverged from the exact decontamination")
+    assert(exact.nonEmpty, "fixture planted no contamination — vacuous test")
+  }
+
   test("labelPropagation: empty corpus returns empty labels, no NPE") {
     import spark.implicits._
     val docs = Seq.empty[Long].toDF("doc_id")
