@@ -182,6 +182,53 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("suite-wide: every query's executed plan is free of cartesian products, global windows/sorts, and unjustified single-partition shuffles") {
+    // The generalization of every pointwise audit above (round-10 verdict
+    // ask): walk ALL SparkEntry.queries executed plans and fail on the
+    // three shapes that kill a 100 TB run no matter which operator they
+    // hide in. Driver-side collect() volume can't be seen in a plan —
+    // those sites are bounded by construction and adjudicated in the
+    // per-operator scaladocs; this audit covers what the planner can
+    // reintroduce silently.
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SortExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    // A global window or single-partition shuffle is an offense only when
+    // it consumes UNREDUCED rows — nothing between it and the scans cuts
+    // cardinality. Post-aggregation rows are group-cardinality (this
+    // suite groups bounded dimensions: lang, source, day) and post-limit
+    // rows are constant-bounded; moving those through one partition is
+    // the correct plan, not a scale hazard. What this audit exists to
+    // catch is the silent regression where a rank/sort/coalesce lands on
+    // raw corpus rows — q104's per-query audit, generalized.
+    def reduced(p: SparkPlan): Boolean = flatten(p).exists {
+      case _: BaseAggregateExec | _: GlobalLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case n => n.nodeName.contains("Limit")
+    }
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val all = executed(name)
+      all.foreach {
+        case c: CartesianProductExec =>
+          offenders += s"$name: CartesianProduct (non-broadcast) — ${c.simpleStringWithNodeId()}"
+        case w: WindowExec if w.partitionSpec.isEmpty && !reduced(w.child) =>
+          offenders += s"$name: global Window over unreduced rows"
+        case s: SortExec if s.global && !reduced(s.child) =>
+          offenders += s"$name: global Sort over unreduced rows (cluster-wide range shuffle)"
+        case e: ShuffleExchangeLike
+            if e.outputPartitioning == SinglePartition && !reduced(e.child) =>
+          offenders += s"$name: single-partition shuffle over unreduced rows"
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty,
+      s"scale-hostile plan shapes:\n${offenders.mkString("\n")}")
+  }
+
   test("q107 stratified sample: membership is computed pre-shuffle, text never shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val all = executed("q107_stratified_sample")
