@@ -5,7 +5,7 @@ import graft.functions.TextHash
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.CountMinSketch
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
 /** LLM training-data pipeline operators (SURVEY.md §7.2 M4; BASELINE.json
   * north star): deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
@@ -1402,20 +1402,26 @@ object LlmQueries {
     },
 
     // --------------------------------------------------------------- Q113
-    // q92's COUNT-MIN-SKETCH scale path — the same anchor-vs-scale-path
+    // q92's BLOOM-FILTER scale path — the same anchor-vs-scale-path
     // split as q111→q112. q92 broadcasts the distinct eval-shingle set
     // into the exact join; at 100 TB an eval suite's shingle set can
     // outgrow a comfortable broadcast, and the exact join becomes a
-    // corpus-sized shuffle. Here a CMS of the eval shingles (MB-sized at
-    // ANY eval-set size) is broadcast as a PRE-FILTER: a corpus shingle
-    // reaches the exact join only if the sketch has seen its key. CMS
-    // error is one-sided (est ≥ exact), so est = 0 PROVES non-membership
-    // — the pre-filter can never drop a true hit, and false positives
-    // are killed by the exact join behind it. The oracle is q92's
-    // UNFILTERED exact computation, so the driver's hash-equality row IS
-    // the no-false-negative audit — stronger than an in-band boolean.
-    // DedupMetrics reports the pre-filter's candidate reduction.
-    Q("q113_decontaminate_cms", Some(s"""
+    // corpus-sized shuffle. Here a Bloom filter of the eval shingles
+    // (~10 bits/key at 1% fp — ~100× smaller than broadcasting the
+    // shingle strings themselves) is broadcast as a PRE-FILTER: a corpus
+    // shingle reaches the exact join only if the filter might contain
+    // its key. Bloom error is one-sided (no false negatives), so the
+    // pre-filter can never drop a true hit, and false positives are
+    // killed by the exact join behind it. The filter is SIZED FROM THE
+    // EVAL-SHINGLE CARDINALITY (one cheap count over the checkpointed
+    // eval set), so its fp rate — and hence the candidate reduction —
+    // holds at every scale; a fixed-width sketch saturates instead (a
+    // fixed-eps CMS variant measured 47× reduction at sf0.1 but only
+    // 1.09× at sf2). The oracle is q92's UNFILTERED exact computation,
+    // so the driver's hash-equality row IS the no-false-negative audit —
+    // stronger than an in-band boolean. DedupMetrics reports the
+    // pre-filter's candidate reduction per scale.
+    Q("q113_decontaminate_bloom", Some(s"""
       WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id + 30001, 'leak ctx pre ' || text || ' post trail'
@@ -1430,7 +1436,7 @@ object LlmQueries {
       FROM sh s JOIN ev USING (sh)
       WHERE s.doc_id % 50 <> 0
       GROUP BY s.doc_id""")) { (s, dir) =>
-      decontaminateCms(Tables.t(s, dir, "documents"))
+      decontaminateBloom(Tables.t(s, dir, "documents"))
     }
   )
 
@@ -1579,28 +1585,27 @@ object LlmQueries {
     (sh, ev)
   }
 
-  /** q113 kernel: q92's exact decontamination behind a broadcast CMS
+  /** q113 kernel: q92's exact decontamination behind a broadcast Bloom
     * membership pre-filter (see the q113 registration comment for the
     * scale rationale). Returns exactly q92's rows: the pre-filter is
-    * semantics-free because CMS error is one-sided — est = 0 proves the
-    * shingle never occurred in the eval set, and any false positive it
-    * lets through dies in the exact join. The exact join is deliberately
-    * NOT broadcast-hinted: at eval-set sizes where the sketch path
-    * matters the distinct shingle set exceeds broadcast range and the
-    * join must shuffle — but only the pre-filter SURVIVORS shuffle,
-    * which is the entire point (AQE still picks a broadcast join on its
-    * own at fixture scale).
+    * semantics-free because Bloom error is one-sided — mightContain =
+    * false proves the shingle never occurred in the eval set, and any
+    * false positive it lets through dies in the exact join. The filter
+    * is sized from the eval set's own cardinality (Spark's optimal-k
+    * construction), so candidate reduction is scale-invariant: survivors
+    * ≈ true hits + fpp·corpus at EVERY corpus size. The exact join is
+    * deliberately NOT broadcast-hinted: at eval-set sizes where the
+    * sketch path matters the distinct shingle set exceeds broadcast
+    * range and the join must shuffle — but only the pre-filter
+    * SURVIVORS shuffle, which is the entire point (AQE still picks a
+    * broadcast join on its own at fixture scale).
     */
-  def decontaminateCms(docs: DataFrame, eps: Double = 1e-4,
-      confidence: Double = 0.999, seed: Int = 42): DataFrame = {
+  def decontaminateBloom(docs: DataFrame, fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
     val (sh, ev) = decontamShingles(docs)
-    val bytes = ev.as[String]
-      .select(new OneCmsAgg(eps, confidence, seed).toColumn).head()
-    val b = spark.sparkContext.broadcast(CountMinSketch.readFrom(bytes))
-    val mightContain = udf((s: String) => b.value.estimateCount(s) >= 1L)
+    val b = spark.sparkContext.broadcast(evalBloom(ev, fpp))
+    val mightContain = udf((s: String) => b.value.mightContainString(s))
     sh.filter(col("doc_id") % 50 =!= 0)
       .filter(mightContain(col("sh")))
       .join(ev, "sh")
@@ -1609,25 +1614,26 @@ object LlmQueries {
         round(count(lit(1)) / max(col("n_sh")), 6).as("contaminated_frac"))
   }
 
-  /** One CMS over a stream of string keys, unit weight — q113's eval-
-    * membership sketch (the pair variant is [[TwoCmsAgg]]).
+  /** The q113 membership filter: a Bloom filter over the distinct eval
+    * shingles, sized by their exact count. Two jobs over `ev`, both cheap
+    * because [[decontamShingles]] checkpoints it: the count that sizes
+    * the filter, and the distributed `stat.bloomFilter` aggregation that
+    * fills it. Deterministic — Spark's Bloom hashing is seed-free.
     */
-  private class OneCmsAgg(eps: Double, confidence: Double, seed: Int)
-      extends Aggregator[String, CountMinSketch, Array[Byte]] {
-    def zero: CountMinSketch = CountMinSketch.create(eps, confidence, seed)
-    def reduce(b: CountMinSketch, s: String): CountMinSketch = {
-      b.addString(s); b
-    }
-    def merge(a: CountMinSketch, b: CountMinSketch): CountMinSketch = {
-      a.mergeInPlace(b); a
-    }
-    def finish(b: CountMinSketch): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      b.writeTo(bos); bos.toByteArray
-    }
-    def bufferEncoder: Encoder[CountMinSketch] =
-      Encoders.javaSerialization[CountMinSketch]
-    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  private def evalBloom(ev: DataFrame, fpp: Double): BloomFilter =
+    ev.stat.bloomFilter("sh", math.max(ev.count(), 1L), fpp)
+
+  /** (corpus shingle rows, rows surviving the Bloom pre-filter) — the
+    * q113 candidate-reduction measurement shared by DedupMetrics and the
+    * saturation pin in DedupSpec. Because the filter is sized from the
+    * eval cardinality, survivors ≈ true hits + fpp·rows at every scale.
+    */
+  def decontamReduction(docs: DataFrame, fpp: Double = 0.01): (Long, Long) = {
+    val (sh, ev) = decontamShingles(docs)
+    val corpusSh = sh.filter(col("doc_id") % 50 =!= 0)
+    val b = docs.sparkSession.sparkContext.broadcast(evalBloom(ev, fpp))
+    val mightContain = udf((x: String) => b.value.mightContainString(x))
+    (corpusSh.count(), corpusSh.filter(mightContain(col("sh"))).count())
   }
 
   /** Both q112 sketches in one aggregation pass (see [[bigramLmCms]]):
@@ -1995,23 +2001,14 @@ object LlmQueries {
         col("sh64") === col("sh64b") && col("doc_id1") < col("doc_id2"))
       .select("doc_id1", "doc_id2").distinct().count()
     // q113: corpus shingle rows entering the decontamination join,
-    // before vs after the CMS membership pre-filter — the reduction
-    // factor is what the broadcast sketch buys at shuffle time
-    val (sh113, ev113) = decontamShingles(docs)
-    val corpusSh = sh113.filter(col("doc_id") % 50 =!= 0)
-    val q113Total = corpusSh.count()
-    val q113Kept = {
-      val spark = s
-      import spark.implicits._
-      val bytes = ev113.as[String]
-        .select(new OneCmsAgg(1e-4, 0.999, 42).toColumn).head()
-      val b = s.sparkContext.broadcast(CountMinSketch.readFrom(bytes))
-      val mightContain = udf((x: String) => b.value.estimateCount(x) >= 1L)
-      corpusSh.filter(mightContain(col("sh"))).count()
-    }
+    // before vs after the Bloom membership pre-filter — the reduction
+    // factor is what the broadcast filter buys at shuffle time, and
+    // because the filter is sized from the eval cardinality it should
+    // hold (survivors ≈ hits + 1% of rows) at every scale
+    val (q113Total, q113Kept) = decontamReduction(docs)
     Seq("docs" -> docs.count(),
       "q42_pairs" -> q42, "q83_neighbor_rows" -> q83, "q87_edges" -> q87,
       "q96_pairs" -> q96, "q97_pairs" -> q97,
-      "q113_shingle_rows" -> q113Total, "q113_cms_kept" -> q113Kept)
+      "q113_shingle_rows" -> q113Total, "q113_bloom_kept" -> q113Kept)
   }
 }

@@ -210,17 +210,23 @@ class DedupSpec extends SparkSpec {
       "reliable mode must actually write checkpoint files")
   }
 
-  test("q113 CMS pre-filter reproduces q92's exact rows and actually filters") {
+  test("q113 Bloom pre-filter reproduces q92's exact rows and actually filters") {
     val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
-    // same rows as the exact path: the sketch's one-sided error means the
+    // same rows as the exact path: the filter's one-sided error means the
     // pre-filter may only ADD candidates (killed by the exact join),
     // never drop a hit — so the two queries must be row-identical
     val exact = SparkEntry.queries("q92_decontaminate")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val cms = operators.LlmQueries.decontaminateCms(docs).collect()
+    val bloom = operators.LlmQueries.decontaminateBloom(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(cms == exact, "CMS path diverged from the exact decontamination")
+    assert(bloom == exact, "Bloom path diverged from the exact decontamination")
     assert(exact.nonEmpty, "fixture planted no contamination — vacuous test")
+    // selectivity must not saturate: because the filter is sized from the
+    // eval cardinality, survivors ≈ true hits + fpp·corpus. A fixed-width
+    // sketch fails this at scale (the r10 CMS variant kept 92% at sf2).
+    val (total, kept) = operators.LlmQueries.decontamReduction(docs)
+    assert(kept <= 0.2 * total,
+      s"pre-filter kept $kept of $total shingle rows — filter saturated")
   }
 
   test("labelPropagation: empty corpus returns empty labels, no NPE") {
