@@ -460,32 +460,38 @@ object LlmQueries {
     },
 
     // ---------------------------------------------------------------- Q46
-    // IVF-bucketed near-duplicate embeddings: candidate pairs only within a
-    // coarse-quantizer cell (label), cosine >= 0.9. Planted near-dups
-    // (vec_id%20==0, coordinate 1 zeroed, same cell) must surface. At scale
-    // the join shuffles on the cell id — candidate count is sum of squared
-    // cell sizes, never the corpus cross product.
-    Q("q46_ivf_neardup", Some("""
-      WITH base AS (
-        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    // IVF-bucketed near-duplicate embeddings — the EXACT-RECALL ANCHOR for
+    // q108: candidate pairs only within a coarse-quantizer cell (label),
+    // cosine >= 0.9, over a BOUNDED sample of the corpus
+    // ([[VectorQueries.anchorBase]]): base vec_ids are kept when a
+    // Knuth-multiplicative hash lands on 0 mod m, with m sized so the
+    // sample holds ~4096 vectors at every corpus size. Within-cell
+    // all-pairs is quadratic in cell size by nature — the r10 anchor
+    // measured 88.5M pairs / 24 s at sf2, 4× per 2× — so the anchor now
+    // measures recall on a fixed pair budget (~1M pairs at any scale),
+    // the way production systems validate ANN recall: exact ground truth
+    // on a sample, never all-pairs on the corpus. m = 1 at every
+    // correctness-fixture scale (≤ 4096 vectors), so the gate and the
+    // VectorSpec recall pin see the historical full anchor; planted pairs
+    // share their sample fate by construction (the hash keys on the BASE
+    // id, before the +10000 twin is planted). The oracle derives the same
+    // m from COUNT(*) — both engines sample in lockstep.
+    Q("q46_ivf_neardup", Some(s"""
+      WITH ${graft.operators.VectorQueries.anchorSampleSql},
+      base AS (
+        SELECT vec_id, label, v FROM samp
         UNION ALL
         SELECT vec_id + 10000, label,
           [ CASE WHEN i = 1 THEN 0 ELSE v[i] END
             for i in range(1, len(v) + 1) ]
-        FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-        WHERE vec_id % 20 = 0),
+        FROM samp WHERE vec_id % 20 = 0),
       n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM base)
       SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
       FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9""")) { (s, dir) =>
-      val e = Tables.t(s, dir, "embeddings")
-        .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v")
-      val planted = e.filter(col("vec_id") % 20 === 0)
-        .selectExpr("vec_id + 10000 AS vec_id", "label",
-          "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
       graft.plans.GraftExtensions.register(s) // graft_vector_dot
-      val n = e.unionByName(planted)
+      val n = graft.operators.VectorQueries.anchorBase(s, dir)
         .select(col("vec_id"), col("label"), col("v"),
           sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
       val a = n.select(col("vec_id").as("vec_id1"), col("label"),

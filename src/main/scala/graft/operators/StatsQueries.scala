@@ -116,6 +116,77 @@ object StatsQueries {
         - ((sxy - sx * sy / n_rows) / (sxx - sx * sx / n_rows)) * (sx / n_rows), 6)
        AS regr_intercept""")
 
+  /** (nByG, offsets, needed ranks) from the (pid, g, count) metadata rows
+    * of a range-partitioned selection pass — shared by
+    * [[exactGroupPercentiles]] and [[robustStats]].
+    */
+  private def rankMeta(countRows: Seq[(Int, String, Long)], ps: Seq[Double])
+      : (Map[String, Long], Map[(Int, String), Long], Map[String, Set[Long]]) = {
+    val counts = countRows.map { case (pid, g, c) => (pid, g) -> c }.toMap
+    val nByG: Map[String, Long] =
+      counts.toSeq.groupBy(_._1._2).map { case (g, m) => g -> m.map(_._2).sum }
+    val offsets: Map[(Int, String), Long] =
+      counts.toSeq.groupBy(_._1._2).flatMap { case (_, entries) =>
+        val sorted = entries.sortBy(_._1._1)
+        val prefix = sorted.map(_._2).scanLeft(0L)(_ + _)
+        sorted.map(_._1).zip(prefix)
+      }
+    val needed: Map[String, Set[Long]] = nByG.map { case (g, n) =>
+      g -> ps.flatMap { p =>
+        val pos = p * (n - 1)
+        val k = math.floor(pos).toLong
+        Seq(k, math.min(k + 1, n - 1))
+      }.toSet
+    }
+    (nByG, offsets, needed)
+  }
+
+  /** Second half of a selection pass: stream each sorted partition once,
+    * emitting ONLY the values whose global rank an interpolation needs.
+    * `base` must be the SAME range-partitioned sorted Dataset the offsets
+    * were counted over (a narrow projection of it is fine — projections
+    * preserve partition ids and row order).
+    */
+  private def pickRanks(base: org.apache.spark.sql.Dataset[(String, Double)],
+      offsets: Map[(Int, String), Long],
+      needed: Map[String, Set[Long]]): Map[(String, Long), Double] = {
+    val s = base.sparkSession
+    import s.implicits._
+    val offB = s.sparkContext.broadcast(offsets)
+    val needB = s.sparkContext.broadcast(needed)
+    base.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var curG: String = null
+      var idx = 0L
+      it.flatMap { case (g, v) =>
+        if (g != curG) { curG = g; idx = offB.value((pid, g)) }
+        val r = idx
+        idx += 1
+        if (needB.value.getOrElse(g, Set.empty[Long]).contains(r))
+          Iterator((g, r, v))
+        else Iterator.empty
+      }
+    }.collect().map { case (g, r, v) => (g, r) -> v }.toMap
+  }
+
+  /** The builtin's interpolation arithmetic, op for op
+    * (Percentile.getPercentile): the WEIGHTED two-term form — the
+    * algebraically-equal lo + frac*(hi - lo) differs by an ulp and fails
+    * the bit-equality spec.
+    */
+  private def interpolate(nByG: Map[String, Long], ps: Seq[Double],
+      picked: Map[(String, Long), Double]): Map[(String, Double), Double] =
+    (for { (g, n) <- nByG; p <- ps } yield {
+      val pos = p * (n - 1)
+      val lower = math.floor(pos).toLong
+      val higher = math.ceil(pos).toLong
+      val vLo = picked((g, lower))
+      val value =
+        if (higher == lower) vLo
+        else (higher - pos) * vLo + (pos - lower) * picked((g, higher))
+      (g, p) -> value
+    }).toMap
+
   /** EXACT per-group interpolated percentiles WITHOUT per-group value
     * buffering — the distributed selection algorithm: range-partition the
     * (group, value) stream, count per (partition, group) in one tiny
@@ -140,6 +211,12 @@ object StatsQueries {
     * are dropped before ranking — the builtin `percentile` silently
     * skips them too, and without the filter a null would either break
     * the (String, Double) decode or corrupt every rank offset after it.
+    * One DIVERGENCE from the builtin follows from that filter plus the
+    * non-nullable Double in the returned map: a group whose values are
+    * ALL null has no rankable stream and is absent from the result,
+    * where the builtin would emit the group with a NULL percentile. A
+    * caller that must preserve all-null groups has to pre-split them
+    * (`count(valueCol)` = 0) and union the NULL rows back itself.
     */
   def exactGroupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): Map[(String, Double), Double] = {
@@ -154,54 +231,90 @@ object StatsQueries {
       .as[(String, Double)]
       .persist()
     try {
-      val counts = base.toDF("g", "v").withColumn("pid", spark_partition_id())
+      val countRows = base.toDF("g", "v").withColumn("pid", spark_partition_id())
         .groupBy("pid", "g").agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-      val nByG: Map[String, Long] =
-        counts.toSeq.groupBy(_._1._2).map { case (g, m) => g -> m.map(_._2).sum }
-      val offsets: Map[(Int, String), Long] =
-        counts.toSeq.groupBy(_._1._2).flatMap { case (_, entries) =>
-          val sorted = entries.sortBy(_._1._1)
-          val prefix = sorted.map(_._2).scanLeft(0L)(_ + _)
-          sorted.map(_._1).zip(prefix)
-        }
-      val needed: Map[String, Set[Long]] = nByG.map { case (g, n) =>
-        g -> ps.flatMap { p =>
-          val pos = p * (n - 1)
-          val k = math.floor(pos).toLong
-          Seq(k, math.min(k + 1, n - 1))
-        }.toSet
-      }
-      val offB = s.sparkContext.broadcast(offsets)
-      val needB = s.sparkContext.broadcast(needed)
-      val picked = base.mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var curG: String = null
-        var idx = 0L
-        it.flatMap { case (g, v) =>
-          if (g != curG) { curG = g; idx = offB.value((pid, g)) }
-          val r = idx
-          idx += 1
-          if (needB.value.getOrElse(g, Set.empty[Long]).contains(r))
-            Iterator((g, r, v))
-          else Iterator.empty
-        }
-      }.collect().map { case (g, r, v) => (g, r) -> v }.toMap
-      (for { (g, n) <- nByG; p <- ps } yield {
-        val pos = p * (n - 1)
-        val lower = math.floor(pos).toLong
-        val higher = math.ceil(pos).toLong
-        val vLo = picked((g, lower))
-        // the builtin's interpolation arithmetic, op for op
-        // (Percentile.getPercentile): the WEIGHTED two-term form — the
-        // algebraically-equal lo + frac*(hi - lo) differs by an ulp and
-        // fails the bit-equality spec
-        val value =
-          if (higher == lower) vLo
-          else (higher - pos) * vLo + (pos - lower) * picked((g, higher))
-        (g, p) -> value
-      }).toMap
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      val (nByG, offsets, needed) = rankMeta(countRows, ps)
+      val picked = pickRanks(base, offsets, needed)
+      interpolate(nByG, ps, picked)
     } finally base.unpersist()
+  }
+
+  /** q86's FUSED robust-stats kernel: median/IQR from one selection pass
+    * over the value stream, MAD from a second selection pass over the
+    * derived deviation stream, and the Tukey-fence outlier counts folded
+    * into the deviation pass's counts job — so the whole query reads the
+    * input ONCE (the round-10 form scanned lineitem three times: value
+    * percentiles, deviation percentiles, outlier aggregation) and runs 4
+    * bounded driver collects instead of 5 jobs with full rescans. The
+    * deviation stream is derived from the persisted value stream (a
+    * narrow cached projection joined with the broadcast 3-row median
+    * table), so the only corpus-sized work after the first shuffle is the
+    * (g, |v−median|) re-range-partition — unavoidable, because deviation
+    * order is not value order. The MAD pass genuinely depends on the
+    * median, so the two selection passes are sequential by data
+    * dependency; what fuses is everything else. All rounding runs through
+    * Spark `round` expressions (HALF_UP on the shortest decimal
+    * representation), the exact arithmetic the round-10 form used, so
+    * results are bit-identical (the oracle is unchanged).
+    *
+    * Returns (group, median_price, iqr, mad, n_outliers) as a driver-local
+    * DataFrame — every heavy pass has already run by the time this
+    * returns, and the caller's action on the result costs nothing.
+    */
+  def robustStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val ps = Seq(0.25, 0.5, 0.75)
+    val base = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .repartitionByRange(col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .as[(String, Double)]
+      .persist()
+    val dev = {
+      // value-stream selection: counts (materializes the cache) + picked
+      val countRows = base.toDF("g", "v").withColumn("pid", spark_partition_id())
+        .groupBy("pid", "g").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      val (nByG, offsets, needed) = rankMeta(countRows, ps)
+      val pcts = interpolate(nByG, ps, pickRanks(base, offsets, needed))
+      val groups = nByG.keys.toSeq.sorted
+      // 3-row broadcast median/fence table, rounded by Spark's own round
+      val med = groups.map(g => (g, pcts((g, 0.5)), pcts((g, 0.25)), pcts((g, 0.75))))
+        .toDF("g", "m_raw", "p25_raw", "p75_raw")
+        .select(col("g"), round(col("m_raw"), 6).as("med"),
+          round(col("p25_raw"), 6).as("p25"), round(col("p75_raw"), 6).as("p75"))
+      // deviation stream FROM THE CACHE — no second scan of `df`; the
+      // outlier flag rides along so the deviation counts job can also
+      // aggregate the fence counts (one job, two purposes)
+      val devDf = base.toDF("g", "v").join(broadcast(med), "g")
+        .select(col("g"), abs(col("v") - col("med")).as("d"),
+          (col("v") > col("p75") + (col("p75") - col("p25")) * 1.5 ||
+            col("v") < col("p25") - (col("p75") - col("p25")) * 1.5).as("is_out"))
+        .repartitionByRange(col("g"), col("d"))
+        .sortWithinPartitions("g", "d")
+        .persist()
+      val countRows2 = devDf.withColumn("pid", spark_partition_id())
+        .groupBy("pid", "g").agg(count(lit(1)).as("c"),
+          sum(when(col("is_out"), 1L).otherwise(0L)).as("o"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      val outByG = countRows2.groupBy(_._2).map { case (g, rs) => g -> rs.map(_._4).sum }
+      val (nByG2, offsets2, needed2) =
+        rankMeta(countRows2.map(t => (t._1, t._2, t._3)), Seq(0.5))
+      val madRaw = interpolate(nByG2, Seq(0.5),
+        pickRanks(devDf.select("g", "d").as[(String, Double)], offsets2, needed2))
+      base.unpersist()
+      devDf.unpersist()
+      groups.map(g => (g, pcts((g, 0.5)), pcts((g, 0.25)), pcts((g, 0.75)),
+        madRaw((g, 0.5)), outByG(g)))
+    }
+    dev.toDF(groupCol, "m_raw", "p25_raw", "p75_raw", "mad_raw", "n_outliers")
+      .select(col(groupCol), round(col("m_raw"), 6).as("median_price"),
+        round(round(col("p75_raw"), 6) - round(col("p25_raw"), 6), 6).as("iqr"),
+        round(col("mad_raw"), 6).as("mad"), col("n_outliers"))
   }
 
   /** Scale-safe robust-stats DEFAULT path: approx_percentile only — a
@@ -518,40 +631,12 @@ object StatsQueries {
       FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
       GROUP BY m.l_returnflag, m.median_price, m.p25, m.p75""")) { (s, dir) =>
       // since round 9 the exact quantiles come from the range-partitioned
-      // selection pass ([[exactGroupPercentiles]]) instead of the builtin
-      // `percentile` aggregate — same numbers (spec-pinned bit-equal),
-      // but no reducer ever buffers a whole group, so the exact form is
-      // itself scale-safe now
-      import s.implicits._
-      val li = Tables.t(s, dir, "lineitem")
-      val pcts = exactGroupPercentiles(li, "l_returnflag", "l_extendedprice",
-        Seq(0.25, 0.5, 0.75))
-      val groups = pcts.keys.map(_._1).toSeq.distinct.sorted
-      val med = groups
-        .map(g => (g, pcts((g, 0.5)), pcts((g, 0.25)), pcts((g, 0.75))))
-        .toDF("l_returnflag", "m_raw", "p25_raw", "p75_raw")
-        .select(col("l_returnflag"),
-          round(col("m_raw"), 6).as("median_price"),
-          round(col("p25_raw"), 6).as("p25"),
-          round(col("p75_raw"), 6).as("p75"))
-      // MAD = median of |v - rounded median|: a second selection pass
-      // over the deviation stream
-      val dev = li.join(broadcast(med), "l_returnflag")
-        .select(col("l_returnflag"),
-          abs(col("l_extendedprice") - col("median_price")).as("d"))
-      val madM = exactGroupPercentiles(dev, "l_returnflag", "d", Seq(0.5))
-      val mad = groups.map(g => (g, madM((g, 0.5))))
-        .toDF("l_returnflag", "mad_raw")
-        .select(col("l_returnflag"), round(col("mad_raw"), 6).as("mad"))
-      li.join(broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag", "median_price", "p25", "p75")
-        .agg(
-          sum(when(col("l_extendedprice") > col("p75") + (col("p75") - col("p25")) * 1.5, 1)
-            .when(col("l_extendedprice") < col("p25") - (col("p75") - col("p25")) * 1.5, 1)
-            .otherwise(0)).cast("long").as("n_outliers"))
-        .join(broadcast(mad), "l_returnflag")
-        .select(col("l_returnflag"), col("median_price"),
-          round(col("p75") - col("p25"), 6).as("iqr"), col("mad"), col("n_outliers"))
+      // selection pass instead of the builtin `percentile` aggregate —
+      // same numbers (spec-pinned bit-equal), but no reducer ever buffers
+      // a whole group; round 11 fused the value pass, the deviation pass,
+      // and the fence counts into [[robustStats]] (one lineitem scan, 4
+      // bounded collects)
+      robustStats(Tables.t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
     },
 
     // ---------------------------------------------------------------- Q88

@@ -304,6 +304,52 @@ object VectorQueries {
     math.max(16, math.min(32, ceilLog2 + 2))
   }
 
+  /** q46's pair-budget knob: the exact-recall anchor samples base vec_ids
+    * so its within-cell all-pairs join runs over ~`budget` sampled vectors
+    * at ANY corpus size — pairs stay ≈ Σcell² of a fixed-size sample
+    * (~1M at budget 4096) instead of growing 4× per 2× corpus (r10
+    * measured 88.5M pairs at sf2, 18% of the whole suite's wall-clock).
+    * This is how production systems validate ANN recall: against exact
+    * ground truth on a SAMPLE, never all-pairs over the corpus. m = 1 at
+    * every correctness-fixture scale (n ≤ 4096 ⇒ no sampling — the gate
+    * and VectorSpec see the historical full anchor), and the oracle SQL
+    * derives the SAME m from COUNT(*), so both engines sample in
+    * lockstep.
+    */
+  def anchorSampleMod(nBase: Long, budget: Long = 4096L): Long =
+    math.max(1L, nBase / budget)
+
+  /** The q46 anchor's corpus: Knuth-multiplicative-hash-sampled base ids
+    * (uniform, deterministic, identical arithmetic in the oracle SQL — all
+    * intermediates fit a BIGINT) plus the planted near-dup twins
+    * (vec_id%20==0, coordinate 0 zeroed, +10000) of the SAMPLED ids.
+    * Sampling the BASE id before planting means a planted pair shares its
+    * sample fate by construction — the anchor keeps every planted
+    * positive it keeps the original of, so the recall measurement never
+    * counts a pair whose other half was sampled away (VectorSpec pins
+    * this coupling).
+    */
+  def anchorBase(s: SparkSession, dir: String): DataFrame = {
+    val eAll = Tables.t(s, dir, "embeddings")
+    val m = anchorSampleMod(eAll.count())
+    val e = eAll
+      .filter(expr(s"((vec_id * 2654435761L) % 4294967296L) % $m = 0"))
+      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v")
+    val planted = e.filter(col("vec_id") % 20 === 0)
+      .selectExpr("vec_id + 10000 AS vec_id", "label",
+        "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
+    e.unionByName(planted)
+  }
+
+  /** The oracle side of [[anchorBase]]'s sampling — kept next to the Spark
+    * form so the two can't drift.
+    */
+  val anchorSampleSql: String = """
+      params AS (SELECT GREATEST(1, COUNT(*) // 4096) AS m FROM embeddings),
+      samp AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings, params
+               WHERE ((vec_id * 2654435761) % 4294967296) % m = 0)"""
+
   /** Signature table (vec_id, sig: 128-char bit string) → capped band
     * buckets (vec_id, bk64), band width from [[hyperplaneBandBits]] —
     * shared by q108 and [[candidateCounts]] so the measured candidate set
@@ -338,9 +384,12 @@ object VectorQueries {
       .selectExpr("vec_id + 10000 AS vec_id", "label",
         "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
     val base = e.unionByName(planted)
-    // q46 candidates: same-cell pairs (the join's row count before cosine)
-    val q46 = base.select(col("vec_id").as("id1"), col("label"))
-      .join(base.select(col("vec_id").as("id2"), col("label").as("l2")),
+    // q46 candidates: same-cell pairs over the SAMPLED anchor base — the
+    // generator the query actually runs since r11 (bounded ≈ budget²/cells
+    // at every corpus size; the r10 unsampled form grew 4× per 2×)
+    val anchor = anchorBase(s, dir)
+    val q46 = anchor.select(col("vec_id").as("id1"), col("label"))
+      .join(anchor.select(col("vec_id").as("id2"), col("label").as("l2")),
         col("label") === col("l2") && col("id1") < col("id2")).count()
     // q108 candidates: capped hyperplane-band bucket pairs, pre-cosine —
     // the SAME generator as the query (width knob included)

@@ -91,6 +91,29 @@ class VectorSpec extends SparkSpec {
     assert(run("q108_embed_lsh_neardup").where(col("sim") < 0.9).count() == 0)
   }
 
+  test("q46 anchor sampling: budget formula, fixture passthrough, planted-pair fate") {
+    import operators.VectorQueries.{anchorSampleMod, anchorBase}
+    // every correctness-fixture scale (n ≤ 4096) passes through unsampled —
+    // the gate and the recall pin above always see the FULL anchor
+    assert(Seq(0L, 500L, 2000L, 4096L, 8191L).map(anchorSampleMod(_)) ==
+      Seq(1L, 1L, 1L, 1L, 1L))
+    // bench scales bound the sample at ~4096 base ids: sf1/sf2/sf5
+    // benchdata corpora (20k/40k/100k vectors) sample at 1/4, 1/9, 1/24
+    assert(anchorSampleMod(8192L) == 2L)
+    assert(anchorSampleMod(20000L) == 4L)
+    assert(anchorSampleMod(40000L) == 9L)
+    assert(anchorSampleMod(100000L) == 24L)
+    // planted twins share their base id's sample fate: every +10000 twin's
+    // original is present (structurally guaranteed because the hash keys
+    // on the base id BEFORE planting — this pins the construction order)
+    val ids = anchorBase(spark, sf).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val planted = ids.filter(_ >= 10000L)
+    assert(planted.nonEmpty, "fixture must plant twins")
+    assert(planted.forall(p => ids.contains(p - 10000L)),
+      "a planted twin survived sampling without its original")
+  }
+
   test("q108 band width scales with corpus size: floor 16, log2 growth, cap 32") {
     import operators.VectorQueries.{hyperplaneBandBits, hyperplaneBands}
     // every correctness-fixture scale (≤ sf0.1, n ≤ 2205) stays on the
