@@ -1516,12 +1516,14 @@ object LlmQueries {
     * it probes both sketches and verifies the overcount stays within
     * eps·N (N from the sketch's own totalCount — no extra pass), reduced
     * per doc with bool_and. The oracle emits literal TRUEs — the q74
-    * HLL/approx-percentile within-bound pattern. Sketch probes go through
-    * a Scala UDF because Spark ships a count_min_sketch AGGREGATE but no
-    * probe function; the UDF is two array reads per row over a broadcast
-    * sketch, outside every shuffle. Deterministic: fixed seed, and CMS
-    * merge is counter addition (commutative), so the sketch is identical
-    * whatever the aggregation order.
+    * HLL/approx-percentile within-bound pattern. Sketch probes run through
+    * the codegen'd `graft_cms_estimate` expression (Spark ships a
+    * count_min_sketch AGGREGATE but no probe function —
+    * [[graft.plans.CmsEstimate]]): two array reads per row over a
+    * plan-embedded sketch, inside WholeStageCodegen, outside every
+    * shuffle. Deterministic: fixed seed, and CMS merge is counter
+    * addition (commutative), so the sketch is identical whatever the
+    * aggregation order.
     */
   def bigramLmCms(docs: DataFrame, eps: Double = 1e-4,
       confidence: Double = 0.999, seed: Int = 42): DataFrame = {
@@ -1557,14 +1559,13 @@ object LlmQueries {
     // regenerations too.
     val slack12 = math.ceil(2 * eps * cms12.totalCount()).toLong
     val slack1 = math.ceil(2 * eps * cms1.totalCount()).toLong
-    val b12 = spark.sparkContext.broadcast(cms12)
-    val b1 = spark.sparkContext.broadcast(cms1)
-    val est12 = udf((s: String) => b12.value.estimateCount(s))
-    val est1 = udf((s: String) => b1.value.estimateCount(s))
+    graft.plans.GraftExtensions.register(spark)
     bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
       .crossJoin(broadcast(vDf))
-      .withColumn("e12", est12(concat_ws(" ", col("w1"), col("w2"))))
-      .withColumn("e1", est1(col("w1")))
+      .withColumn("e12", call_function("graft_cms_estimate",
+        lit(sketchBytes(cms12)), concat_ws(" ", col("w1"), col("w2"))))
+      .withColumn("e1", call_function("graft_cms_estimate",
+        lit(sketchBytes(cms1)), col("w1")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(((c12 + 1) * 1000000L) div (c1 + vs)) div count(1)")
@@ -1573,10 +1574,25 @@ object LlmQueries {
         expr(s"bool_and(e1 >= c1 AND e1 <= c1 + $slack1)").as("cms1_ok"))
   }
 
+  /** One serialized copy of a sketch for plan embedding (see
+    * [[graft.plans.BloomContains]] / [[graft.plans.CmsEstimate]]).
+    */
+  private def sketchBytes(writeTo: java.io.OutputStream => Unit): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeTo(bos)
+    bos.toByteArray
+  }
+  private def sketchBytes(cms: CountMinSketch): Array[Byte] =
+    sketchBytes(cms.writeTo(_))
+  private def sketchBytes(bf: BloomFilter): Array[Byte] =
+    sketchBytes(bf.writeTo(_))
+
   /** q92/q113 shared shingle streams over the planted-leak corpus:
     * (all-doc 5-token shingle rows (doc_id, n_sh, sh), distinct eval
-    * shingles). The eval set is eagerly materialized — q113 reads it
-    * twice (sketch build + exact join).
+    * shingles). The eval set is LAZILY checkpointed: its first action both
+    * materializes the checkpoint and returns that action's result, so
+    * q113's sizing count doubles as the materialization job (q92's only
+    * read — the exact join — likewise materializes it in place).
     */
   private def decontamShingles(docs: DataFrame): (DataFrame, DataFrame) = {
     val d = docs.select(col("doc_id"), col("text"))
@@ -1587,7 +1603,7 @@ object LlmQueries {
       .selectExpr("doc_id", "graft_shingles(text, 5) AS shs")
       .selectExpr("doc_id", "size(shs) AS n_sh", "explode(shs) AS sh")
     val ev = sh.filter(col("doc_id") % 50 === 0).select("sh").distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     (sh, ev)
   }
 
@@ -1610,10 +1626,9 @@ object LlmQueries {
     val spark = docs.sparkSession
     graft.plans.GraftExtensions.register(spark)
     val (sh, ev) = decontamShingles(docs)
-    val b = spark.sparkContext.broadcast(evalBloom(ev, fpp))
-    val mightContain = udf((s: String) => b.value.mightContainString(s))
+    val bloomLit = lit(sketchBytes(evalBloom(ev, fpp)))
     sh.filter(col("doc_id") % 50 =!= 0)
-      .filter(mightContain(col("sh")))
+      .filter(call_function("graft_bloom_contains", bloomLit, col("sh")))
       .join(ev, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"),
@@ -1621,10 +1636,15 @@ object LlmQueries {
   }
 
   /** The q113 membership filter: a Bloom filter over the distinct eval
-    * shingles, sized by their exact count. Two jobs over `ev`, both cheap
-    * because [[decontamShingles]] checkpoints it: the count that sizes
-    * the filter, and the distributed `stat.bloomFilter` aggregation that
-    * fills it. Deterministic — Spark's Bloom hashing is seed-free.
+    * shingles, sized by their exact count. The sizing count is NOT an
+    * extra pass: `ev` arrives lazily checkpointed ([[decontamShingles]]),
+    * so `ev.count()` IS the checkpoint-materialization job, and the
+    * distributed `stat.bloomFilter` aggregation over the now-cached rows
+    * is the only additional job over `ev`. (Exact sizing fundamentally
+    * precedes insertion — Bloom bit-width is a function of n — so a
+    * single-pass (count, bloom) aggregate can't exist without either
+    * buffering every item or guessing capacity.) Deterministic — Spark's
+    * Bloom hashing is seed-free.
     */
   private def evalBloom(ev: DataFrame, fpp: Double): BloomFilter =
     ev.stat.bloomFilter("sh", math.max(ev.count(), 1L), fpp)
@@ -1635,11 +1655,12 @@ object LlmQueries {
     * eval cardinality, survivors ≈ true hits + fpp·rows at every scale.
     */
   def decontamReduction(docs: DataFrame, fpp: Double = 0.01): (Long, Long) = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     val (sh, ev) = decontamShingles(docs)
     val corpusSh = sh.filter(col("doc_id") % 50 =!= 0)
-    val b = docs.sparkSession.sparkContext.broadcast(evalBloom(ev, fpp))
-    val mightContain = udf((x: String) => b.value.mightContainString(x))
-    (corpusSh.count(), corpusSh.filter(mightContain(col("sh"))).count())
+    val bloomLit = lit(sketchBytes(evalBloom(ev, fpp)))
+    (corpusSh.count(),
+      corpusSh.filter(call_function("graft_bloom_contains", bloomLit, col("sh"))).count())
   }
 
   /** Both q112 sketches in one aggregation pass (see [[bigramLmCms]]):

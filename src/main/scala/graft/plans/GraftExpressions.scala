@@ -264,6 +264,82 @@ object HyperplaneSig {
   }
 }
 
+/** `graft_bloom_contains(sketch_bytes, string) → boolean`: membership probe
+  * of a serialized [[org.apache.spark.util.sketch.BloomFilter]] — q113's
+  * pre-filter kernel. The sketch argument must be a foldable BINARY literal
+  * (the filter built at query-construction time, embedded in the plan the
+  * way Spark's own `InjectRuntimeFilter` embeds its bloom as a scalar — the
+  * plan ships to executors through the per-stage taskBinary torrent
+  * broadcast, so a plan-embedded sketch has the same network profile as an
+  * explicit `Broadcast` variable). Versus the previous ScalaUDF probe this
+  * stays inside WholeStageCodegen and skips the UTF8String→String encoder
+  * boundary: `BloomFilterBase.mightContainString` delegates to
+  * `mightContainBinary(utf8 bytes)`, so probing `UTF8String.getBytes`
+  * directly is bit-identical. Deserialized once at plan time (lazy),
+  * shared by all generated code via the codegen references array.
+  */
+final case class BloomContains(sketch: Expression, child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = sketch
+  override def right: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (sketch.dataType != BinaryType || !sketch.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a foldable BINARY sketch argument")
+    else if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING probe argument")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(sketch.eval().asInstanceOf[Array[Byte]]))
+  override protected def nullSafeEval(sketchBytes: Any, value: Any): Any =
+    bloom.mightContainBinary(value.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, (_, v) => s"$ref.mightContainBinary($v.getBytes())")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContains =
+    copy(sketch = newLeft, child = newRight)
+}
+
+/** `graft_cms_estimate(sketch_bytes, string) → long`: point-count probe of a
+  * serialized [[org.apache.spark.util.sketch.CountMinSketch]] — q112's audit
+  * kernel. Same contract and rationale as [[BloomContains]]: foldable BINARY
+  * sketch literal, one lazy deserialization shared through the references
+  * array, and `CountMinSketchImpl.estimateCount` hashes a String via
+  * `Utils.getBytesFromUTF8String`, so probing the raw UTF8String bytes
+  * (`estimateCountForBinaryItem`) is bit-identical to the String path.
+  */
+final case class CmsEstimate(sketch: Expression, child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = sketch
+  override def right: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (sketch.dataType != BinaryType || !sketch.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a foldable BINARY sketch argument")
+    else if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING probe argument")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_cms_estimate"
+  @transient private lazy val cms: org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch.eval().asInstanceOf[Array[Byte]]))
+  override protected def nullSafeEval(sketchBytes: Any, value: Any): Any =
+    cms.estimateCount(value.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCms", cms,
+      "org.apache.spark.util.sketch.CountMinSketch")
+    defineCodeGen(ctx, ev, (_, v) => s"$ref.estimateCount($v.getBytes())")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(sketch = newLeft, child = newRight)
+}
+
 /** Injector: `SparkSession.builder.withExtensions(new GraftExtensions)` at
   * session build time, or [[GraftExtensions.register]] on a live session.
   */
@@ -310,6 +386,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_shingles takes exactly 2 arguments")
         ShingleSet(args(0), args(1))
+      }),
+    ("graft_bloom_contains",
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_bloom_contains takes exactly 2 arguments")
+        BloomContains(args(0), args(1))
+      }),
+    ("graft_cms_estimate",
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cms_estimate takes exactly 2 arguments")
+        CmsEstimate(args(0), args(1))
       }))
 
   /** Idempotent post-hoc registration for sessions built without

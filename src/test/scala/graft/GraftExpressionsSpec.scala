@@ -63,6 +63,45 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(!optimized.toString.contains("graft_is_kpl"), optimized.toString)
   }
 
+  test("graft_bloom_contains matches mightContainString, propagates null, codegens") {
+    registered
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq("alpha beta", "gamma delta").foreach(bf.putString)
+    val bytes = { val o = new java.io.ByteArrayOutputStream(); bf.writeTo(o); o.toByteArray }
+    val in = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row("alpha beta"), Row("gamma delta"), Row("epsilon"), Row(null)), 2),
+      StructType(Seq(StructField("s", StringType))))
+    val probed = in.select(call_function("graft_bloom_contains", lit(bytes), col("s")).as("hit"))
+    val out = probed.collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    // one-sided: members MUST hit; the non-member check also validates the
+    // probe hashes match putString (a hash mismatch would randomize hits)
+    assert(out.toSeq == Seq(true, true, bf.mightContainString("epsilon"), null))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("graft_cms_estimate matches estimateCount, propagates null, codegens") {
+    registered
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.999, 42)
+    cms.addString("alpha beta", 7); cms.addString("gamma", 3)
+    val bytes = { val o = new java.io.ByteArrayOutputStream(); cms.writeTo(o); o.toByteArray }
+    val in = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("alpha beta"), Row("gamma"), Row("zeta"), Row(null)), 2),
+      StructType(Seq(StructField("s", StringType))))
+    val probed = in.select(call_function("graft_cms_estimate", lit(bytes), col("s")).as("est"))
+    val out = probed.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(out.toSeq == Seq(
+      cms.estimateCount("alpha beta"), cms.estimateCount("gamma"),
+      cms.estimateCount("zeta"), null))
+    assert(out(0) == 7L && out(1) == 3L, "CMS est >= exact and exact here (no collisions at this width)")
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("graft_vector_dot equals the left-fold dot product, bit-exact") {
     registered
     val df = spark.sql(
