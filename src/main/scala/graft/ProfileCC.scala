@@ -28,6 +28,11 @@ object ProfileCC {
       val labels = time("connectedComponents total")(
         operators.LlmQueries.connectedComponents(corpus))
       time("labels noop")(labels.write.format("noop").mode("overwrite").save())
+      // q103 phase split: CC pass vs quality/members vs final argmax
+      val q103 = time("qualityKeep build (CC + members checkpoint)")(
+        operators.LlmQueries.qualityKeep(corpus))
+      time("qualityKeep noop (keepBest agg)")(
+        q103.write.format("noop").mode("overwrite").save())
     }
     spark.stop()
   }

@@ -1696,24 +1696,23 @@ object LlmQueries {
 
   /** q103 kernel: q87 transitive clusters joined with the q47 quality
     * score, each cluster reduced to its best member ([[keepBest]]).
+    *
+    * Everything beyond the CC pass is LAZY — one downstream action runs
+    * scan→quality→join→argmax as a single job. The CC labels come back
+    * eagerly checkpointed ([[labelPropagation]]'s final expand), so by
+    * construction the corpus has exactly one lazy consumer (the quality
+    * scan) and nothing here needs a persist or an intermediate
+    * checkpoint: the r10 form's corpus persist + eager member-table
+    * checkpoint guarded against double consumption that no longer exists
+    * since [[keepBest]] became a single aggregation — at sf1 they cost
+    * ~1 s/run in cache+checkpoint writes and an extra driver job.
     */
   def qualityKeep(corpus: DataFrame): DataFrame = {
-    // the corpus feeds BOTH the CC pass and the quality scorer — persist
-    // it so the (expensive, generated) corpus subtree is computed once,
-    // then checkpoint the narrow member table and release the cache: the
-    // CC output is already materialized (labelPropagation checkpoints),
-    // so after this nothing lazy still references the corpus (unpersisted
-    // at sf1 the corpus was rebuilt per consumer, ~2× its build cost)
-    val c = corpus.persist()
-    val cc = connectedComponents(c).select("doc_id", "canonical")
-    val qual = c
+    val cc = connectedComponents(corpus).select("doc_id", "canonical")
+    val qual = corpus
       .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"$qualitySparkSql AS quality")
-    val members = cc.join(qual, "doc_id")
-      .select("doc_id", "canonical", "quality")
-      .localCheckpoint(true)
-    c.unpersist()
-    keepBest(members)
+    keepBest(cc.join(qual, "doc_id").select("doc_id", "canonical", "quality"))
   }
 
   /** argmax(quality, tie → min doc_id) per cluster over (doc_id, canonical,
