@@ -28,6 +28,14 @@ import scala.collection.JavaConverters._
   *  - shard discovery at query open (`DescribeStream`, consumer.go:74-86) →
   *    directory listing in `initialOffset`; closed shards (marker file) are
   *    skipped at startup and never re-checked (consumer.go:116-123);
+  *    resharding contract: discovery is STARTUP-ONLY and the discovered set
+  *    is persisted as the checkpointed offset map's key set, so a shard dir
+  *    created mid-stream is invisible to the live query AND to any restart
+  *    from the same checkpoint — only a fresh start (new checkpoint)
+  *    re-discovers. This is the checkpointed analog of the reference, whose
+  *    CLI lists shards once per process and has no checkpoint, so every
+  *    restart there is a fresh discovery (pinned in ShardSpoolSourceSpec's
+  *    two resharding tests);
   *  - one goroutine per shard (consumer.go:84) → one [[InputPartition]] per
   *    shard per micro-batch: Spark schedules a task per shard;
   *  - `GetRecords(Limit)` poll (consumer.go:149-152) → `latestOffset`
