@@ -193,8 +193,9 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.execution.{GlobalLimitExec, SortExec, SparkPlan, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     // A global window or single-partition shuffle is an offense only when
     // it consumes UNREDUCED rows — nothing between it and the scans cuts
@@ -204,10 +205,31 @@ class PlanAuditSpec extends SparkSpec {
     // the correct plan, not a scale hazard. What this audit exists to
     // catch is the silent regression where a rank/sort/coalesce lands on
     // raw corpus rows — q104's per-query audit, generalized.
-    def reduced(p: SparkPlan): Boolean = flatten(p).exists {
+    //
+    // `reduced` walks the STREAMED lineage only: a broadcast join's build
+    // side is bounded by the broadcast threshold, so a reducing node there
+    // says nothing about the big-side rows flowing through — counting it
+    // (the old flatten-and-exists form) let "global sort over corpus rows
+    // joined with a tiny aggregated dim" pass the audit. Multi-child nodes
+    // (unions, shuffled joins) must reduce on EVERY input path: one raw
+    // branch is enough to make the downstream row set raw.
+    def reduced(p: SparkPlan): Boolean = p match {
       case _: BaseAggregateExec | _: GlobalLimitExec |
            _: TakeOrderedAndProjectExec => true
-      case n => n.nodeName.contains("Limit")
+      case n if n.nodeName.contains("Limit") => true
+      case q: QueryStageExec => reduced(q.plan)
+      case a: AdaptiveSparkPlanExec => reduced(a.executedPlan)
+      case r: ReusedExchangeExec => reduced(r.child)
+      case j: BroadcastHashJoinExec => reduced(j.buildSide match {
+        case BuildLeft => j.right
+        case BuildRight => j.left
+      })
+      case j: BroadcastNestedLoopJoinExec => reduced(j.buildSide match {
+        case BuildLeft => j.right
+        case BuildRight => j.left
+      })
+      case n if n.children.isEmpty => false
+      case n => n.children.forall(reduced)
     }
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
