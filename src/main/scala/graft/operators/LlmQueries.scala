@@ -80,11 +80,24 @@ object LlmQueries {
     * copy per (session, dir): the checkpoint pins only the small
     * generated table, and keying on the session keeps suite-local
     * SparkSessions from seeing another session's dead blocks.
+    *
+    * ASSUMES the documents table under `dir` is immutable for the life of
+    * the session (the driver's testdata contract): there is deliberately
+    * no content fingerprint, so regenerating a dir in-session would keep
+    * serving the stale checkpoint. Entries are evicted when the session's
+    * SparkContext ends, so a long-lived JVM cycling sessions doesn't
+    * accumulate dead session references or orphaned checkpoint blocks.
     */
   private val chainCorpusCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def chainCorpus(s: SparkSession, dir: String): DataFrame =
     chainCorpusCache.getOrElseUpdate((s, dir), {
+      if (!chainCorpusCache.keysIterator.exists(_._1 eq s))
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            chainCorpusCache.filterInPlace { case ((sess, _), _) => sess ne s }
+        })
       val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
       val n = "size(split(text, ' '))"
       val planted = d.filter(col("doc_id") % 10 === 0)
@@ -1551,12 +1564,19 @@ object LlmQueries {
     // with probability `confidence` PER PROBE (N from each sketch's own
     // totalCount — no extra pass). The audit reduces millions of probes
     // with bool_and against an oracle that emits literal TRUE, so the
-    // audited slack is 2·eps·N — still a real bound check (a broken
-    // sketch overshoots by orders of magnitude), but one the 0.999
-    // per-probe confidence can't flip on a large corpus through sheer
-    // probe count. With the pinned seed the verdict is deterministic for
-    // any fixed corpus; the 2× headroom keeps it stable across corpus
-    // regenerations too.
+    // audited slack is 2·eps·N. That doubling is not hand-waving — it has
+    // a stated bound: Spark's CMS uses width = ceil(2/eps) and depth =
+    // ceil(log2(1/(1-confidence))) (10 at the 0.999 default), each row's
+    // expected overcount is ≤ eps·N/2, so by Markov a row exceeds 2·eps·N
+    // with probability ≤ 1/4 and the depth-row minimum does with
+    // probability ≤ 4^-depth ≈ 1e-6 — about one expected flip per million
+    // probed rows, vs ~1e-3 at the un-doubled eps·N slack the per-probe
+    // confidence targets. With the pinned seed the verdict is
+    // deterministic for any fixed corpus; for a corpus large enough that
+    // probes·4^-depth approaches 1, the principled knob is the union
+    // bound — confidence = 1 - delta/expected_probes, depth grows as
+    // log2(probes/delta) and sketch build cost is linear in depth — not a
+    // wider slack.
     val slack12 = math.ceil(2 * eps * cms12.totalCount()).toLong
     val slack1 = math.ceil(2 * eps * cms1.totalCount()).toLong
     graft.plans.GraftExtensions.register(spark)
@@ -1843,7 +1863,16 @@ object LlmQueries {
     // executor loss mid-loop recomputes from nothing; passing
     // `checkpointDir` switches to reliable HDFS/DFS checkpoints so the
     // loop survives executor death on a real cluster (DedupSpec pins both
-    // modes label-identical).
+    // modes label-identical). Two costs of reliable mode to know about:
+    // setCheckpointDir below mutates SPARKCONTEXT-GLOBAL state (any later
+    // df.checkpoint() in the same session writes under this dir too), and
+    // each round's checkpoint files stay on the DFS until their RDD is
+    // GC'd — on a long-running session set
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true so rounds are
+    // reclaimed as their RDDs go out of scope (the loop only ever
+    // references the current round; all earlier rounds are garbage the
+    // moment the next checkpoint materializes), or clear the dir once the
+    // expanded labels are consumed.
     checkpointDir.foreach(session.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
