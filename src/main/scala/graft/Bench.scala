@@ -74,7 +74,14 @@ object Bench {
         }
       (name, runs.min, startMs, runs, las)
     }
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    // stdout seconds at 100 µs precision: the harness that consumes this
+    // line only keeps a bounded tail of the process output, and the full-
+    // precision 110-query map plus per-run details overflowed it — the
+    // driver then recorded "parsed": null and fell back to regex over the
+    // truncated tail (ADVICE r11). Full precision + provenance go to the
+    // details file below instead.
+    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.4f"
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val details = results.map { case (k, _, ts, runs, las) =>
       s"\"$k\":{\"ts_ms\":$ts,\"runs\":${runs.mkString("[", ",", "]")},\"loadavg\":${las.mkString("[", ",", "]")}}"
@@ -117,7 +124,19 @@ object Bench {
     // and silently poison the per-query 2× gate and round comparisons
     val filterJson = only.map(o => "\"" + o.toSeq.sorted.mkString(",") + "\"")
       .getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_selected":${selected.size},"queries_total":${SparkEntry.queries.size},"query_filter":$filterJson,"queries":$qs,"details":$details,"failed":$failedJson,"pipeline_rps":${rps.toLong},"sf":"$sfDir","cpus":"$cpus","loadavg_end":${loadavg1m()}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries_selected":${selected.size},"queries_total":${SparkEntry.queries.size},"query_filter":$filterJson,"queries":$qs,"failed":$failedJson,"pipeline_rps":${rps.toLong},"sf":"$sfDir","cpus":"$cpus","loadavg_end":${loadavg1m()}}"""
+    // Full-precision per-run provenance (raw runs + loadavg per sample)
+    // lives in a sidecar file so the stdout line stays inside the consuming
+    // harness's output-tail window; override the path or set it empty to
+    // disable (e.g. a read-only cwd).
+    val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "bench_details.json")
+    if (detailsPath.nonEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath),
+        s"""{"details":$details,"stdout_line":${"\"" + line.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}""")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] details write failed: ${e.getMessage}")
+      }
+    println(line)
     spark.stop()
   }
 }

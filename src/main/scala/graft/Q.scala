@@ -11,9 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Oracle-parity rules (see SURVEY.md §7.3):
   *  - every output column aliased identically on both sides;
-  *  - no raw nanosecond timestamps in outputs (events.ts is read as BIGINT
-  *    nanos via spark.sql.legacy.parquet.nanosAsLong — derive epoch integers
-  *    or formatted strings instead);
+  *  - no raw timestamps in outputs; integer time arithmetic on events.ts
+  *    goes through Tables.tsUsSql (the fixture has shipped ts as both
+  *    TIMESTAMP(NANOS)→BIGINT-nanos and TIMESTAMP(MICROS)→TIMESTAMP_NTZ) —
+  *    derive epoch integers or formatted strings instead;
   *  - double aggregates routed through exact DECIMAL sums then cast back to
   *    DOUBLE so both engines produce bit-identical values;
   *  - deterministic total ORDER BY with explicit key tie-breaks.

@@ -18,13 +18,31 @@ object Tables {
 
   /** Session options every graft entry point needs:
     *  - UTC so naive parquet timestamps agree with the DuckDB oracle;
-    *  - nanosAsLong because events.ts is TIMESTAMP(NANOS) which Spark cannot
-    *    represent (SPARK-40819): it arrives as BIGINT nanoseconds.
+    *  - nanosAsLong so a TIMESTAMP(NANOS) fixture — which Spark cannot
+    *    represent (SPARK-40819) — arrives as BIGINT nanoseconds instead of
+    *    failing the scan (earlier driver testdata generations used NANOS).
     */
   val sessionConf: Map[String, String] = Map(
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.enabled" -> "true")
+
+  /** SQL yielding `events.ts` as epoch-MICROSECOND BIGINT, robust to the
+    * fixture's on-disk encoding. The driver's testdata has shipped `ts`
+    * both as TIMESTAMP(NANOS) — read as BIGINT nanos via nanosAsLong — and
+    * (since round 12) as TIMESTAMP(MICROS), read as TIMESTAMP_NTZ. Every
+    * query that does integer time arithmetic goes through this dispatch so
+    * a future regeneration flips one function, not ten call sites.
+    *
+    * Integer `div`, never `/`: an epoch-ns BIGINT (~1.7e18) would lose its
+    * low bits in a double promotion (2^53 < 1.7e18), off by ±1 µs. The
+    * NTZ→TIMESTAMP cast is identity under the UTC session timezone.
+    */
+  def tsUsSql(events: org.apache.spark.sql.DataFrame): String =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "ts div 1000"
+      case _ => "unix_micros(CAST(ts AS TIMESTAMP))"
+    }
 
   /** Harness-only scratch-dir tuning for the local[32] test box.
     *

@@ -21,6 +21,19 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A query that throws must still produce a result dir: the driver's
+        // compare silently DROPS absent results, so round 11 reported
+        // 100/100 green while 10 queries crashed at build time (ADVICE r11).
+        // A one-row marker frame can never match any oracle schema, so the
+        // crash surfaces as a visible schema-mismatch row instead.
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${e.getMessage}")
+            .toDF("verify_build_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case inner: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: ${inner.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

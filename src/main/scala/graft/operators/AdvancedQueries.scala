@@ -41,9 +41,10 @@ object AdvancedQueries {
         lit(null).cast("long").as("event_id"),
         col("o_orderkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
-      val eventSide = Tables.t(s, dir, "events").select(
+      val ev = Tables.t(s, dir, "events")
+      val eventSide = ev.select(
         col("user_id"),
-        expr("ts div 1000").as("t"),
+        expr(Tables.tsUsSql(ev)).as("t"),
         lit(1).as("is_event"),
         col("event_id"),
         lit(null).cast("long").as("o_orderkey"),

@@ -121,10 +121,11 @@ object RecordQueries {
       SELECT event_id,
         strftime(ts, '%Y-%m-%d %H:%M:%S') || ' ' || event_type AS line
       FROM events""")) { (s, dir) =>
-      Tables.t(s, dir, "events").select(
+      val ev = Tables.t(s, dir, "events")
+      ev.select(
         col("event_id"),
         concat_ws(" ",
-          RecordPipeline.arrivalTs(timestamp_micros(expr("ts div 1000"))),
+          RecordPipeline.arrivalTs(timestamp_micros(expr(Tables.tsUsSql(ev)))),
           RecordPipeline.message(concat(col("event_type"), lit("\n")).cast("binary")))
           .as("line"))
     },
@@ -140,9 +141,10 @@ object RecordQueries {
         lpad(CAST(user_id % 4 AS VARCHAR), 12, '0') || ' ' ||
         CAST(event_id AS VARCHAR) || ' ' || event_type AS line
       FROM events""")) { (s, dir) =>
-      val recs = Tables.t(s, dir, "events").select(
+      val ev = Tables.t(s, dir, "events")
+      val recs = ev.select(
         col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("approximateArrivalTimestamp"),
+        timestamp_micros(expr(Tables.tsUsSql(ev))).as("approximateArrivalTimestamp"),
         lit("events-stream").as("stream"),
         concat(lit("shardId-"),
           lpad((col("user_id") % 4).cast("string"), 12, "0")).as("shardId"),

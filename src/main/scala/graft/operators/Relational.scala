@@ -251,13 +251,13 @@ object Relational {
     },
 
     // ---------------------------------------------------------------- Q11
-    // lag/lead over event time (BIGINT nanos — see Tables.sessionConf).
-    // Gaps are compared at MICROSECOND granularity: Spark reads exact nanos
-    // (nanosAsLong) while DuckDB's parquet reader quantizes TIMESTAMP(NANOS)
-    // to µs, so raw-ns outputs can never hash-match. µs floor-div on the
-    // Spark side == epoch_us on the oracle side. Window order stays on the
-    // exact ns value (no (user_id, ts) ties exist at µs precision, so both
-    // orders agree).
+    // lag/lead over event time. Gaps are compared at MICROSECOND
+    // granularity via Tables.tsUsSql (fixture-encoding-proof): under the
+    // legacy NANOS fixture Spark read exact nanos while DuckDB quantized to
+    // µs, so raw outputs could never hash-match; the µs derivation on the
+    // Spark side == epoch_us on the oracle side for both encodings. Window
+    // order stays on the raw ts value (no (user_id, ts) ties exist at µs
+    // precision, so both orders agree).
     Q("q11_event_lag_lead", Some("""
       SELECT event_id, user_id, value,
         LAG(value)  OVER w AS prev_value,
@@ -267,11 +267,9 @@ object Relational {
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""")) { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      // integer division — `/` would promote the ~1.7e18 ns BIGINT to double
-      // and lose the low bits (2^53 < 1.7e18), off by ±1 µs
-      val tsUs = expr("ts div 1000")
-      Tables.t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("value"),
+      val e = Tables.t(s, dir, "events")
+      val tsUs = expr(Tables.tsUsSql(e))
+      e.select(col("event_id"), col("user_id"), col("value"),
           lag(col("value"), 1).over(w).as("prev_value"),
           lead(col("value"), 1).over(w).as("next_value"),
           (tsUs - lag(tsUs, 1).over(w)).as("gap_us"))

@@ -519,7 +519,7 @@ object StatsQueries {
         ON c.day = CAST(d.day AS DATE) AND c.event_type = t.event_type""")) { (s, dir) =>
       val events = Tables.t(s, dir, "events")
       val daily = events
-        .select(expr("CAST(timestamp_micros(ts div 1000) AS DATE)").as("day"),
+        .select(expr(s"CAST(timestamp_micros(${Tables.tsUsSql(events)}) AS DATE)").as("day"),
           col("event_type"))
         .groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
       val spine = s.range(1)
@@ -544,8 +544,9 @@ object StatsQueries {
             FROM events)
       WINDOW w AS (PARTITION BY user_id ORDER BY sec
                    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""")) { (s, dir) =>
-      Tables.t(s, dir, "events")
-        .selectExpr("event_id", "user_id", "ts div 1000000000 AS sec", "value")
+      val ev = Tables.t(s, dir, "events")
+      ev.selectExpr("event_id", "user_id",
+          s"(${Tables.tsUsSql(ev)}) div 1000000 AS sec", "value")
         .createOrReplaceTempView("events_q81")
       s.sql("""
         SELECT event_id,

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * aggregation — the streaming variants (watermark + late-data drop) are
   * exercised in StreamingSpec over MemoryStream.
   *
-  * events.ts is BIGINT nanos (nanosAsLong); both engines window over the
-  * µs-truncated timestamp. Window bounds are emitted as epoch_us BIGINTs.
+  * events.ts arithmetic goes through Tables.tsUsSql (epoch-µs BIGINT
+  * regardless of the fixture's nanos/micros encoding); both engines window
+  * over the µs timestamp. Window bounds are emitted as epoch_us BIGINTs.
   *
   * 100 TB posture: tumbling/sliding windows are plain hash aggregations on
   * (window, key) — two-phase, no sort; session windows shuffle once on the
@@ -19,7 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object WindowQueries {
 
-  private val tsUs = "timestamp_micros(ts div 1000)"
+  private def tsUs(e: org.apache.spark.sql.DataFrame): String =
+    s"timestamp_micros(${Tables.tsUsSql(e)})"
 
   val all: Seq[Q] = Seq(
 
@@ -29,8 +31,8 @@ object WindowQueries {
       SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
              event_type, COUNT(*) AS n
       FROM events GROUP BY 1, 2""")) { (s, dir) =>
-      Tables.t(s, dir, "events")
-        .selectExpr(s"$tsUs AS tss", "event_type")
+      val e = Tables.t(s, dir, "events")
+      e.selectExpr(s"${tsUs(e)} AS tss", "event_type")
         .groupBy(window(col("tss"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_micros(col("window.start")).as("window_start_us"),
@@ -55,8 +57,8 @@ object WindowQueries {
              epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
              COUNT(*) AS n_events
       FROM g GROUP BY user_id, sid""")) { (s, dir) =>
-      Tables.t(s, dir, "events")
-        .selectExpr(s"$tsUs AS tss", "user_id")
+      val e = Tables.t(s, dir, "events")
+      e.selectExpr(s"${tsUs(e)} AS tss", "user_id")
         .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
@@ -74,8 +76,8 @@ object WindowQueries {
              COUNT(*) AS n
       FROM events, (SELECT unnest([0, 1]) AS k) t
       GROUP BY 1""")) { (s, dir) =>
-      Tables.t(s, dir, "events")
-        .selectExpr(s"$tsUs AS tss")
+      val e = Tables.t(s, dir, "events")
+      e.selectExpr(s"${tsUs(e)} AS tss")
         .groupBy(window(col("tss"), "1 hour", "30 minutes"))
         .agg(count(lit(1)).as("n"))
         .select(unix_micros(col("window.start")).as("window_start_us"), col("n"))
@@ -100,11 +102,12 @@ object WindowQueries {
        AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000
       WHERE a.event_type = 'click' AND b.event_type = 'purchase'""")) { (s, dir) =>
       val e = Tables.t(s, dir, "events")
+      val us = Tables.tsUsSql(e)
       val clicks = e.filter(col("event_type") === "click")
-        .selectExpr("event_id AS click_id", "user_id", "ts div 1000 AS click_us")
+        .selectExpr("event_id AS click_id", "user_id", s"$us AS click_us")
       val buys = e.filter(col("event_type") === "purchase")
         .selectExpr("event_id AS purchase_id", "user_id AS buyer_id",
-          "ts div 1000 AS buy_us")
+          s"$us AS buy_us")
       clicks.join(buys,
         col("user_id") === col("buyer_id") &&
           col("buy_us") >= col("click_us") &&

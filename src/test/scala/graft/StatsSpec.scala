@@ -181,8 +181,10 @@ class StatsSpec extends SparkSpec {
     val types = df.select("event_type").distinct().count()
     assert(df.count() == 30 * types)
     // zero-filled rows exist only where events has no (day, type) row
-    val observed = Tables.t(spark, sf, "events")
-      .selectExpr("CAST(timestamp_micros(ts div 1000) AS DATE) AS day", "event_type")
+    val ev = Tables.t(spark, sf, "events")
+    val observed = ev
+      .selectExpr(s"CAST(timestamp_micros(${Tables.tsUsSql(ev)}) AS DATE) AS day",
+        "event_type")
       .distinct().count()
     val nonZero = df.where(col("cnt") > 0).count()
     assert(nonZero == observed)
