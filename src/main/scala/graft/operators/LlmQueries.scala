@@ -1456,8 +1456,75 @@ object LlmQueries {
       WHERE s.doc_id % 50 <> 0
       GROUP BY s.doc_id""")) { (s, dir) =>
       decontaminateBloom(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q114
+    // DSIR-style data selection: score every raw-pool document by how much
+    // its hashed-token distribution leans toward a small target corpus
+    // (here sources src0/src1 stand in for the curated seed set), the
+    // importance-resampling recipe from "Data Selection for Language
+    // Models via Importance Resampling" (Xie et al., 2023) — hashed n-gram
+    // bucket counts compared between a target and a raw distribution.
+    // The published form scores log(p_t(b)/p_r(b)); transcendental logs
+    // are NOT bit-reproducible across engines (the q108 libm lesson), so
+    // the score here is the integer cross-multiplication of the same
+    // comparison: Σ_tokens (ct[b]·Nr − cr[b]·Nt), which is
+    // Nt·Nr·Σ (p_t(b) − p_r(b)) — same sign and same zero as the
+    // probability-difference form, computed entirely in BIGINT, so the
+    // driver hash-matches DuckDB exactly. `selected` = target-leaning
+    // (score > 0). 100 TB posture: the bucket histogram is one map-side
+    // partial aggregation collapsing to 256 rows broadcast back, the
+    // totals are a 1-row broadcast, and the per-doc sum partial-aggregates
+    // on doc_id before its only corpus-sized shuffle — the raw corpus
+    // text is scanned twice and never shuffled.
+    Q("q114_dsir_select", Some("""
+      WITH toks AS (
+        SELECT doc_id, source, substr(md5(token), 1, 2) AS b
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+              FROM documents) t),
+      hist AS (
+        SELECT b,
+          CAST(SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+          CAST(SUM(CASE WHEN source IN ('src0', 'src1') THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        FROM toks GROUP BY b),
+      tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+              FROM hist)
+      SELECT t.doc_id,
+        CAST(SUM(h.ct * tot.nr - h.cr * tot.nt) AS BIGINT) AS score,
+        CAST(SUM(h.ct * tot.nr - h.cr * tot.nt) AS BIGINT) > 0 AS selected
+      FROM toks t JOIN hist h USING (b) CROSS JOIN tot
+      WHERE t.source NOT IN ('src0', 'src1')
+      GROUP BY t.doc_id""")) { (s, dir) =>
+      dsirSelect(Tables.t(s, dir, "documents"))
     }
   )
+
+  /** q114 kernel: DSIR-style importance scoring of the non-target pool
+    * against a target source set, in exact BIGINT arithmetic (see the
+    * q114 registration comment for the derivation). Public so DedupSpec
+    * can pin the scores against an independent driver-side computation on
+    * a constructed corpus.
+    */
+  def dsirSelect(docs: DataFrame,
+      targetSources: Seq[String] = Seq("src0", "src1")): DataFrame = {
+    val isTarget = col("source").isin(targetSources: _*)
+    // token → 2-hex-char md5 bucket (256 buckets); md5 because it is the
+    // one hash both engines spell identically (the q105/q107 idiom)
+    val toks = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("token")), 1, 2).as("b"))
+    val hist = toks.groupBy("b").agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
+    val tot = hist.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    toks.filter(!isTarget)
+      .join(broadcast(hist), "b")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("ct") * col("nr") - col("cr") * col("nt")).as("score"))
+      .select(col("doc_id"), col("score"), (col("score") > 0L).as("selected"))
+  }
 
   /** q111 kernel: per-doc average add-one-smoothed bigram conditional
     * probability in exact micro-units (integer floor division only — see

@@ -236,4 +236,44 @@ class DedupSpec extends SparkSpec {
     val (labels, _) = operators.LlmQueries.labelPropagation(docs, edges)
     assert(labels.count() == 0L)
   }
+
+  test("q114 DSIR scores match an independent computation and rank target-like docs up") {
+    import spark.implicits._
+    // target corpus speaks {alpha, beta}; raw pool has one target-like doc,
+    // one off-distribution doc, one mixed doc
+    val rows = Seq(
+      (1L, "src0", "alpha beta alpha"),
+      (2L, "src1", "beta alpha beta beta"),
+      (10L, "srcX", "alpha beta beta"),   // target-like
+      (11L, "srcY", "zulu yankee zulu"),  // off-distribution
+      (12L, "srcZ", "alpha zulu"))        // mixed
+    val docs = rows.toDF("doc_id", "source", "text")
+    val got = operators.LlmQueries.dsirSelect(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+    // independent reference computation, immune to md5 bucket collisions:
+    // same bucketing function, plain Scala maps
+    def bucket(tok: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x"
+    }
+    val toks = rows.flatMap { case (id, src, text) =>
+      text.split(" ").map(t => (id, src, bucket(t))) }
+    val target = toks.filter(t => t._2 == "src0" || t._2 == "src1")
+    val raw = toks.filterNot(t => t._2 == "src0" || t._2 == "src1")
+    val ct = target.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cr = raw.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (nt, nr) = (target.size.toLong, raw.size.toLong)
+    val want = raw.groupBy(_._1).view.mapValues { ts =>
+      val score = ts.map(t =>
+        ct.getOrElse(t._3, 0L) * nr - cr.getOrElse(t._3, 0L) * nt).sum
+      (score, score > 0L)
+    }.toMap
+    assert(got == want, s"engine scores $got != reference $want")
+    // the semantics the score exists for: target-like > mixed > disjoint,
+    // and only the target-like doc is selected
+    assert(got(10L)._1 > got(12L)._1 && got(12L)._1 > got(11L)._1)
+    assert(got(10L)._2 && !got(11L)._2)
+  }
 }
