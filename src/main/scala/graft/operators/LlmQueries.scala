@@ -1496,8 +1496,61 @@ object LlmQueries {
       WHERE t.source NOT IN ('src0', 'src1')
       GROUP BY t.doc_id""")) { (s, dir) =>
       dsirSelect(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q115
+    // Cross-document BOILERPLATE scrub audit (the CCNet/RefinedWeb step
+    // q110's INTRA-doc stutter removal does not cover): a 5-token shingle
+    // that appears in >= 2 distinct documents is corpus boilerplate
+    // (headers, footers, license blocks — anything templated); each doc
+    // reports its distinct-shingle count, how many of those are
+    // boilerplate, and the fraction a scrubber would remove. 100 TB
+    // posture: the shingle stream shuffles 8-byte xxhash64 keys (never
+    // the 5-token strings — the suite-wide bucket-key convention; the
+    // DuckDB oracle joins the raw strings, so the driver's hash-equality
+    // row doubles as the collision audit), the doc-frequency table
+    // collapses map-side, and the per-doc counts fuse total + boilerplate
+    // into ONE aggregation behind a left join the frequent set reaches by
+    // broadcast when it is small (AQE decides from its measured size).
+    Q("q115_boilerplate_scrub", Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sh AS (SELECT doc_id, unnest(${shingleSetSql(5)}) AS sh FROM tok),
+      freq AS (SELECT sh, COUNT(*) AS docfreq FROM sh GROUP BY sh),
+      flagged AS (
+        SELECT s.doc_id,
+          CASE WHEN f.docfreq >= 2 THEN 1 ELSE 0 END AS is_b
+        FROM sh s JOIN freq f USING (sh))
+      SELECT doc_id, COUNT(*) AS n_sh,
+        CAST(SUM(is_b) AS BIGINT) AS n_boiler,
+        round(CAST(SUM(is_b) AS BIGINT) / COUNT(*), 6) AS boiler_frac
+      FROM flagged GROUP BY doc_id""")) { (s, dir) =>
+      boilerplateScrub(Tables.t(s, dir, "documents"))
     }
   )
+
+  /** q115 kernel: per-doc boilerplate-shingle audit against the corpus
+    * doc-frequency table. Distinct n-token shingles per doc
+    * (`graft_shingles` — first-occurrence distinct, matching the oracle's
+    * list_distinct), doc-frequency >= minDocFreq marks boilerplate.
+    * Public so DedupSpec can pin the planted-boilerplate behavior.
+    */
+  def boilerplateScrub(docs: DataFrame, n: Int = 5,
+      minDocFreq: Long = 2L): DataFrame = {
+    val s = docs.sparkSession
+    graft.plans.GraftExtensions.register(s)
+    val keyed = docs
+      .selectExpr("doc_id", s"explode(graft_shingles(text, $n)) AS sh")
+      .select(col("doc_id"), xxhash64(col("sh")).as("k"))
+    val frequent = keyed.groupBy("k").agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") >= minDocFreq)
+      .select(col("k"), lit(1L).as("is_b"))
+    keyed.join(frequent, Seq("k"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+      .select(col("doc_id"), col("n_sh"), col("n_boiler"),
+        round(col("n_boiler") / col("n_sh"), 6).as("boiler_frac"))
+  }
 
   /** q114 kernel: DSIR-style importance scoring of the non-target pool
     * against a target source set, in exact BIGINT arithmetic (see the

@@ -276,4 +276,29 @@ class DedupSpec extends SparkSpec {
     assert(got(10L)._1 > got(12L)._1 && got(12L)._1 > got(11L)._1)
     assert(got(10L)._2 && !got(11L)._2)
   }
+
+  test("q115 flags only cross-doc repeated shingles, by planted boilerplate") {
+    import spark.implicits._
+    // docs 1 and 2 share a verbatim 5-token footer (exactly one 5-gram —
+    // the boundary-spanning shingles differ because the prefixes differ);
+    // doc 3 is disjoint; doc 4 repeats a shingle INTRA-doc only (distinct
+    // set => not boilerplate, q110's territory, must NOT be flagged here)
+    val footer = "copyright footer all rights reserved"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon $footer"),
+      (2L, s"zeta eta theta iota kappa $footer"),
+      (3L, "one two three four five six seven"),
+      (4L, "rep rep rep rep rep rep rep rep"))
+      .toDF("doc_id", "text")
+    val got = operators.LlmQueries.boilerplateScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 10 tokens -> 6 distinct 5-gram positions; only the footer shingle
+    // repeats across docs
+    assert(got(1L) == (6L, 1L) && got(2L) == (6L, 1L),
+      s"planted footer shingle not flagged: $got")
+    assert(got(3L) == (3L, 0L)) // 7 tokens -> 3 shingles, none shared
+    // doc 4: 8 identical tokens -> ONE distinct shingle, in one doc only
+    assert(got(4L) == (1L, 0L),
+      s"intra-doc repetition must not count as cross-doc boilerplate: $got")
+  }
 }
