@@ -2181,9 +2181,22 @@ object LlmQueries {
     // because the filter is sized from the eval cardinality it should
     // hold (survivors ≈ hits + 1% of rows) at every scale
     val (q113Total, q113Kept) = decontamReduction(docs)
+    // q115: size of the corpus-frequent (docfreq >= 2) shingle set — the
+    // table the boilerplate join builds its hash side from. On this
+    // synthetic bounded-vocabulary corpus chance 5-gram collisions make
+    // the threshold-2 set grow with the corpus (real deployments raise
+    // the threshold or use a df FRACTION); the plan has no cliff either
+    // way — when the set outgrows the broadcast ceiling AQE plans the
+    // same left join as a shuffle join on the 8-byte keys.
+    val q115Frequent = docs
+      .selectExpr("doc_id", "explode(graft_shingles(text, 5)) AS sh")
+      .select(xxhash64(col("sh")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).count()
     Seq("docs" -> docs.count(),
       "q42_pairs" -> q42, "q83_neighbor_rows" -> q83, "q87_edges" -> q87,
       "q96_pairs" -> q96, "q97_pairs" -> q97,
-      "q113_shingle_rows" -> q113Total, "q113_bloom_kept" -> q113Kept)
+      "q113_shingle_rows" -> q113Total, "q113_bloom_kept" -> q113Kept,
+      "q115_frequent_shingles" -> q115Frequent)
   }
 }
