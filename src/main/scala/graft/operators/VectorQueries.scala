@@ -194,13 +194,104 @@ object VectorQueries {
     // ≤ n·bands/4 — linear — at any scale. Unlike q46 this also surfaces
     // cross-cell near-dups.
     Q("q108_embed_lsh_neardup", Some(s"""
-      WITH base AS (
+      WITH base AS ($plantedBaseSql),
+      $lshCandSql
+      SELECT vec_id1, vec_id2,
+        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+      FROM cand JOIN n a ON vec_id1 = a.vec_id JOIN n b ON vec_id2 = b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9""")) {
+      (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // graft_vector_dot
+      lshSimPairs(plantedBase(s, dir))
+    },
+
+    // --------------------------------------------------------------- Q116
+    // SemDeDup-style SEMANTIC dedup resolution ("SemDeDup", Abbas et al.
+    // 2023): near-duplicate EMBEDDINGS resolved to one representative per
+    // semantic cluster — the embedding-space analogue of q87's text CC.
+    // Edges are q108's bounded hyperplane-LSH near-dup pairs (cosine >=
+    // 0.9 after the capped band join — never all-pairs) over a corpus
+    // with TWO planted variant arms, so some originals carry two
+    // near-copies and the closure genuinely merges multi-member clusters;
+    // the transitive closure runs on the same sparse-delta label
+    // propagation kernel as q87 (star-free symmetric pair edges here —
+    // the LSH verify already emitted exactly the near-dup pairs), and
+    // `kept` marks each cluster's min-id representative. The oracle is
+    // the exact recursive closure over the SQL-reproduced LSH edge set.
+    // 100 TB posture: edge generation is q108's (measured linear in
+    // DEDUP_CANDIDATES), the CC loop moves only label deltas per round.
+    Q("q116_semdedup_resolve", Some(s"""
+      WITH RECURSIVE base AS ($plantedBaseSql
+        UNION ALL
+        SELECT vec_id + 20000,
+          [ CASE WHEN i = 2 THEN 0 ELSE v[i] END for i in range(1, len(v) + 1) ]
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        WHERE vec_id % 40 = 0),
+      $lshCandSql,
+      sims AS (
+        SELECT vec_id1, vec_id2
+        FROM cand JOIN n a ON vec_id1 = a.vec_id JOIN n b ON vec_id2 = b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9),
+      edges AS (SELECT vec_id1 AS src, vec_id2 AS dst FROM sims
+                UNION SELECT vec_id2, vec_id1 FROM sims),
+      reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM base
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS vec_id, MIN(dst) AS canonical, src = MIN(dst) AS kept
+      FROM reach GROUP BY src""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val withSecond = plantedBase(s, dir).select("vec_id", "v").unionByName(
+        Tables.t(s, dir, "embeddings")
+          .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
+          .filter(col("vec_id") % 40 === 0)
+          .selectExpr("vec_id + 20000 AS vec_id",
+            "transform(v, (x, i) -> CASE WHEN i = 1 THEN 0D ELSE x END) AS v"))
+        .select(col("vec_id"), col("v"),
+          sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
+      val sims = lshSimPairs(withSecond)
+      // symmetrize in one map-side explode (the CC kernel's edge contract)
+      val edges = sims.select(explode(array(
+          struct(col("vec_id1").as("src"), col("vec_id2").as("dst")),
+          struct(col("vec_id2").as("src"), col("vec_id1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      LlmQueries
+        .labelPropagation(withSecond.select(col("vec_id").as("doc_id")), edges)
+        ._1
+        .select(col("doc_id").as("vec_id"), col("canonical"), col("kept"))
+    }
+  )
+
+  /** q108/q116's shared planted corpus: the embeddings table plus a
+    * zeroed-first-dimension near-copy of every 20th vector at id+10000
+    * (cosine ~0.99 to its original — a guaranteed near-dup the LSH must
+    * find). Returns (vec_id, v, nrm).
+    */
+  private def plantedBase(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
+    val planted = e.filter(col("vec_id") % 20 === 0)
+      .selectExpr("vec_id + 10000 AS vec_id",
+        "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
+    e.unionByName(planted)
+      .select(col("vec_id"), col("v"),
+        sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
+  }
+
+  /** The SQL mirror of [[plantedBase]] (a `base` CTE body). */
+  private def plantedBaseSql: String = """
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         UNION ALL
         SELECT vec_id + 10000,
           [ CASE WHEN i = 1 THEN 0 ELSE v[i] END for i in range(1, len(v) + 1) ]
         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        WHERE vec_id % 20 = 0),
+        WHERE vec_id % 20 = 0"""
+
+  /** Shared oracle CTE chain from a `base(vec_id, v, ...)` CTE to the
+    * capped LSH candidate pairs `cand(vec_id1, vec_id2)` (plus `n` with
+    * norms) — the SQL mirror of [[lshSimPairs]]'s generation stage.
+    */
+  private def lshCandSql: String = s"""
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
       planes AS (
         SELECT p, d,
@@ -231,50 +322,37 @@ object VectorQueries {
       cand AS (SELECT DISTINCT a.vec_id AS vec_id1, b.vec_id AS vec_id2
                FROM capped a JOIN capped b
                  ON a.band_idx = b.band_idx AND a.band = b.band
-                  AND a.vec_id < b.vec_id)
-      SELECT vec_id1, vec_id2,
-        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
-      FROM cand JOIN n a ON vec_id1 = a.vec_id JOIN n b ON vec_id2 = b.vec_id
-      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9""")) {
-      (s, dir) =>
-      graft.plans.GraftExtensions.register(s) // graft_vector_dot
-      val e = Tables.t(s, dir, "embeddings")
-        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
-      val planted = e.filter(col("vec_id") % 20 === 0)
-        .selectExpr("vec_id + 10000 AS vec_id",
-          "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
-      val base = e.unionByName(planted)
-        .select(col("vec_id"), col("v"),
-          sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
-      // corpus count drives the band width ([[hyperplaneBandBits]]) — an
-      // eager bounded action like the IVF centroid collect; the oracle
-      // derives the same width from COUNT(*) so both engines re-band in
-      // lockstep as the corpus grows
-      val n = base.count()
-      // one codegen'd kernel pass per vector: 128 projection signs as a
-      // 128-char bit string (plane matrix is a JVM static mirrored by the
-      // oracle's md5-derived planes CTE), then ⌊128/bits⌋ bands of
-      // ceil(log₂ n)+2 bits (≥16) — no explode-per-product Decimal, the
-      // signature scan stays in one WholeStageCodegen span like the
-      // text-LSH family's graft_minhash16
-      val bands = hyperplaneBands(
-        base.selectExpr("vec_id", "graft_hyperplane_sig(v) AS sig"), n)
-      val cand = bands.select(col("vec_id").as("vec_id1"), col("bk64"))
-        .hint("merge")
-        .join(bands.select(col("vec_id").as("vec_id2"), col("bk64").as("bk64b")),
-          col("bk64") === col("bk64b") && col("vec_id1") < col("vec_id2"))
-        .select("vec_id1", "vec_id2").distinct()
-      cand
-        .join(base.select(col("vec_id").as("vec_id1"), col("v").as("va"),
-          col("nrm").as("na")), "vec_id1")
-        .join(base.select(col("vec_id").as("vec_id2"), col("v").as("vb"),
-          col("nrm").as("nb")), "vec_id2")
-        .select(col("vec_id1"), col("vec_id2"),
-          round(expr("graft_vector_dot(va, vb)") / (col("na") * col("nb")), 6)
-            .as("sim"))
-        .filter(col("sim") >= 0.9)
-    }
-  )
+                  AND a.vec_id < b.vec_id)"""
+
+  /** q108/q116's shared near-dup pair generator over `base(vec_id, v,
+    * nrm)`: corpus count drives the band width ([[hyperplaneBandBits]] —
+    * an eager bounded action like the IVF centroid collect; the oracle
+    * derives the same width from COUNT(*) so both engines re-band in
+    * lockstep as the corpus grows), one codegen'd `graft_hyperplane_sig`
+    * pass per vector (128 projection signs; the plane matrix is a JVM
+    * static mirrored by the oracle's md5-derived planes CTE), ⌊128/bits⌋
+    * bands of ceil(log₂ n)+2 bits (≥16), capped band join, exact
+    * cosine >= 0.9 verification via `graft_vector_dot`.
+    */
+  private def lshSimPairs(base: DataFrame): DataFrame = {
+    val n = base.count()
+    val bands = hyperplaneBands(
+      base.selectExpr("vec_id", "graft_hyperplane_sig(v) AS sig"), n)
+    val cand = bands.select(col("vec_id").as("vec_id1"), col("bk64"))
+      .hint("merge")
+      .join(bands.select(col("vec_id").as("vec_id2"), col("bk64").as("bk64b")),
+        col("bk64") === col("bk64b") && col("vec_id1") < col("vec_id2"))
+      .select("vec_id1", "vec_id2").distinct()
+    cand
+      .join(base.select(col("vec_id").as("vec_id1"), col("v").as("va"),
+        col("nrm").as("na")), "vec_id1")
+      .join(base.select(col("vec_id").as("vec_id2"), col("v").as("vb"),
+        col("nrm").as("nb")), "vec_id2")
+      .select(col("vec_id1"), col("vec_id2"),
+        round(expr("graft_vector_dot(va, vb)") / (col("na") * col("nb")), 6)
+          .as("sim"))
+      .filter(col("sim") >= 0.9)
+  }
 
   /** q108's band-width knob: sign-LSH carries an n²·2⁻ᵇⁱᵗˢ·bands random-
     * collision term, so a FIXED 16-bit band goes quadratic once the corpus

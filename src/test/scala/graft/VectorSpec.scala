@@ -150,4 +150,25 @@ class VectorSpec extends SparkSpec {
     assert(shared.count(_ == Set(1L, 2L)) == 7)
     assert(!shared.exists(s => s.contains(3L) && s.size > 1))
   }
+
+  test("q116 resolves planted variant clusters to their original, keeps one per cluster") {
+    val out = run("q116_semdedup_resolve").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // kept <=> the row IS its cluster's canonical, everywhere
+    assert(out.forall { case (id, (can, kept)) => kept == (id == can) })
+    // every planted variant resolved into its original's cluster: the
+    // original id (< 10000) is always the cluster min, so variants are
+    // never kept, and both variant arms of a %40 original share a cluster
+    val variants = out.keys.filter(_ >= 10000L)
+    assert(variants.nonEmpty, "corpus planted no variants — vacuous")
+    variants.foreach { v =>
+      val orig = v % 10000L
+      assert(out(v)._1 == out(orig)._1,
+        s"variant $v landed in cluster ${out(v)._1}, original $orig in ${out(orig)._1}")
+      assert(!out(v)._2, s"variant $v was kept over its original")
+    }
+    // %40 originals have TWO variants -> at least one 3-member cluster
+    val threeClusters = out.groupBy(_._2._1).filter(_._2.size >= 3)
+    assert(threeClusters.nonEmpty, "no multi-variant cluster formed")
+  }
 }
