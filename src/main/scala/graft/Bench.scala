@@ -31,7 +31,6 @@ object Bench {
     catch { case _: Throwable => () }
     // noop sink forces full computation of every column (a bare .count()
     // would let Catalyst prune the projections we are trying to measure).
-    var failed = List.empty[String]
     // min of two timed runs per query: one transient GC pause / machine
     // contention spike would otherwise be indistinguishable from a plan
     // regression (r02 recorded a 6.2s outlier on a query that steadily
@@ -87,14 +86,19 @@ object Bench {
       (name, runs.min, startedMs.getOrElse(name, 0L), runs,
         lasBy.getOrElse(name, List(-1.0)))
     }
-    failed = failedSet.toList
+    val failed = failedSet.toList
     // stdout seconds at 100 µs precision: the harness that consumes this
     // line only keeps a bounded tail of the process output, and the full-
     // precision 110-query map plus per-run details overflowed it — the
     // driver then recorded "parsed": null and fell back to regex over the
     // truncated tail (ADVICE r11). Full precision + provenance go to the
     // details file below instead.
-    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.4f"
+    // Locale.ROOT: f"$v%.4f" formats with the JVM default locale, and a
+    // comma-decimal locale (de_DE etc.) would emit "0,2045" — invalid JSON
+    // in exactly the line this formatting exists to keep parseable.
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val details = results.map { case (k, _, ts, runs, las) =>

@@ -1467,11 +1467,15 @@ object LlmQueries {
     // bucket counts compared between a target and a raw distribution.
     // The published form scores log(p_t(b)/p_r(b)); transcendental logs
     // are NOT bit-reproducible across engines (the q108 libm lesson), so
-    // the score here is the integer cross-multiplication of the same
-    // comparison: Σ_tokens (ct[b]·Nr − cr[b]·Nt), which is
-    // Nt·Nr·Σ (p_t(b) − p_r(b)) — same sign and same zero as the
-    // probability-difference form, computed entirely in BIGINT, so the
-    // driver hash-matches DuckDB exactly. `selected` = target-leaning
+    // the score is the micro-unit probability difference (the q111
+    // idiom): per token, ⌊ct[b]·10⁶/Nt⌋ − ⌊cr[b]·10⁶/Nr⌋ — integer floor
+    // division ONLY, identical in both engines, same sign/ordering intent
+    // as the log-ratio up to the 1-µunit floor bias. A cross-multiplied
+    // ct·Nr − cr·Nt form was rejected: its terms are O(N²/256) and wrap
+    // BIGINT silently in Spark (while DuckDB raises) past ~5·10¹⁰ corpus
+    // tokens; the micro-unit terms are ≤ 10⁶ each and the arithmetic is
+    // exact for any corpus under ~9·10¹² tokens per side (ct·10⁶ < 2⁶³),
+    // i.e. the full 100 TB text envelope. `selected` = target-leaning
     // (score > 0). 100 TB posture: the bucket histogram is one map-side
     // partial aggregation collapsing to 256 rows broadcast back, the
     // totals are a 1-row broadcast, and the per-doc sum partial-aggregates
@@ -1490,8 +1494,10 @@ object LlmQueries {
       tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
               FROM hist)
       SELECT t.doc_id,
-        CAST(SUM(h.ct * tot.nr - h.cr * tot.nt) AS BIGINT) AS score,
-        CAST(SUM(h.ct * tot.nr - h.cr * tot.nt) AS BIGINT) > 0 AS selected
+        CAST(SUM(h.ct * 1000000 // tot.nt - h.cr * 1000000 // tot.nr) AS BIGINT)
+          AS score,
+        CAST(SUM(h.ct * 1000000 // tot.nt - h.cr * 1000000 // tot.nr) AS BIGINT) > 0
+          AS selected
       FROM toks t JOIN hist h USING (b) CROSS JOIN tot
       WHERE t.source NOT IN ('src0', 'src1')
       GROUP BY t.doc_id""")) { (s, dir) =>
@@ -1575,7 +1581,7 @@ object LlmQueries {
       .join(broadcast(hist), "b")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
-      .agg(sum(col("ct") * col("nr") - col("cr") * col("nt")).as("score"))
+      .agg(sum(expr("ct * 1000000L div nt - cr * 1000000L div nr")).as("score"))
       .select(col("doc_id"), col("score"), (col("score") > 0L).as("selected"))
   }
 

@@ -202,7 +202,7 @@ object VectorQueries {
       WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9""")) {
       (s, dir) =>
       graft.plans.GraftExtensions.register(s) // graft_vector_dot
-      lshSimPairs(plantedBase(s, dir))
+      lshSimPairs(withNrm(plantedBase(s, dir)))
     },
 
     // --------------------------------------------------------------- Q116
@@ -241,14 +241,12 @@ object VectorQueries {
       SELECT src AS vec_id, MIN(dst) AS canonical, src = MIN(dst) AS kept
       FROM reach GROUP BY src""")) { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      val withSecond = plantedBase(s, dir).select("vec_id", "v").unionByName(
+      val withSecond = withNrm(plantedBase(s, dir).unionByName(
         Tables.t(s, dir, "embeddings")
           .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
           .filter(col("vec_id") % 40 === 0)
           .selectExpr("vec_id + 20000 AS vec_id",
-            "transform(v, (x, i) -> CASE WHEN i = 1 THEN 0D ELSE x END) AS v"))
-        .select(col("vec_id"), col("v"),
-          sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
+            "transform(v, (x, i) -> CASE WHEN i = 1 THEN 0D ELSE x END) AS v")))
       val sims = lshSimPairs(withSecond)
       // symmetrize in one map-side explode (the CC kernel's edge contract)
       val edges = sims.select(explode(array(
@@ -265,7 +263,8 @@ object VectorQueries {
   /** q108/q116's shared planted corpus: the embeddings table plus a
     * zeroed-first-dimension near-copy of every 20th vector at id+10000
     * (cosine ~0.99 to its original — a guaranteed near-dup the LSH must
-    * find). Returns (vec_id, v, nrm).
+    * find). Returns (vec_id, v); [[withNrm]] attaches the norm once,
+    * after any extra variant arms have been unioned in.
     */
   private def plantedBase(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
@@ -274,9 +273,12 @@ object VectorQueries {
       .selectExpr("vec_id + 10000 AS vec_id",
         "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
     e.unionByName(planted)
-      .select(col("vec_id"), col("v"),
-        sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
   }
+
+  /** The single norm-derivation site for the LSH corpus builders. */
+  private def withNrm(base: DataFrame): DataFrame =
+    base.select(col("vec_id"), col("v"),
+      sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
 
   /** The SQL mirror of [[plantedBase]] (a `base` CTE body). */
   private def plantedBaseSql: String = """

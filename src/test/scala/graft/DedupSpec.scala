@@ -265,9 +265,12 @@ class DedupSpec extends SparkSpec {
     val ct = target.groupBy(_._3).view.mapValues(_.size.toLong).toMap
     val cr = raw.groupBy(_._3).view.mapValues(_.size.toLong).toMap
     val (nt, nr) = (target.size.toLong, raw.size.toLong)
+    // micro-unit floor-division form (all operands non-negative, so Long
+    // truncation == floor, matching both engines' integer division)
     val want = raw.groupBy(_._1).view.mapValues { ts =>
       val score = ts.map(t =>
-        ct.getOrElse(t._3, 0L) * nr - cr.getOrElse(t._3, 0L) * nt).sum
+        ct.getOrElse(t._3, 0L) * 1000000L / nt -
+          cr.getOrElse(t._3, 0L) * 1000000L / nr).sum
       (score, score > 0L)
     }.toMap
     assert(got == want, s"engine scores $got != reference $want")
