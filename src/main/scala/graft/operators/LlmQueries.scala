@@ -494,7 +494,7 @@ object LlmQueries {
       base AS (
         SELECT vec_id, label, v FROM samp
         UNION ALL
-        SELECT vec_id + 10000, label,
+        SELECT vec_id + ${graft.operators.VectorQueries.variantOffsetSql}, label,
           [ CASE WHEN i = 1 THEN 0 ELSE v[i] END
             for i in range(1, len(v) + 1) ]
         FROM samp WHERE vec_id % 20 = 0),

@@ -223,7 +223,7 @@ object VectorQueries {
     Q("q116_semdedup_resolve", Some(s"""
       WITH RECURSIVE base AS ($plantedBaseSql
         UNION ALL
-        SELECT vec_id + 20000,
+        SELECT vec_id + 2 * $variantOffsetSql,
           [ CASE WHEN i = 2 THEN 0 ELSE v[i] END for i in range(1, len(v) + 1) ]
         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         WHERE vec_id % 40 = 0),
@@ -241,11 +241,12 @@ object VectorQueries {
       SELECT src AS vec_id, MIN(dst) AS canonical, src = MIN(dst) AS kept
       FROM reach GROUP BY src""")) { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
+      val off = variantOffset(s, dir)
       val withSecond = withNrm(plantedBase(s, dir).unionByName(
         Tables.t(s, dir, "embeddings")
           .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
           .filter(col("vec_id") % 40 === 0)
-          .selectExpr("vec_id + 20000 AS vec_id",
+          .selectExpr(s"vec_id + ${2 * off}L AS vec_id",
             "transform(v, (x, i) -> CASE WHEN i = 1 THEN 0D ELSE x END) AS v")))
       val sims = lshSimPairs(withSecond)
       // symmetrize in one map-side explode (the CC kernel's edge contract)
@@ -260,17 +261,43 @@ object VectorQueries {
     }
   )
 
+  /** Planted-variant id offset: the smallest power of 10 strictly above
+    * MAX(vec_id), derived from the corpus itself so a regenerated fixture
+    * with a larger id range can never silently collide planted variant
+    * ids with real ones (a fixed +10000 breaks the moment the table
+    * outgrows 10k ids — exactly the r11 testdata-regen failure mode). At
+    * every driver fixture scale (max vec_id 1999) this evaluates to the
+    * historical 10000, so result hashes and the VectorSpec pins are
+    * unchanged. Integer string arithmetic — never POWER/log, whose float
+    * path could straddle a rounding boundary between engines (the
+    * [[hyperplaneBandBits]] lesson). The one-column MAX is a
+    * parquet-statistics read, not a data scan.
+    */
+  def variantOffset(s: SparkSession, dir: String): Long = {
+    val mx = Tables.t(s, dir, "embeddings").agg(max(col("vec_id"))).head.getLong(0)
+    ("1" + "0" * mx.toString.length).toLong
+  }
+
+  /** SQL mirror of [[variantOffset]] — a scalar subquery the oracle CTE
+    * chains inline, so both engines derive the identical offset from the
+    * same table.
+    */
+  def variantOffsetSql: String =
+    "(SELECT CAST('1' || repeat('0', LENGTH(CAST(MAX(vec_id) AS VARCHAR))) AS BIGINT) FROM embeddings)"
+
   /** q108/q116's shared planted corpus: the embeddings table plus a
-    * zeroed-first-dimension near-copy of every 20th vector at id+10000
-    * (cosine ~0.99 to its original — a guaranteed near-dup the LSH must
-    * find). Returns (vec_id, v); [[withNrm]] attaches the norm once,
-    * after any extra variant arms have been unioned in.
+    * zeroed-first-dimension near-copy of every 20th vector at
+    * id+[[variantOffset]] (cosine ~0.99 to its original — a guaranteed
+    * near-dup the LSH must find). Returns (vec_id, v); [[withNrm]]
+    * attaches the norm once, after any extra variant arms have been
+    * unioned in.
     */
   private def plantedBase(s: SparkSession, dir: String): DataFrame = {
+    val off = variantOffset(s, dir)
     val e = Tables.t(s, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
     val planted = e.filter(col("vec_id") % 20 === 0)
-      .selectExpr("vec_id + 10000 AS vec_id",
+      .selectExpr(s"vec_id + ${off}L AS vec_id",
         "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
     e.unionByName(planted)
   }
@@ -281,10 +308,10 @@ object VectorQueries {
       sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
 
   /** The SQL mirror of [[plantedBase]] (a `base` CTE body). */
-  private def plantedBaseSql: String = """
+  private def plantedBaseSql: String = s"""
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         UNION ALL
-        SELECT vec_id + 10000,
+        SELECT vec_id + $variantOffsetSql,
           [ CASE WHEN i = 1 THEN 0 ELSE v[i] END for i in range(1, len(v) + 1) ]
         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         WHERE vec_id % 20 = 0"""
@@ -402,21 +429,22 @@ object VectorQueries {
   /** The q46 anchor's corpus: Knuth-multiplicative-hash-sampled base ids
     * (uniform, deterministic, identical arithmetic in the oracle SQL — all
     * intermediates fit a BIGINT) plus the planted near-dup twins
-    * (vec_id%20==0, coordinate 0 zeroed, +10000) of the SAMPLED ids.
-    * Sampling the BASE id before planting means a planted pair shares its
-    * sample fate by construction — the anchor keeps every planted
-    * positive it keeps the original of, so the recall measurement never
-    * counts a pair whose other half was sampled away (VectorSpec pins
-    * this coupling).
+    * (vec_id%20==0, coordinate 0 zeroed, +[[variantOffset]]) of the
+    * SAMPLED ids. Sampling the BASE id before planting means a planted
+    * pair shares its sample fate by construction — the anchor keeps every
+    * planted positive it keeps the original of, so the recall measurement
+    * never counts a pair whose other half was sampled away (VectorSpec
+    * pins this coupling).
     */
   def anchorBase(s: SparkSession, dir: String): DataFrame = {
     val eAll = Tables.t(s, dir, "embeddings")
     val m = anchorSampleMod(eAll.count())
+    val off = variantOffset(s, dir)
     val e = eAll
       .filter(expr(s"((vec_id * 2654435761L) % 4294967296L) % $m = 0"))
       .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v")
     val planted = e.filter(col("vec_id") % 20 === 0)
-      .selectExpr("vec_id + 10000 AS vec_id", "label",
+      .selectExpr(s"vec_id + ${off}L AS vec_id", "label",
         "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
     e.unionByName(planted)
   }
@@ -458,10 +486,11 @@ object VectorQueries {
     */
   def candidateCounts(s: SparkSession, dir: String): Seq[(String, Long)] = {
     graft.plans.GraftExtensions.register(s)
+    val off = variantOffset(s, dir)
     val e = Tables.t(s, dir, "embeddings")
       .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS double)) AS v")
     val planted = e.filter(col("vec_id") % 20 === 0)
-      .selectExpr("vec_id + 10000 AS vec_id", "label",
+      .selectExpr(s"vec_id + ${off}L AS vec_id", "label",
         "transform(v, (x, i) -> CASE WHEN i = 0 THEN 0D ELSE x END) AS v")
     val base = e.unionByName(planted)
     // q46 candidates: same-cell pairs over the SAMPLED anchor base — the

@@ -103,14 +103,19 @@ class VectorSpec extends SparkSpec {
     assert(anchorSampleMod(20000L) == 4L)
     assert(anchorSampleMod(40000L) == 9L)
     assert(anchorSampleMod(100000L) == 24L)
-    // planted twins share their base id's sample fate: every +10000 twin's
+    // planted twins share their base id's sample fate: every +off twin's
     // original is present (structurally guaranteed because the hash keys
-    // on the base id BEFORE planting — this pins the construction order)
+    // on the base id BEFORE planting — this pins the construction order).
+    // The offset derives from the corpus (smallest power of 10 above
+    // max(vec_id)) so it can never collide with real ids — at this
+    // fixture (max vec_id 499) that is 1000; pin the formula.
+    val off = operators.VectorQueries.variantOffset(spark, sf)
+    assert(off == 1000L, s"fixture variant offset drifted: $off")
     val ids = anchorBase(spark, sf).select("vec_id").collect()
       .map(_.getLong(0)).toSet
-    val planted = ids.filter(_ >= 10000L)
+    val planted = ids.filter(_ >= off)
     assert(planted.nonEmpty, "fixture must plant twins")
-    assert(planted.forall(p => ids.contains(p - 10000L)),
+    assert(planted.forall(p => ids.contains(p - off)),
       "a planted twin survived sampling without its original")
   }
 
@@ -157,12 +162,13 @@ class VectorSpec extends SparkSpec {
     // kept <=> the row IS its cluster's canonical, everywhere
     assert(out.forall { case (id, (can, kept)) => kept == (id == can) })
     // every planted variant resolved into its original's cluster: the
-    // original id (< 10000) is always the cluster min, so variants are
+    // original id (< off) is always the cluster min, so variants are
     // never kept, and both variant arms of a %40 original share a cluster
-    val variants = out.keys.filter(_ >= 10000L)
+    val off = operators.VectorQueries.variantOffset(spark, sf)
+    val variants = out.keys.filter(_ >= off)
     assert(variants.nonEmpty, "corpus planted no variants — vacuous")
     variants.foreach { v =>
-      val orig = v % 10000L
+      val orig = v % off
       assert(out(v)._1 == out(orig)._1,
         s"variant $v landed in cluster ${out(v)._1}, original $orig in ${out(orig)._1}")
       assert(!out(v)._2, s"variant $v was kept over its original")
