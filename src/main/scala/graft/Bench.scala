@@ -70,9 +70,14 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
             failedSet += name
-            // a crashed query must not masquerade as a fast pass
-            runsBy(name) = List(-1.0)
-            lasBy(name) = List(la)
+            // APPEND the -1.0 failure marker instead of overwriting: a
+            // query that succeeded on pass 1 but crashed on pass 2 keeps
+            // its valid samples in the details sidecar (provenance), while
+            // min() over a list containing -1.0 still reports the query as
+            // failed in the stdout map — a crash can never masquerade as a
+            // fast pass.
+            runsBy(name) = runsBy.getOrElse(name, Nil) :+ -1.0
+            lasBy(name) = lasBy.getOrElse(name, Nil) :+ la
         }
       }
     (1 to 2).foreach(_ => selected.foreach { case (n, f) => sample(n, f) })

@@ -1528,7 +1528,7 @@ object LlmQueries {
         FROM sh s JOIN freq f USING (sh))
       SELECT doc_id, COUNT(*) AS n_sh,
         CAST(SUM(is_b) AS BIGINT) AS n_boiler,
-        round(CAST(SUM(is_b) AS BIGINT) / COUNT(*), 6) AS boiler_frac
+        CAST(SUM(is_b) AS BIGINT) * 1000000 // COUNT(*) AS boiler_frac_micro
       FROM flagged GROUP BY doc_id""")) { (s, dir) =>
       boilerplateScrub(Tables.t(s, dir, "documents"))
     }
@@ -1555,7 +1555,13 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_sh"),
         sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
       .select(col("doc_id"), col("n_sh"), col("n_boiler"),
-        round(col("n_boiler") / col("n_sh"), 6).as("boiler_frac"))
+        // exact integer micro-units (the q111/q114 idiom), not a rounded
+        // double quotient: round(x, 6) on a decimal-tie quotient like
+        // 1/128 leans on Spark's BigDecimal HALF_UP agreeing with
+        // DuckDB's float-path rounding — a 1-ulp divergence channel the
+        // floor division closes (n_boiler ≤ n_sh, so the product is
+        // ≤ 10⁶·n_sh, nowhere near BIGINT range)
+        expr("n_boiler * 1000000L div n_sh").as("boiler_frac_micro"))
   }
 
   /** q114 kernel: DSIR-style importance scoring of the non-target pool
@@ -1576,7 +1582,20 @@ object LlmQueries {
     val hist = toks.groupBy("b").agg(
       sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
       sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
-    val tot = hist.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    // Degenerate-corpus guard: nt = 0 (raw docs exist but no target doc)
+    // would make the non-ANSI `div` below return NULL — score and
+    // selected silently NULL while DuckDB's `//` raises, so the engines
+    // would diverge quietly instead of failing loudly. The guard lives IN
+    // the projected total (not a filter predicate, which the optimizer
+    // simplifies away around raise_error): it evaluates once, when the
+    // 1-row broadcast builds, and the Verify marker frame turns the raise
+    // into a visible schema-mismatch row. nr = 0 needs no guard — it
+    // implies an empty raw pool, so the probe side is empty and BOTH
+    // engines agree on an empty result without touching the division.
+    val tot = hist.agg(sum("ct").as("nt0"), sum("cr").as("nr"))
+      .selectExpr(
+        "CASE WHEN nt0 > 0 THEN nt0 ELSE CAST(raise_error('q114: empty target pool (nt = 0)') AS BIGINT) END AS nt",
+        "nr")
     toks.filter(!isTarget)
       .join(broadcast(hist), "b")
       .crossJoin(broadcast(tot))

@@ -280,6 +280,23 @@ class DedupSpec extends SparkSpec {
     assert(got(10L)._2 && !got(11L)._2)
   }
 
+  test("q114 fails loudly on an empty target pool, empty raw pool is empty output") {
+    import spark.implicits._
+    // no doc from a target source: nt = 0 would make the non-ANSI div
+    // silently NULL every score — the guard must raise instead
+    val noTarget = Seq((1L, "srcX", "alpha beta")).toDF("doc_id", "source", "text")
+    val eT = intercept[Exception] {
+      operators.LlmQueries.dsirSelect(noTarget).collect()
+    }
+    assert(eT.getMessage.contains("empty target pool"), eT.getMessage)
+    // all docs target-sourced: the probe side is empty, so BOTH engines
+    // produce an empty frame without touching the nr division — agreement,
+    // not divergence; no guard needed (and AQE's empty-side short-circuit
+    // means a broadcast-side raise could never fire reliably anyway)
+    val noRaw = Seq((1L, "src0", "alpha beta")).toDF("doc_id", "source", "text")
+    assert(operators.LlmQueries.dsirSelect(noRaw).collect().isEmpty)
+  }
+
   test("q115 flags only cross-doc repeated shingles, by planted boilerplate") {
     import spark.implicits._
     // docs 1 and 2 share a verbatim 5-token footer (exactly one 5-gram —
