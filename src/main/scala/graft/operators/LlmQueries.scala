@@ -1537,18 +1537,35 @@ object LlmQueries {
   /** q115 kernel: per-doc boilerplate-shingle audit against the corpus
     * doc-frequency table. Distinct n-token shingles per doc
     * (`graft_shingles` — first-occurrence distinct, matching the oracle's
-    * list_distinct), doc-frequency >= minDocFreq marks boilerplate.
-    * Public so DedupSpec can pin the planted-boilerplate behavior.
+    * list_distinct), doc-frequency >= the threshold marks boilerplate.
+    *
+    * Two threshold modes: ABSOLUTE (`minDocFreq`, the oracle-checked
+    * default — "any shingle in >= 2 docs") and FRACTION
+    * (`minDocFreqFraction = Some(f)` — threshold = max(minDocFreq,
+    * ceil(f * corpus docs))). The fraction mode is the production knob at
+    * scale: on a bounded-vocabulary corpus the absolute-2 frequent set
+    * grows superlinearly with corpus size (chance 5-gram collisions —
+    * measured in DEDUP_CANDIDATES; 1.15 M keys at sf5), while a
+    * docfreq FRACTION keeps "boilerplate" meaning "appears in a fixed
+    * share of the corpus", so the frequent set shrinks as the corpus
+    * grows past threshold/f docs. The doc count driving the threshold is
+    * a parquet-metadata count, not a scan. Public so DedupSpec can pin
+    * both the planted-boilerplate behavior and the fraction scaling.
     */
   def boilerplateScrub(docs: DataFrame, n: Int = 5,
-      minDocFreq: Long = 2L): DataFrame = {
+      minDocFreq: Long = 2L,
+      minDocFreqFraction: Option[Double] = None): DataFrame = {
     val s = docs.sparkSession
     graft.plans.GraftExtensions.register(s)
+    val threshold = minDocFreqFraction match {
+      case Some(f) => math.max(minDocFreq, math.ceil(f * docs.count()).toLong)
+      case None => minDocFreq
+    }
     val keyed = docs
       .selectExpr("doc_id", s"explode(graft_shingles(text, $n)) AS sh")
       .select(col("doc_id"), xxhash64(col("sh")).as("k"))
     val frequent = keyed.groupBy("k").agg(count(lit(1)).as("docfreq"))
-      .filter(col("docfreq") >= minDocFreq)
+      .filter(col("docfreq") >= threshold)
       .select(col("k"), lit(1L).as("is_b"))
     keyed.join(frequent, Seq("k"), "left")
       .groupBy("doc_id")
@@ -2213,15 +2230,27 @@ object LlmQueries {
     // the threshold or use a df FRACTION); the plan has no cliff either
     // way — when the set outgrows the broadcast ceiling AQE plans the
     // same left join as a shuffle join on the 8-byte keys.
-    val q115Frequent = docs
+    val shingleDf = docs
       .selectExpr("doc_id", "explode(graft_shingles(text, 5)) AS sh")
       .select(xxhash64(col("sh")).as("k"))
       .groupBy("k").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).count()
-    Seq("docs" -> docs.count(),
+      .persist()
+    val q115Frequent = shingleDf.filter(col("df") >= 2).count()
+    // fraction mode (the production knob): threshold = max(2,
+    // ceil(0.001 * docs)) — "boilerplate = appears in >= 0.1% of the
+    // corpus". Unlike the absolute-2 set, this one must NOT grow
+    // superlinearly: as the corpus scales the threshold rises with it,
+    // so chance collisions fall back OUT of the frequent set.
+    val nDocs = docs.count()
+    val fracThreshold = math.max(2L, math.ceil(0.001 * nDocs).toLong)
+    val q115FrequentFrac = shingleDf.filter(col("df") >= fracThreshold).count()
+    shingleDf.unpersist()
+    Seq("docs" -> nDocs,
       "q42_pairs" -> q42, "q83_neighbor_rows" -> q83, "q87_edges" -> q87,
       "q96_pairs" -> q96, "q97_pairs" -> q97,
       "q113_shingle_rows" -> q113Total, "q113_bloom_kept" -> q113Kept,
-      "q115_frequent_shingles" -> q115Frequent)
+      "q115_frequent_shingles" -> q115Frequent,
+      "q115_frequent_frac_threshold" -> fracThreshold,
+      "q115_frequent_shingles_frac" -> q115FrequentFrac)
   }
 }

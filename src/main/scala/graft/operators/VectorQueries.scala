@@ -221,43 +221,52 @@ object VectorQueries {
     // 100 TB posture: edge generation is q108's (measured linear in
     // DEDUP_CANDIDATES), the CC loop moves only label deltas per round.
     Q("q116_semdedup_resolve", Some(s"""
-      WITH RECURSIVE base AS ($plantedBaseSql
-        UNION ALL
-        SELECT vec_id + 2 * $variantOffsetSql,
-          [ CASE WHEN i = 2 THEN 0 ELSE v[i] END for i in range(1, len(v) + 1) ]
-        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        WHERE vec_id % 40 = 0),
-      $lshCandSql,
-      sims AS (
-        SELECT vec_id1, vec_id2
-        FROM cand JOIN n a ON vec_id1 = a.vec_id JOIN n b ON vec_id2 = b.vec_id
-        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9),
-      edges AS (SELECT vec_id1 AS src, vec_id2 AS dst FROM sims
-                UNION SELECT vec_id2, vec_id1 FROM sims),
-      reach(src, dst) AS (
-        SELECT vec_id, vec_id FROM base
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      WITH RECURSIVE base AS ($semBaseSql),
+      $semClosureSql
       SELECT src AS vec_id, MIN(dst) AS canonical, src = MIN(dst) AS kept
       FROM reach GROUP BY src""")) { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      val off = variantOffset(s, dir)
-      val withSecond = withNrm(plantedBase(s, dir).unionByName(
-        Tables.t(s, dir, "embeddings")
-          .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
-          .filter(col("vec_id") % 40 === 0)
-          .selectExpr(s"vec_id + ${2 * off}L AS vec_id",
-            "transform(v, (x, i) -> CASE WHEN i = 1 THEN 0D ELSE x END) AS v")))
-      val sims = lshSimPairs(withSecond)
-      // symmetrize in one map-side explode (the CC kernel's edge contract)
-      val edges = sims.select(explode(array(
-          struct(col("vec_id1").as("src"), col("vec_id2").as("dst")),
-          struct(col("vec_id2").as("src"), col("vec_id1").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val corpus = semCorpus(s, dir)
       LlmQueries
-        .labelPropagation(withSecond.select(col("vec_id").as("doc_id")), edges)
+        .labelPropagation(corpus.select(col("vec_id").as("doc_id")),
+          semEdges(corpus))
         ._1
         .select(col("doc_id").as("vec_id"), col("canonical"), col("kept"))
+    },
+
+    // --------------------------------------------------------------- Q117
+    // SemDeDup resolution, QUALITY-AWARE keep (the q103 policy over q116's
+    // embedding clusters): production pipelines keep each semantic
+    // cluster's BEST member, not min(vec_id). Quality here is the exact
+    // integer L2-norm micro score (q106's arithmetic — squared terms
+    // routed through DECIMAL, floor(sqrt·10⁶) — so both engines agree
+    // bit-for-bit; swap in any per-vector score a real pipeline carries,
+    // e.g. a model-based embedding-quality head). The reduction is
+    // [[LlmQueries.keepBest]]'s single argmax aggregation —
+    // max(struct(quality, -vec_id)) per cluster, tie → min vec_id — no
+    // window, no sort, ONE map-side-combining shuffle on the cluster id
+    // beyond the CC pass. 100 TB posture identical to q116: bounded LSH
+    // edges, sparse-delta CC, and the quality scan is a map-only pass
+    // over the corpus joined delta-sized onto the cluster labels.
+    Q("q117_semdedup_keep_best", Some(s"""
+      WITH RECURSIVE base AS ($semBaseSql),
+      $semClosureSql,
+      cc AS (SELECT src AS vec_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+      qual AS (SELECT vec_id,
+                 CAST(floor(sqrt(CAST(list_sum(list_transform(v,
+                   x -> CAST(x * x AS DECIMAL(26,12)))) AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS quality
+               FROM base),
+      m AS (SELECT cc.vec_id, cc.canonical, qual.quality
+            FROM cc JOIN qual USING (vec_id)),
+      mx AS (SELECT canonical, MAX(quality) AS max_quality, COUNT(*) AS n_members
+             FROM m GROUP BY canonical)
+      SELECT m.canonical AS cluster_id, MIN(m.vec_id) AS keep_id,
+             mx.max_quality, mx.n_members
+      FROM m JOIN mx ON m.canonical = mx.canonical AND m.quality = mx.max_quality
+      GROUP BY m.canonical, mx.max_quality, mx.n_members""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      semDedupKeepBest(semCorpus(s, dir))
     }
   )
 
@@ -306,6 +315,77 @@ object VectorQueries {
   private def withNrm(base: DataFrame): DataFrame =
     base.select(col("vec_id"), col("v"),
       sqrt(expr("graft_vector_dot(v, v)")).as("nrm"))
+
+  /** q116/q117's shared two-arm variant corpus (vec_id, v, nrm): the
+    * embeddings plus [[plantedBase]]'s first arm (every 20th vector,
+    * dim 0 zeroed, at +off) and a second arm (every 40th vector, dim 1
+    * zeroed, at +2·off) — so some originals carry two near-copies and the
+    * transitive closure genuinely merges multi-member clusters.
+    */
+  private def semCorpus(s: SparkSession, dir: String): DataFrame = {
+    val off = variantOffset(s, dir)
+    withNrm(plantedBase(s, dir).unionByName(
+      Tables.t(s, dir, "embeddings")
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS double)) AS v")
+        .filter(col("vec_id") % 40 === 0)
+        .selectExpr(s"vec_id + ${2 * off}L AS vec_id",
+          "transform(v, (x, i) -> CASE WHEN i = 1 THEN 0D ELSE x END) AS v")))
+  }
+
+  /** Symmetric CC edge list from [[lshSimPairs]]'s verified near-dup
+    * pairs, both orientations out of one map-side explode (the
+    * [[LlmQueries.labelPropagation]] edge contract).
+    */
+  private def semEdges(corpus: DataFrame): DataFrame =
+    lshSimPairs(corpus).select(explode(array(
+        struct(col("vec_id1").as("src"), col("vec_id2").as("dst")),
+        struct(col("vec_id2").as("src"), col("vec_id1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
+  /** q117 kernel over any (vec_id, v, nrm) corpus: LSH-edge transitive
+    * clusters ([[LlmQueries.labelPropagation]]) reduced to each cluster's
+    * highest-quality member via [[LlmQueries.keepBest]]'s single argmax
+    * aggregation. Quality = exact integer L2-norm micro (q106's decimal
+    * arithmetic). Public so VectorSpec can pin the policy on a controlled
+    * corpus where a LARGER id has the higher norm (argmax must override
+    * q116's min-id).
+    */
+  def semDedupKeepBest(corpus: DataFrame): DataFrame = {
+    val cc = LlmQueries
+      .labelPropagation(corpus.select(col("vec_id").as("doc_id")),
+        semEdges(corpus))
+      ._1.select("doc_id", "canonical")
+    val qual = corpus.select(col("vec_id").as("doc_id"), expr(
+      """CAST(floor(sqrt(CAST(aggregate(v, CAST(0 AS DECIMAL(26,12)),
+        |  (a, x) -> CAST(a + CAST(x * x AS DECIMAL(26,12)) AS DECIMAL(26,12)))
+        |  AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin).as("quality"))
+    LlmQueries.keepBest(
+      cc.join(qual, "doc_id").select("doc_id", "canonical", "quality"))
+  }
+
+  /** SQL mirror of [[semCorpus]] (a `base` CTE body). */
+  private def semBaseSql: String = s"""$plantedBaseSql
+        UNION ALL
+        SELECT vec_id + 2 * $variantOffsetSql,
+          [ CASE WHEN i = 2 THEN 0 ELSE v[i] END for i in range(1, len(v) + 1) ]
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        WHERE vec_id % 40 = 0"""
+
+  /** Shared oracle CTE chain from `base` through the verified-pair edge
+    * set to the exact recursive closure `reach` — the SQL mirror of
+    * [[semEdges]] + transitive closure (q116/q117).
+    */
+  private def semClosureSql: String = s"""$lshCandSql,
+      sims AS (
+        SELECT vec_id1, vec_id2
+        FROM cand JOIN n a ON vec_id1 = a.vec_id JOIN n b ON vec_id2 = b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.9),
+      edges AS (SELECT vec_id1 AS src, vec_id2 AS dst FROM sims
+                UNION SELECT vec_id2, vec_id1 FROM sims),
+      reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM base
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)"""
 
   /** The SQL mirror of [[plantedBase]] (a `base` CTE body). */
   private def plantedBaseSql: String = s"""

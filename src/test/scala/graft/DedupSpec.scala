@@ -321,4 +321,35 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == (1L, 0L),
       s"intra-doc repetition must not count as cross-doc boilerplate: $got")
   }
+
+  test("q115 fraction mode: the docfreq threshold scales with corpus size") {
+    import spark.implicits._
+    // a footer shared by exactly 3 docs; the rest of the corpus is
+    // disjoint filler. Under fraction f the threshold is
+    // max(2, ceil(f * nDocs)) — the SAME footer flips from boilerplate to
+    // not-boilerplate purely because the corpus grew, which is the knob's
+    // point: "boilerplate" means a fixed SHARE of the corpus, so chance
+    // collisions fall back out of the frequent set at scale.
+    val footer = "shared footer tokens here now"
+    def corpus(nFiller: Int) = (
+      Seq((1L, s"aa bb cc dd ee $footer"),
+          (2L, s"ff gg hh ii jj $footer"),
+          (3L, s"kk ll mm nn oo $footer")) ++
+      (0 until nFiller).map(i =>
+        (100L + i, s"f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f"))
+      ).toDF("doc_id", "text")
+    def boilerDocs(docs: org.apache.spark.sql.DataFrame) =
+      operators.LlmQueries
+        .boilerplateScrub(docs, minDocFreqFraction = Some(0.1))
+        .where(col("n_boiler") > 0).count()
+    // 27 filler docs -> 30 total -> threshold max(2, 3) = 3 -> flagged
+    assert(boilerDocs(corpus(27)) == 3L,
+      "df-3 footer must be boilerplate at threshold 3")
+    // 57 filler docs -> 60 total -> threshold max(2, 6) = 6 -> NOT flagged
+    assert(boilerDocs(corpus(57)) == 0L,
+      "df-3 footer must fall out of the frequent set at threshold 6")
+    // floor: a tiny corpus never drops the threshold below the absolute
+    // minDocFreq (fraction 0.1 of 10 docs = 1 would flag EVERY shingle)
+    assert(boilerDocs(corpus(7)) == 3L, "threshold floor broken")
+  }
 }

@@ -177,4 +177,50 @@ class VectorSpec extends SparkSpec {
     val threeClusters = out.groupBy(_._2._1).filter(_._2.size >= 3)
     assert(threeClusters.nonEmpty, "no multi-variant cluster formed")
   }
+
+  test("q117 keeps the highest-quality cluster member, not the min id") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // controlled corpus: vectors 1 and 2 are parallel (cosine = 1.0 — a
+    // guaranteed LSH near-dup pair) but 2 is SCALED UP, so its L2 norm —
+    // the quality score — is strictly higher; vec 7 is orthogonal noise.
+    // q116's min-id policy would keep 1; the argmax must keep 2.
+    val base = Seq(
+      (1L, Array.fill(64)(0.5)),
+      (2L, Array.fill(64)(0.6)),
+      (7L, Array.tabulate(64)(i => if (i % 2 == 0) 0.5 else -0.5)))
+      .toDF("vec_id", "v")
+      .selectExpr("vec_id", "v",
+        "sqrt(graft_vector_dot(v, v)) AS nrm")
+    val out = operators.VectorQueries.semDedupKeepBest(base).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // cluster {1,2}: canonical (min label) is 1, but keep_id is 2 — the
+    // higher-norm member; quality = floor(sqrt(64·0.36)·1e6)
+    assert(out.contains(1L), s"pair cluster missing: $out")
+    val (keepId, maxQ, nMembers) = out(1L)
+    assert(keepId == 2L, s"argmax must override min-id: kept $keepId")
+    assert(nMembers == 2L)
+    assert(maxQ == math.floor(math.sqrt(64 * 0.36) * 1e6).toLong)
+    // singleton cluster keeps itself
+    assert(out(7L) == ((7L, math.floor(math.sqrt(64 * 0.25) * 1e6).toLong, 1L)))
+  }
+
+  test("q117 fixture clusters agree with q116's membership, argmax within") {
+    // same corpus, same edges, same closure — only the keep policy
+    // differs: q117's (cluster_id, n_members) must be reconstructible
+    // from q116's (canonical, member-count) table, and every keep_id must
+    // be a member of its own cluster per q116
+    val cc = run("q116_semdedup_resolve").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap      // vec_id -> canonical
+    val members = cc.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    val kb = run("q117_semdedup_keep_best").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(kb.map(_._1).toSet == members.keySet,
+      "q117 cluster ids differ from q116 canonicals")
+    kb.foreach { case (cid, keepId, n) =>
+      assert(members(cid).contains(keepId), s"keep_id $keepId not in cluster $cid")
+      assert(members(cid).size.toLong == n, s"member count mismatch for $cid")
+    }
+  }
 }
