@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.TextHash
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Observation, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
@@ -2073,13 +2073,22 @@ object LlmQueries {
     // label is a no-op under min-merge, so an empty frontier IS the
     // edge-prop fixed point, which for a symmetric edge list forces
     // labels constant (= the min) on every component. Two actions per
-    // round (r9 ran three): the eager checkpoint job materializes
-    // hop-merge + chase fused, and a cheap count over the checkpointed
-    // delta reads off the new frontier.
+    // round (r9 ran three; r12 ran two): ONE job — the eager checkpoint
+    // materializes hop-merge + chase fused, and the frontier size plus the
+    // delta size ride that same job as observed metrics
+    // (`Dataset.observe` / CollectMetrics), so no second count job ever
+    // scans the checkpointed delta. At ~0.9 s fixed driver-job overhead ×
+    // ~3 rounds on this box, dropping the per-round count is a measured
+    // constant win for every CC consumer (q87/q103/q116/q117).
     var delta = docs.limit(0).select(col("doc_id"),
       col("doc_id").as("canonical"))
     var frontier = delta
-    var frontierN = ptime("docs.count")(docs.count())
+    var deltaN = 0L
+    // loop entry needs only "is the corpus non-empty" — a limit-1 probe —
+    // not the corpus-sized count the r12 form paid (frontierN from round 1
+    // on comes from the observed metrics, and round 1 never reads it)
+    var frontierN =
+      ptime("docs nonempty probe")(if (docs.head(1).isEmpty) 0L else Long.MaxValue)
     var round = 0
     while (frontierN > 0) {
       round += 1
@@ -2134,8 +2143,26 @@ object LlmQueries {
         // the delta (keeping it minimal); genuine delta rows always have
         // canonical < doc_id, so this drops only the no-op proposals
         .filter(col("canonical") < col("doc_id"))
-      val next = ptime(s"round $round truncate")(truncate(chased))
-      frontierN = ptime(s"round $round frontier count")(next.filter(col("chg")).count())
+      // frontier + delta sizes ride the checkpoint job as observed
+      // metrics: CollectMetrics is a streaming pass-through over the rows
+      // the checkpoint materializes anyway, and `obs.get` blocks only
+      // until that action's listener fires (verified: eager
+      // localCheckpoint and reliable checkpoint both run through
+      // Dataset.withAction, which notifies the observation)
+      val obs = Observation(s"cc_round_$round")
+      val observed = chased.observe(obs,
+        sum(col("chg").cast("long")).as("chg_n"),
+        count(lit(1)).as("delta_n"))
+      val next = ptime(s"round $round truncate+observe")(truncate(observed))
+      val metrics = obs.get
+      frontierN = metrics.get("chg_n") match {
+        case Some(l: java.lang.Long) => l.longValue // null sum = empty round
+        case _ => 0L
+      }
+      deltaN = metrics.get("delta_n") match {
+        case Some(l: java.lang.Long) => l.longValue
+        case _ => 0L
+      }
       merged.unpersist()
       delta = next.select("doc_id", "canonical")
       frontier = next.filter(col("chg")).select("doc_id", "canonical")
@@ -2147,7 +2174,8 @@ object LlmQueries {
     // truncates the whole loop lineage so the edge cache can drop — the
     // only thing left pinned is the returned result's own blocks, which
     // the session owns for as long as the caller may re-read the DataFrame.
-    val deltaN = if (round == 0) 0L else ptime("delta count")(delta.count())
+    // deltaN was observed on the last round's checkpoint job — no
+    // post-loop count job (r12 paid one more delta-sized scan here)
     val deltaSide = if (deltaN < broadcastChaseBelow) broadcast(delta) else delta
     val out = docs.join(deltaSide.withColumnRenamed("canonical", "d_can"),
         Seq("doc_id"), "left")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -116,59 +116,6 @@ object StatsQueries {
         - ((sxy - sx * sy / n_rows) / (sxx - sx * sx / n_rows)) * (sx / n_rows), 6)
        AS regr_intercept""")
 
-  /** (nByG, offsets, needed ranks) from the (pid, g, count) metadata rows
-    * of a range-partitioned selection pass — shared by
-    * [[exactGroupPercentiles]] and [[robustStats]].
-    */
-  private def rankMeta(countRows: Seq[(Int, String, Long)], ps: Seq[Double])
-      : (Map[String, Long], Map[(Int, String), Long], Map[String, Set[Long]]) = {
-    val counts = countRows.map { case (pid, g, c) => (pid, g) -> c }.toMap
-    val nByG: Map[String, Long] =
-      counts.toSeq.groupBy(_._1._2).map { case (g, m) => g -> m.map(_._2).sum }
-    val offsets: Map[(Int, String), Long] =
-      counts.toSeq.groupBy(_._1._2).flatMap { case (_, entries) =>
-        val sorted = entries.sortBy(_._1._1)
-        val prefix = sorted.map(_._2).scanLeft(0L)(_ + _)
-        sorted.map(_._1).zip(prefix)
-      }
-    val needed: Map[String, Set[Long]] = nByG.map { case (g, n) =>
-      g -> ps.flatMap { p =>
-        val pos = p * (n - 1)
-        val k = math.floor(pos).toLong
-        Seq(k, math.min(k + 1, n - 1))
-      }.toSet
-    }
-    (nByG, offsets, needed)
-  }
-
-  /** Second half of a selection pass: stream each sorted partition once,
-    * emitting ONLY the values whose global rank an interpolation needs.
-    * `base` must be the SAME range-partitioned sorted Dataset the offsets
-    * were counted over (a narrow projection of it is fine — projections
-    * preserve partition ids and row order).
-    */
-  private def pickRanks(base: org.apache.spark.sql.Dataset[(String, Double)],
-      offsets: Map[(Int, String), Long],
-      needed: Map[String, Set[Long]]): Map[(String, Long), Double] = {
-    val s = base.sparkSession
-    import s.implicits._
-    val offB = s.sparkContext.broadcast(offsets)
-    val needB = s.sparkContext.broadcast(needed)
-    base.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var curG: String = null
-      var idx = 0L
-      it.flatMap { case (g, v) =>
-        if (g != curG) { curG = g; idx = offB.value((pid, g)) }
-        val r = idx
-        idx += 1
-        if (needB.value.getOrElse(g, Set.empty[Long]).contains(r))
-          Iterator((g, r, v))
-        else Iterator.empty
-      }
-    }.collect().map { case (g, r, v) => (g, r) -> v }.toMap
-  }
-
   /** The builtin's interpolation arithmetic, op for op
     * (Percentile.getPercentile): the WEIGHTED two-term form — the
     * algebraically-equal lo + frac*(hi - lo) differs by an ulp and fails
@@ -187,31 +134,167 @@ object StatsQueries {
       (g, p) -> value
     }).toMap
 
+  /** One in-flight bracket of a bucket-refinement rank selection: group
+    * `g`'s still-unresolved target ranks, the bucket-index path that
+    * pins the bracket's rows (each entry: that level's linear-map bounds
+    * and the selected bucket), the bracket's observed value range, the
+    * global rank of its first row, and its row count.
+    */
+  private final case class Bkt(g: String, ranks: Seq[Long],
+    path: List[(Double, Double, Int)], lo: Double, hi: Double,
+    base: Long, rows: Long)
+
+  private val RankB = 8192              // bucket fan-out per refinement level
+  private val RankCollectCap = 262144L  // max bracket rows fetched to the driver
+
+  /** Monotone bucket index of `x` under the linear map [lo, hi] → [0, B):
+    * deterministic executor-side double arithmetic, clamped at both ends
+    * so totals stay exact, degenerate (lo = hi) ranges collapse to bucket
+    * 0. Monotonicity is what makes cumulative bucket counts valid rank
+    * offsets: x1 < x2 ⇒ bucket(x1) ≤ bucket(x2), and ties share a bucket
+    * by construction, so "rows in buckets below b" is a prefix of the
+    * value-sorted order.
+    */
+  private def bucketOf(x: Column, lo: Column, hi: Column): Column =
+    when(hi > lo,
+      least(greatest(floor((x - lo) / (hi - lo) * RankB), lit(0.0)),
+        lit((RankB - 1).toDouble)).cast("int"))
+      .otherwise(lit(0))
+
+  /** EXACT values at arbitrary 0-based global ranks of `x` per group —
+    * the ZERO-SHUFFLE selection kernel behind [[exactGroupPercentiles]]
+    * and [[robustStats]]. Rounds 9–12 range-partitioned and fully sorted
+    * the stream to stream-pick ranks; r13 observes a rank selection needs
+    * the values COUNTED, not SORTED: each refinement level is one
+    * map-side-combining aggregate over `data` (`groupBy(g → bracket,
+    * bucket)` → ≤ brackets×8192 rows on the wire), which narrows every
+    * unresolved rank's bracket by 8192× until it fits a driver collect.
+    * At 100 TB that replaces the suite's last full-data shuffle+sort
+    * (plus its range-sampling pass) with two or three cheap scans of a
+    * cached narrow projection; convergence is geometric (a bracket that
+    * stays on one bucket re-maps over that bucket's observed [min, max],
+    * ≥ 8192× tighter per level), so the level-8 guard is unreachable for
+    * any finite double range. Three resolutions never fetch a row at
+    * all: a bracket whose min = max IS the value; a rank that is the
+    * first/last of its bucket reads the bucket's min/max aggregate.
+    *
+    * `data` must have a string `g` column, a double `x` column, and any
+    * columns the level-1-only `extra` aggregates reference (they must be
+    * additive LongType aggregates, e.g. conditional counts — summed per
+    * group across buckets and returned as the second element). `bounds`
+    * must contain each targeted group's x-range (loose bounds are
+    * correct, just slower). Group cardinality is driver-bounded, same as
+    * the rank tables of the r9–r12 form. Ranks must lie in [0, n) per
+    * group. Values returned are exact executor-computed doubles.
+    */
+  private def rankSelect(data: DataFrame,
+      targets: Map[String, Set[Long]],
+      bounds: Map[String, (Double, Double)],
+      extra: Seq[Column] = Nil)
+      : (Map[(String, Long), Double], Map[String, Seq[Long]]) = {
+    val s = data.sparkSession
+    import s.implicits._
+    def pathCond(b: Bkt): Column =
+      b.path.map { case (lo, hi, sel) =>
+        bucketOf(col("x"), lit(lo), lit(hi)) === sel
+      }.reduceOption(_ && _).getOrElse(lit(true))
+    var picked = Map.empty[(String, Long), Double]
+    var extras = Map.empty[String, Seq[Long]]
+    var active: Seq[Bkt] = targets.toSeq.sortBy(_._1).collect {
+      case (g, ranks) if ranks.nonEmpty =>
+        Bkt(g, ranks.toSeq.sorted, Nil, bounds(g)._1, bounds(g)._2, 0L,
+          Long.MaxValue)
+    }
+    val toFetch = scala.collection.mutable.ListBuffer.empty[Bkt]
+    var level = 0
+    while (active.nonEmpty) {
+      level += 1
+      require(level <= 8, s"rank selection failed to converge: $active")
+      // brackets are pairwise disjoint row sets (siblings split on
+      // different bucket indices of a shared path prefix), so the CASE
+      // chain assigns each row at most one bracket id
+      val vgCol = active.zipWithIndex.foldLeft(lit(-1)) { case (acc, (b, i)) =>
+        when(col("g") === b.g && pathCond(b), lit(i)).otherwise(acc)
+      }
+      def perVg(f: Bkt => Double): Column =
+        active.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (b, i)) =>
+          when(col("vg") === i, lit(f(b))).otherwise(acc)
+        }
+      val aggs = Seq(count(lit(1)).as("c"), min(col("x")).as("mn"),
+        max(col("x")).as("mx")) ++ (if (level == 1) extra else Nil)
+      val rows = data.withColumn("vg", vgCol).filter(col("vg") >= 0)
+        .withColumn("b", bucketOf(col("x"), perVg(_.lo), perVg(_.hi)))
+        .groupBy("vg", "b").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      if (level == 1 && extra.nonEmpty)
+        extras = rows.groupBy(r => active(r.getInt(0)).g).map { case (g, rs) =>
+          g -> extra.indices.map(j => rs.map(_.getLong(5 + j)).sum).toSeq
+        }
+      val nextActive = scala.collection.mutable.ListBuffer.empty[Bkt]
+      active.zipWithIndex.foreach { case (bk, i) =>
+        val bs = rows.filter(_.getInt(0) == i).sortBy(_.getInt(1))
+          .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        val cum = bs.map(_._2).scanLeft(0L)(_ + _)
+        // resolve each rank or cluster the leftovers by holder bucket
+        val pend = scala.collection.mutable.Map.empty[Int, List[Long]]
+        bk.ranks.foreach { r =>
+          val lr = r - bk.base
+          val i0 = bs.indices.find(j => cum(j + 1) > lr).getOrElse(bs.length - 1)
+          val (_, _, bmin, bmax) = bs(i0)
+          if (bmin == bmax) picked += ((bk.g, r) -> bmin)
+          else if (lr == cum(i0)) picked += ((bk.g, r) -> bmin)
+          else if (lr == cum(i0 + 1) - 1) picked += ((bk.g, r) -> bmax)
+          else pend(i0) = r :: pend.getOrElse(i0, Nil)
+        }
+        pend.toSeq.sortBy(_._1).foreach { case (i0, rs) =>
+          val (bIdx, cnt, bmin, bmax) = bs(i0)
+          val child = Bkt(bk.g, rs.sorted, bk.path :+ ((bk.lo, bk.hi, bIdx)),
+            bmin, bmax, bk.base + cum(i0), cnt)
+          if (cnt <= RankCollectCap) toFetch += child else nextActive += child
+        }
+      }
+      active = nextActive.toList
+    }
+    if (toFetch.nonEmpty) {
+      // one fetch job for every collect-sized bracket (depths may
+      // differ; the literal bucket paths stay pairwise disjoint)
+      val fs = toFetch.toList
+      val vgCol = fs.zipWithIndex.foldLeft(lit(-1)) { case (acc, (b, i)) =>
+        when(col("g") === b.g && pathCond(b), lit(i)).otherwise(acc)
+      }
+      val got = data.withColumn("vg", vgCol).filter(col("vg") >= 0)
+        .select(col("vg"), col("x")).as[(Int, Double)]
+        .collect().groupBy(_._1)
+      fs.zipWithIndex.foreach { case (bk, i) =>
+        val ds = got.getOrElse(i, Array.empty[(Int, Double)]).map(_._2).sorted
+        require(ds.length == bk.rows,
+          s"bracket fetch mismatch for ${bk.g}: got ${ds.length}, want ${bk.rows}")
+        bk.ranks.foreach(r => picked += ((bk.g, r) -> ds((r - bk.base).toInt)))
+      }
+    }
+    (picked, extras)
+  }
+
   /** EXACT per-group interpolated percentiles WITHOUT per-group value
-    * buffering — the distributed selection algorithm: range-partition the
-    * (group, value) stream, count per (partition, group) in one tiny
-    * metadata pass (#partitions × #groups rows, driver-bounded like the
-    * IVF centroid table), turn the counts into global rank offsets, then
-    * stream each sorted partition once more emitting ONLY the ≤ 2·|ps|
-    * values per group whose global rank an interpolation needs. Identical
-    * numbers to `expr("percentile(v, p)")` (ExactPercentileSpec pins
-    * bit-equality against the builtin), but the heavy pass is a parallel
-    * range-partitioned sort at every group cardinality — the builtin
-    * buffers EVERY value of a group on one reducer, which at 100 TB with
-    * 3 groups is billions of doubles on 3 tasks. Ties are safe: equal
-    * values may split across partitions or sort arbitrarily among
-    * themselves, but every rank in a tie run maps to the same value.
+    * buffering and WITHOUT shuffling the stream: one metadata aggregate
+    * (count/min/max per group) over a cached narrow projection, then
+    * [[rankSelect]] bucket refinement for the interpolation ranks.
+    * Identical numbers to `expr("percentile(v, p)")`
+    * (ExactPercentileSpec pins bit-equality against the builtin), but
+    * where the builtin buffers EVERY value of a group on one reducer —
+    * at 100 TB with 3 groups, billions of doubles on 3 tasks — this
+    * never moves the data at all: every pass is a map-side-combining
+    * aggregate or a bounded driver fetch. Ties are safe: equal values
+    * share a bucket, and every rank in a tie run maps to the same value.
     * This regime (few groups × many rows) is exactly where buffering
     * dies; for the opposite regime (millions of tiny groups) the builtin
-    * is fine and this driver-side rank table would not be.
+    * is fine and this driver-side bracket table would not be.
     *
-    * Returns ((group, p) -> value). `df` must have exactly the group and
-    * value columns named by the args; value must be numeric (cast to
-    * double, matching the builtin's DoubleType arithmetic). NULL values
-    * are dropped before ranking — the builtin `percentile` silently
-    * skips them too, and without the filter a null would either break
-    * the (String, Double) decode or corrupt every rank offset after it.
-    * One DIVERGENCE from the builtin follows from that filter plus the
+    * Returns ((group, p) -> value). `df` must have the group and value
+    * columns named by the args; value must be numeric (cast to double,
+    * matching the builtin's DoubleType arithmetic). NULL values are
+    * dropped before ranking — the builtin `percentile` silently skips
+    * them too. One DIVERGENCE follows from that filter plus the
     * non-nullable Double in the returned map: a group whose values are
     * ALL null has no rankable stream and is absent from the result,
     * where the builtin would emit the group with a NULL percentile. A
@@ -220,47 +303,50 @@ object StatsQueries {
     */
   def exactGroupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): Map[(String, Double), Double] = {
-    val s = df.sparkSession
-    import s.implicits._
     val base = df
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
-      .repartitionByRange(col("g"), col("v"))
-      .sortWithinPartitions("g", "v")
-      .as[(String, Double)]
+        col(valueCol).cast("double").as("x"))
       .persist()
     try {
-      val countRows = base.toDF("g", "v").withColumn("pid", spark_partition_id())
-        .groupBy("pid", "g").agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
-      val (nByG, offsets, needed) = rankMeta(countRows, ps)
-      val picked = pickRanks(base, offsets, needed)
+      val meta = base.groupBy("g").agg(count(lit(1)).as("n"),
+          min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      val nByG = meta.map { case (g, m) => g -> m._1 }
+      val targets = nByG.map { case (g, n) =>
+        g -> ps.flatMap { p =>
+          val pos = p * (n - 1)
+          val k = math.floor(pos).toLong
+          Seq(k, math.min(k + 1, n - 1))
+        }.toSet
+      }
+      val bounds = meta.map { case (g, m) => g -> ((m._2, m._3)) }
+      val (picked, _) = rankSelect(base, targets, bounds)
       interpolate(nByG, ps, picked)
     } finally base.unpersist()
   }
 
-  /** q86's FUSED robust-stats kernel: median/IQR from one selection pass
-    * over the value stream, MAD from a second selection pass over the
-    * derived deviation stream, and the Tukey-fence outlier counts folded
-    * into the deviation pass's counts job — so the whole query reads the
-    * input ONCE (the round-10 form scanned lineitem three times: value
-    * percentiles, deviation percentiles, outlier aggregation) and runs 4
-    * bounded driver collects instead of 5 jobs with full rescans. The
-    * deviation stream is derived from the persisted value stream (a
-    * narrow cached projection joined with the broadcast 3-row median
-    * table), so the only corpus-sized work after the first shuffle is the
-    * (g, |v−median|) re-range-partition — unavoidable, because deviation
-    * order is not value order. The MAD pass genuinely depends on the
-    * median, so the two selection passes are sequential by data
-    * dependency; what fuses is everything else. All rounding runs through
-    * Spark `round` expressions (HALF_UP on the shortest decimal
-    * representation), the exact arithmetic the round-10 form used, so
-    * results are bit-identical (the oracle is unchanged).
+  /** q86's FUSED robust-stats kernel: median/IQR and MAD all from
+    * [[rankSelect]] bucket refinement over ONE cached narrow projection —
+    * the whole query shuffles NOTHING corpus-sized (the r12 form paid a
+    * full range partition + sort for the value stream and a second one
+    * for the deviation stream). The Tukey-fence outlier counts ride the
+    * deviation pass's level-1 scan as a fused extra aggregate, so the
+    * fences never cost a pass of their own. The MAD genuinely depends on
+    * the median, so the deviation selection is sequential after the
+    * value selection; the deviation VALUES the interpolation consumes
+    * are exact executor-computed doubles (`abs(v − rounded median)`,
+    * the identical expression the r12 deviation stream projected), and
+    * all rounding runs through Spark `round` expressions — results are
+    * bit-identical (oracle unchanged, ExactPercentileSpec pins the
+    * builtin-formulation equality).
     *
-    * Returns (group, median_price, iqr, mad, n_outliers) as a driver-local
-    * DataFrame — every heavy pass has already run by the time this
-    * returns, and the caller's action on the result costs nothing.
+    * Returns (group, median_price, iqr, mad, n_outliers) as a
+    * driver-local DataFrame — every heavy pass has already run by the
+    * time this returns, and the caller's action on the result costs
+    * nothing.
     */
   def robustStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val s = df.sparkSession
@@ -270,47 +356,66 @@ object StatsQueries {
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-      .repartitionByRange(col("g"), col("v"))
-      .sortWithinPartitions("g", "v")
-      .as[(String, Double)]
       .persist()
-    val dev = {
-      // value-stream selection: counts (materializes the cache) + picked
-      val countRows = base.toDF("g", "v").withColumn("pid", spark_partition_id())
-        .groupBy("pid", "g").agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
-      val (nByG, offsets, needed) = rankMeta(countRows, ps)
-      val pcts = interpolate(nByG, ps, pickRanks(base, offsets, needed))
+    val dev = try {
+      val meta = base.groupBy("g").agg(count(lit(1)).as("n"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      val nByG = meta.map { case (g, m) => g -> m._1 }
       val groups = nByG.keys.toSeq.sorted
-      // 3-row broadcast median/fence table, rounded by Spark's own round
-      val med = groups.map(g => (g, pcts((g, 0.5)), pcts((g, 0.25)), pcts((g, 0.75))))
+      val vTargets = nByG.map { case (g, n) =>
+        g -> ps.flatMap { p =>
+          val pos = p * (n - 1)
+          val k = math.floor(pos).toLong
+          Seq(k, math.min(k + 1, n - 1))
+        }.toSet
+      }
+      val vBounds = meta.map { case (g, m) => g -> ((m._2, m._3)) }
+      val (vPicked, _) =
+        rankSelect(base.select(col("g"), col("v").as("x")), vTargets, vBounds)
+      val pcts = interpolate(nByG, ps, vPicked)
+      // median/fences rounded through Spark's own `round` (a local 3-row
+      // plan — constant work) so the deviation expression below subtracts
+      // doubles bit-identical to the r12 broadcast-join form
+      val fences = groups.map(g => (g, pcts((g, 0.5)), pcts((g, 0.25)), pcts((g, 0.75))))
         .toDF("g", "m_raw", "p25_raw", "p75_raw")
         .select(col("g"), round(col("m_raw"), 6).as("med"),
           round(col("p25_raw"), 6).as("p25"), round(col("p75_raw"), 6).as("p75"))
-      // deviation stream FROM THE CACHE — no second scan of `df`; the
-      // outlier flag rides along so the deviation counts job can also
-      // aggregate the fence counts (one job, two purposes)
-      val devDf = base.toDF("g", "v").join(broadcast(med), "g")
-        .select(col("g"), abs(col("v") - col("med")).as("d"),
-          (col("v") > col("p75") + (col("p75") - col("p25")) * 1.5 ||
-            col("v") < col("p25") - (col("p75") - col("p25")) * 1.5).as("is_out"))
-        .repartitionByRange(col("g"), col("d"))
-        .sortWithinPartitions("g", "d")
-        .persist()
-      val countRows2 = devDf.withColumn("pid", spark_partition_id())
-        .groupBy("pid", "g").agg(count(lit(1)).as("c"),
-          sum(when(col("is_out"), 1L).otherwise(0L)).as("o"))
-        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
-      val outByG = countRows2.groupBy(_._2).map { case (g, rs) => g -> rs.map(_._4).sum }
-      val (nByG2, offsets2, needed2) =
-        rankMeta(countRows2.map(t => (t._1, t._2, t._3)), Seq(0.5))
-      val madRaw = interpolate(nByG2, Seq(0.5),
-        pickRanks(devDf.select("g", "d").as[(String, Double)], offsets2, needed2))
-      base.unpersist()
-      devDf.unpersist()
+        .collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      // per-group CASE chains (groups are driver-bounded, exactly like
+      // the bracket tables): no broadcast join, every pass stays a
+      // single-stage aggregate over the cache
+      def perG(f: String => Double): Column =
+        groups.foldLeft(lit(Double.NaN)) { (acc, g) =>
+          when(col("g") === g, lit(f(g))).otherwise(acc)
+        }
+      val dData = base.select(col("g"),
+        abs(col("v") - perG(g => fences(g)._1)).as("x"), col("v"))
+      val dTargets = nByG.map { case (g, n) =>
+        val pos = 0.5 * (n - 1)
+        val k = math.floor(pos).toLong
+        g -> Set(k, math.min(k + 1, n - 1))
+      }
+      // loose-but-correct deviation bounds from the value extremes: the
+      // max deviation is at a value extreme (|v − med| is V-shaped)
+      val dBounds = meta.map { case (g, m) =>
+        val med = fences(g)._1
+        g -> ((0.0, math.max(math.abs(m._2 - med), math.abs(m._3 - med))))
+      }
+      val p25c = perG(g => fences(g)._2)
+      val p75c = perG(g => fences(g)._3)
+      val isOut = col("v") > p75c + (p75c - p25c) * 1.5 ||
+        col("v") < p25c - (p75c - p25c) * 1.5
+      val (dPicked, extras) = rankSelect(dData, dTargets, dBounds,
+        Seq(sum(when(isOut, 1L).otherwise(0L)).as("o")))
+      val madRaw = interpolate(nByG, Seq(0.5), dPicked)
       groups.map(g => (g, pcts((g, 0.5)), pcts((g, 0.25)), pcts((g, 0.75)),
-        madRaw((g, 0.5)), outByG(g)))
-    }
+        madRaw((g, 0.5)), extras.getOrElse(g, Seq(0L)).head))
+    } finally base.unpersist()
     dev.toDF(groupCol, "m_raw", "p25_raw", "p75_raw", "mad_raw", "n_outliers")
       .select(col(groupCol), round(col("m_raw"), 6).as("median_price"),
         round(round(col("p75_raw"), 6) - round(col("p25_raw"), 6), 6).as("iqr"),
@@ -442,27 +547,54 @@ object StatsQueries {
     // HLL and t-digest sketches across ~n_distinct intermediate groups —
     // measured 20× slower at sf0.1. The exact side is a separate 3-row
     // aggregate joined back on the group key.
+    // r13 rework: the sketch aggregate previously appeared TWICE in the
+    // final plan (broadcast into the rank audit AND joined into the
+    // result — no exchange reuse across the different projections), so
+    // the t-digest/HLL build over the whole fact table ran twice; and the
+    // exact-distinct pass and the rank audit each scanned lineitem again
+    // (4 corpus-sized passes total). Now: the 3-row sketch result is
+    // collected ONCE (quantile estimates become per-flag literals, the
+    // robustStats CASE-chain idiom), and the exact distinct + rank audit
+    // FUSE into one two-level aggregation — level 1 groups by
+    // (flag, orderkey) carrying partial row/threshold counts (map-side
+    // combine shrinks 30 M rows to ~n_distinct before the only shuffle),
+    // level 2 counts the groups (= exact distinct) and sums the partials.
+    // Two lineitem scans total, same numbers.
     Q("q74_approx_agg", Some("""
       SELECT l_returnflag,
         COUNT(DISTINCT l_orderkey) AS exact_orders,
         TRUE AS hll_ok, TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
       FROM lineitem GROUP BY l_returnflag""")) { (s, dir) =>
+      import s.implicits._
       val li = Tables.t(s, dir, "lineitem")
-      val sk = li.groupBy("l_returnflag")
+      val skRows = li.groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("est_orders"),
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("aq"))
-      val ex = li.groupBy("l_returnflag")
-        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
-      // rank-error audit: fraction of values at or below each estimate
-      val rk = li.join(broadcast(sk.select(col("l_returnflag"), col("aq"))),
-        "l_returnflag")
+          // accuracy 2500 → rank error ≤ n/2500, still a 50× margin under
+          // the audit's eps = 0.02 (the default 10000 pays ~4× the
+          // summary-compress work for margin the audit can't observe)
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 2500)").as("aq"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[Double](2)(0), r.getSeq[Double](2)(1), r.getSeq[Double](2)(2)))
+      val flags = skRows.map(_._1).toSeq.sorted
+      val aq = skRows.map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+      def perF(f: String => Double): Column =
+        flags.foldLeft(lit(Double.NaN)) { (acc, g) =>
+          when(col("l_returnflag") === g, lit(f(g))).otherwise(acc)
+        }
+      val fused = li
+        .groupBy(col("l_returnflag"), col("l_orderkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("l_extendedprice") <= perF(aq(_)._1), 1L).otherwise(0L)).as("c25p"),
+          sum(when(col("l_extendedprice") <= perF(aq(_)._2), 1L).otherwise(0L)).as("c50p"),
+          sum(when(col("l_extendedprice") <= perF(aq(_)._3), 1L).otherwise(0L)).as("c75p"))
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("l_extendedprice") <= col("aq")(0), 1L).otherwise(0L)).as("c25"),
-          sum(when(col("l_extendedprice") <= col("aq")(1), 1L).otherwise(0L)).as("c50"),
-          sum(when(col("l_extendedprice") <= col("aq")(2), 1L).otherwise(0L)).as("c75"))
-      sk.join(ex, "l_returnflag").join(rk, "l_returnflag")
+        .agg(count(lit(1)).as("exact_orders"), sum(col("cnt")).as("n"),
+          sum(col("c25p")).as("c25"), sum(col("c50p")).as("c50"),
+          sum(col("c75p")).as("c75"))
+      val est = skRows.map(r => (r._1, r._2)).toSeq.toDF("l_returnflag", "est_orders")
+      fused.join(broadcast(est), "l_returnflag")
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("est_orders") - col("exact_orders")) /
             col("exact_orders") <= 0.05).as("hll_ok"),

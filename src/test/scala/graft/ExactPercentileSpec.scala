@@ -52,6 +52,46 @@ class ExactPercentileSpec extends SparkSpec {
       assert(got(k) == want(k), s"$k: got ${got(k)} want ${want(k)}")
   }
 
+  test("robustStats matches the builtin two-pass formulation bit-for-bit") {
+    import spark.implicits._
+    // same adversarial shapes as above, plus a bimodal group (two tight
+    // clusters far apart) that drives the r13 bucket refinement through
+    // its rank-straddle short-circuit, and an even-count group whose MAD
+    // interpolates between two distinct deviations
+    val rows =
+      Seq(("one", 42.0)) ++
+      Seq(("two", 1.0), ("two", 2.0)) ++
+      (1 to 500).map(_ => ("tie", 7.5)) ++
+      (1 to 300).flatMap(i => Seq(("mix", (i % 10).toDouble), ("mix", -1.0))) ++
+      (1 to 97).map(i => ("odd", i.toDouble * 1.7 - 50)) ++
+      (1 to 200).map(i => ("bim", if (i % 2 == 0) 0.0 else 1e9)) ++
+      (1 to 96).map(i => ("evn", i.toDouble * i * 0.37)) ++
+      // 1..200: the MAD's interpolation ranks 99/100 land on deviations
+      // 49.5 and 50.5 — adjacent d-clusters in different buckets, the
+      // guaranteed straddle case
+      (1 to 200).map(i => ("rng", i.toDouble))
+    val df = rows.toDF("g", "v").repartition(13)
+    val got = operators.StatsQueries.robustStats(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val med = df.groupBy("g").agg(
+      round(expr("percentile(v, 0.5D)"), 6).as("med"),
+      round(expr("percentile(v, 0.25D)"), 6).as("p25"),
+      round(expr("percentile(v, 0.75D)"), 6).as("p75"))
+    val want = df.join(med, "g").groupBy("g", "med", "p25", "p75")
+      .agg(round(expr("percentile(abs(v - med), 0.5D)"), 6).as("mad"),
+        sum(when(col("v") > col("p75") + (col("p75") - col("p25")) * 1.5 ||
+          col("v") < col("p25") - (col("p75") - col("p25")) * 1.5, 1L)
+          .otherwise(0L)).as("n_out"))
+      .select(col("g"), col("med"),
+        round(col("p75") - col("p25"), 6).as("iqr"), col("mad"), col("n_out"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got.keySet == want.keySet)
+    for (g <- want.keySet)
+      assert(got(g) == want(g), s"$g: got ${got(g)} want ${want(g)}")
+  }
+
   test("NULL values are skipped exactly like the builtin") {
     import spark.implicits._
     // nulls interleaved through a group must not shift rank offsets or
