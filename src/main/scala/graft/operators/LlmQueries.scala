@@ -1531,6 +1531,51 @@ object LlmQueries {
         CAST(SUM(is_b) AS BIGINT) * 1000000 // COUNT(*) AS boiler_frac_micro
       FROM flagged GROUP BY doc_id""")) { (s, dir) =>
       boilerplateScrub(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q118
+    // INTRA-doc repetition audit — the Gopher-family repetition filters
+    // (Rae et al. 2021 §A1.1: "repetitious documents are low-quality")
+    // q91's length/punct rules and q110's consecutive-stutter removal do
+    // not cover: (a) the top-bigram occurrence fraction (a doc dominated
+    // by one repeated 2-gram is boilerplate/spam even when no two
+    // ADJACENT tokens repeat), and (b) the duplicate-5-gram occurrence
+    // fraction (how much of the doc is re-used 5-gram mass). Both
+    // adapted from Gopher's character-fraction form to occurrence
+    // fractions, in exact integer micro-units (the q111/q114/q115
+    // idiom). 100 TB posture: two explode→aggregate chains, each
+    // shuffling 8-byte xxhash64 gram keys (never the gram strings — the
+    // suite-wide bucket-key convention; the oracle joins raw strings, so
+    // the driver's hash-equality row doubles as the collision audit),
+    // both partial-aggregating map-side on (doc_id, hash) before their
+    // only shuffle, joined doc_id-keyed. No windows, no corpus-sized
+    // driver state.
+    Q("q118_repetition_audit", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      eligible AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 5),
+      g2 AS (SELECT doc_id,
+               unnest([ array_to_string(toks[i:i+1], ' ')
+                        for i in range(1, len(toks)) ]) AS g
+             FROM eligible),
+      c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+      a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+               CAST(MAX(c) AS BIGINT) AS top2
+             FROM c2 GROUP BY doc_id),
+      g5 AS (SELECT doc_id,
+               unnest([ array_to_string(toks[i:i+4], ' ')
+                        for i in range(1, len(toks) - 3) ]) AS g
+             FROM eligible),
+      c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
+      a5 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n5,
+               CAST(COUNT(*) AS BIGINT) AS d5
+             FROM c5 GROUP BY doc_id)
+      SELECT a2.doc_id, n2, top2,
+        top2 * 1000000 // n2 AS top2_micro,
+        n5, (n5 - d5) * 1000000 // n5 AS dup5_micro,
+        (top2 * 1000000 // n2 > 180000)
+          OR ((n5 - d5) * 1000000 // n5 > 150000) AS rep_flagged
+      FROM a2 JOIN a5 ON a2.doc_id = a5.doc_id""")) { (s, dir) =>
+      repetitionAudit(Tables.t(s, dir, "documents"))
     }
   )
 
@@ -1579,6 +1624,40 @@ object LlmQueries {
         // floor division closes (n_boiler ≤ n_sh, so the product is
         // ≤ 10⁶·n_sh, nowhere near BIGINT range)
         expr("n_boiler * 1000000L div n_sh").as("boiler_frac_micro"))
+  }
+
+  /** q118 kernel: per-doc repetition statistics — top-bigram occurrence
+    * fraction and duplicate-5-gram occurrence fraction, the Gopher-style
+    * repetition quality signals (adapted from character fractions to
+    * occurrence fractions so both engines compute in exact integers).
+    * Docs under 5 tokens are skipped (no 5-gram stream; both fractions
+    * would be degenerate). Grams are MULTISET n-grams (every occurrence,
+    * unlike `graft_shingles`' first-occurrence distinct): a
+    * `transform(sequence(...))` over the token array, codegen'd, no UDF.
+    * Thresholds are occurrence-fraction micro-units; the defaults mirror
+    * the registration's oracle literals.
+    */
+  def repetitionAudit(docs: DataFrame, top2Micro: Long = 180000L,
+      dup5Micro: Long = 150000L): DataFrame = {
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+    def gramCounts(n: Int): DataFrame = tok
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $n)))")).as("g"))
+      .groupBy(col("doc_id"), xxhash64(col("g")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val a2 = gramCounts(2).groupBy("doc_id")
+      .agg(sum(col("c")).as("n2"), max(col("c")).as("top2"))
+    val a5 = gramCounts(5).groupBy("doc_id")
+      .agg(sum(col("c")).as("n5"), count(lit(1)).as("d5"))
+    a2.join(a5, "doc_id")
+      .select(col("doc_id"), col("n2"), col("top2"),
+        expr("top2 * 1000000L div n2").as("top2_micro"),
+        col("n5"),
+        expr("(n5 - d5) * 1000000L div n5").as("dup5_micro"))
+      .withColumn("rep_flagged",
+        col("top2_micro") > top2Micro || col("dup5_micro") > dup5Micro)
   }
 
   /** q114 kernel: DSIR-style importance scoring of the non-target pool

@@ -267,8 +267,94 @@ object VectorQueries {
       GROUP BY m.canonical, mx.max_quality, mx.n_members""")) { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       semDedupKeepBest(semCorpus(s, dir))
+    },
+
+    // --------------------------------------------------------------- Q119
+    // One exact k-means (Lloyd) step over the embedding corpus — the
+    // clustering primitive under SemDeDup-style pipelines (Abbas et al.
+    // 2023 cluster before deduplicating) and domain-discovery mixes:
+    // deterministic hash-seeded centroids (the k lowest md5(vec_id) —
+    // reproducible across engines AND cluster re-runs, the q71 sampling
+    // argument), nearest-centroid assignment, and the exact recomputed
+    // per-dimension centroid means. 100 TB posture: the k seed vectors
+    // collect to the driver (k×64 doubles) and assignment is a MAP-ONLY
+    // pass — dist² = v·v − 2·v·c + c·c per seed as literal-embedded
+    // codegen'd `graft_vector_dot` expressions, argmin via one
+    // `array_min` over (round(d2, 6), c_id) structs, no join and no
+    // shuffle of the corpus; the update is q77's decimal-routed
+    // dimension-exploded mean, partial-aggregating to k×64 groups
+    // map-side before its only shuffle. The oracle replays the identical
+    // seed rule, distance arithmetic (list_dot_product — the q45
+    // fold-order contract), and rounding-then-id tie-break.
+    Q("q119_kmeans_step", Some("""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      seeds AS (SELECT vec_id AS c_id, v AS cv FROM base
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      asg AS (
+        SELECT b.vec_id, b.v, s.c_id,
+          row_number() OVER (PARTITION BY b.vec_id ORDER BY
+            round(list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, s.cv)
+                  + list_dot_product(s.cv, s.cv), 6), s.c_id) AS rk
+        FROM base b CROSS JOIN seeds s)
+      SELECT c_id AS cluster, CAST(i AS INT) AS dim,
+        round(CAST(SUM(CAST(v[i + 1] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+          AS centroid,
+        COUNT(*) AS n_vectors
+      FROM (SELECT vec_id, v, c_id FROM asg WHERE rk = 1) sel, range(0, 64) t(i)
+      GROUP BY c_id, i""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      kmeansStep(Tables.t(s, dir, "embeddings"))
     }
   )
+
+  /** q119 kernel: one exact Lloyd iteration. Seeds = the k corpus vectors
+    * with the lexicographically smallest md5(vec_id) (vec_id tie-break) —
+    * deterministic, engine-portable, and unclustered-data-safe (md5
+    * scatters ids, so seeds are an unbiased sample; k-means++ would need
+    * engine-identical weighted sampling, which floats forbid). Assignment
+    * is map-only: every seed becomes LITERAL arrays in the plan, each
+    * row's dist² evaluates through the codegen'd `graft_vector_dot` (the
+    * list_dot_product fold-order contract, q45), rounded to 6 dp with
+    * c_id tie-break, argmin via `array_min` over structs. The c·c terms
+    * are computed ENGINE-SIDE once (a 1-row constant query) so their fold
+    * order matches the oracle exactly. The centroid update is the q77
+    * decimal-routed mean over posexploded dimensions. Returns
+    * (cluster, dim, centroid, n_vectors) — k×64 rows.
+    */
+  def kmeansStep(emb: DataFrame, k: Int = 8): DataFrame = {
+    val s = emb.sparkSession
+    graft.plans.GraftExtensions.register(s)
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+    val seeds = base
+      .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("mk"))
+      .orderBy(col("mk"), col("vec_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def arrLit(cv: Seq[Double]): String =
+      "array(" + cv.map(x => s"${x}D").mkString(", ") + ")"
+    // c·c via the engine's own dot (1-row constant job): bit-identical to
+    // the oracle's list_dot_product(cv, cv), immune to any driver-side
+    // fold-order drift
+    val ccs = s.range(1).select(
+      seeds.zipWithIndex.map { case ((_, cv), i) =>
+        expr(s"graft_vector_dot(${arrLit(cv)}, ${arrLit(cv)})").as(s"cc$i")
+      }: _*).head()
+    val d2s = seeds.zipWithIndex.map { case ((cid, cv), i) =>
+      struct(
+        round(col("vv") - lit(2.0) * expr(s"graft_vector_dot(v, ${arrLit(cv)})")
+          + lit(ccs.getDouble(i)), 6).as("d2"),
+        lit(cid).as("c_id"))
+    }
+    base
+      .withColumn("vv", expr("graft_vector_dot(v, v)"))
+      .withColumn("cluster", array_min(array(d2s: _*)).getField("c_id"))
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
+        .as("raw"), count(lit(1)).as("n_vectors"))
+      .select(col("cluster"), col("dim"), round(col("raw"), 6).as("centroid"),
+        col("n_vectors"))
+  }
 
   /** Planted-variant id offset: the smallest power of 10 strictly above
     * MAX(vec_id), derived from the corpus itself so a regenerated fixture

@@ -352,4 +352,35 @@ class DedupSpec extends SparkSpec {
     // minDocFreq (fraction 0.1 of 10 docs = 1 would flag EVERY shingle)
     assert(boilerDocs(corpus(7)) == 3L, "threshold floor broken")
   }
+
+  test("q118 repetition audit: planted repetitive doc flagged, diverse doc clean, short doc skipped") {
+    import spark.implicits._
+    // "a b" × 5: bigrams = 9 occurrences (top "a b" × 5), 5-grams = 6
+    // occurrences over 2 distinct → top2 5/9 = 555555 µ, dup5 4/6 =
+    // 666666 µ — both over threshold
+    val rep = (1L, ("a b " * 5).trim)
+    // 20 distinct tokens: top bigram 1/19 = 52631 µ, dup5 0 µ — clean
+    val clean = (2L, (1 to 20).map(i => s"t$i").mkString(" "))
+    // 4 tokens: no 5-gram stream — excluded entirely
+    val short = (3L, "x y z w")
+    val docs = Seq(rep, clean, short).toDF("doc_id", "text")
+    val got = operators.LlmQueries.repetitionAudit(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((9L, 5L, 555555L, 6L, 666666L, true)), s"rep: ${got(1L)}")
+    assert(got(2L) == ((19L, 1L, 52631L, 16L, 0L, false)), s"clean: ${got(2L)}")
+  }
+
+  test("q118 multiset grams: repeated non-adjacent bigram counted with multiplicity") {
+    import spark.implicits._
+    // "u v" appears twice NON-adjacently (positions 1 and 4) — a
+    // first-occurrence-distinct shingle set would count it once and
+    // underflag; the multiset audit must see both
+    val docs = Seq((7L, "u v w u v x y")).toDF("doc_id", "text")
+    val r = operators.LlmQueries.repetitionAudit(docs).collect().head
+    assert(r.getLong(1) == 6L)  // n2
+    assert(r.getLong(2) == 2L)  // top2 = "u v" twice
+  }
 }

@@ -223,4 +223,63 @@ class VectorSpec extends SparkSpec {
       assert(members(cid).size.toLong == n, s"member count mismatch for $cid")
     }
   }
+
+  test("q119 k-means step: hash-deterministic seeds, exact assignment and means on a controlled corpus") {
+    import spark.implicits._
+    // two tight clusters far apart in dim 0; k = 2 seeds land one per
+    // cluster with overwhelming likelihood — but the spec does not rely
+    // on that: it recomputes the SAME seed rule and brute-force
+    // assignment driver-side and compares exactly
+    val dim = 4
+    val vecs = (0L until 40L).map { id =>
+      val c = if (id % 2 == 0) 0.0f else 10.0f
+      (id, Array.tabulate(dim)(j =>
+        c + (if (j == 0) (id % 5).toFloat * 0.01f else 0.0f)), 0)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val got = operators.VectorQueries.kmeansStep(emb, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    // driver-side replica: same md5 seed rule, same dist² tie-break
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val seedIds = vecs.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(2)
+    val byId = vecs.map(v => v._1 -> v._2.map(_.toDouble)).toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def assign(v: Seq[Double]): Long =
+      seedIds.map { cid =>
+        val cv = byId(cid)
+        val d2 = BigDecimal(dot(v, v) - 2 * dot(v, cv) + dot(cv, cv))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (d2, cid)
+      }.min._2
+    val members = vecs.map(v => assign(byId(v._1)) -> v._1)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keys.map(_._1).toSet == members.keySet)
+    for ((cid, ids) <- members; j <- 0 until dim) {
+      // replicate the kernel's arithmetic exactly: per-element
+      // DECIMAL(18,9) HALF_UP, exact decimal sum, DOUBLE divide, round 6
+      val sumDec = ids.map(id => BigDecimal(byId(id)(j))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      val want = BigDecimal(sumDec.toDouble / ids.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (centroid, n) = got((cid, j))
+      assert(n == ids.size, s"cluster $cid size")
+      assert(centroid == want, s"cluster $cid dim $j: got $centroid want $want")
+    }
+  }
+
+  test("q119 fixture run: k clusters cover the corpus, one row per (cluster, dim)") {
+    val out = operators.VectorQueries
+      .kmeansStep(Tables.t(spark, "/root/testdata/sf0.001", "embeddings"))
+      .collect()
+    val n = Tables.t(spark, "/root/testdata/sf0.001", "embeddings").count()
+    val clusters = out.map(_.getLong(0)).distinct
+    assert(out.length == clusters.length * 64)
+    // every vector assigned exactly once: per-dim totals equal the corpus
+    val perDim = out.groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(3)).sum)
+    assert(perDim.values.toSet == Set(n))
+  }
 }
