@@ -304,8 +304,61 @@ object VectorQueries {
       GROUP BY c_id, i""")) { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       kmeansStep(Tables.t(s, dir, "embeddings"))
+    },
+
+    // --------------------------------------------------------------- Q120
+    // ITERATED exact k-means (3 Lloyd passes) — q119 run to a useful
+    // clustering: centroids move, the data never does. Between passes the
+    // k×64 ROUNDED means round-trip through the driver and are embedded
+    // as the next pass's literal centroids, so every assignment stays
+    // map-only at any corpus size; the only per-iteration exchange is
+    // the k×64-group mean aggregate. The oracle unrolls the identical
+    // three passes as chained CTEs, rebuilding each pass's centroid
+    // lists with list(c ORDER BY i) and re-assigning with the same
+    // rounded-distance + c_id tie-break. Because both engines re-read
+    // the same 6-dp-rounded means, the iteration is bit-stable end to
+    // end — no float drift can accumulate across passes.
+    Q("q120_kmeans_iterate", Some(s"""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      seeds AS (SELECT vec_id AS c_id, v AS cv FROM base
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      ${kmAsgSql("base", "seeds", "asg1")},
+      ${kmCentSql("asg1", "cent1")},
+      ${kmListSql("cent1", "cl1")},
+      ${kmAsgSql("base", "cl1", "asg2")},
+      ${kmCentSql("asg2", "cent2")},
+      ${kmListSql("cent2", "cl2")},
+      ${kmAsgSql("base", "cl2", "asg3")}
+      SELECT c_id AS cluster, CAST(i AS INT) AS dim,
+        round(CAST(SUM(CAST(v[i + 1] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+          AS centroid,
+        COUNT(*) AS n_vectors
+      FROM asg3, range(0, 64) t(i) GROUP BY c_id, i""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      kmeansIterate(Tables.t(s, dir, "embeddings"), k = 8, iters = 3)
     }
   )
+
+  /** One oracle-side Lloyd assignment pass: nearest centroid by the
+    * rounded-distance + c_id tie-break (the q45 contract arithmetic).
+    */
+  private def kmAsgSql(src: String, cents: String, out: String): String = s"""
+      $out AS (SELECT vec_id, v, c_id FROM (
+        SELECT b.vec_id, b.v, s.c_id,
+          row_number() OVER (PARTITION BY b.vec_id ORDER BY
+            round(list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, s.cv)
+                  + list_dot_product(s.cv, s.cv), 6), s.c_id) AS rk
+        FROM $src b CROSS JOIN $cents s) q WHERE rk = 1)"""
+
+  /** One oracle-side centroid update: q77's decimal-routed rounded mean. */
+  private def kmCentSql(asg: String, cent: String): String = s"""
+      $cent AS (SELECT c_id, i,
+          round(CAST(SUM(CAST(v[i + 1] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS c
+        FROM $asg, range(0, 64) t(i) GROUP BY c_id, i)"""
+
+  /** Rebuild centroid lists from the per-dimension mean rows. */
+  private def kmListSql(cent: String, cl: String): String = s"""
+      $cl AS (SELECT c_id, list(c ORDER BY i) AS cv FROM $cent GROUP BY c_id)"""
 
   /** q119 kernel: one exact Lloyd iteration. Seeds = the k corpus vectors
     * with the lexicographically smallest md5(vec_id) (vec_id tie-break) —
@@ -321,39 +374,67 @@ object VectorQueries {
     * decimal-routed mean over posexploded dimensions. Returns
     * (cluster, dim, centroid, n_vectors) — k×64 rows.
     */
-  def kmeansStep(emb: DataFrame, k: Int = 8): DataFrame = {
+  def kmeansStep(emb: DataFrame, k: Int = 8): DataFrame =
+    kmeansIterate(emb, k, iters = 1)
+
+  /** q120 kernel (and q119's core with `iters = 1`): exact Lloyd
+    * iterations. Each pass re-assigns map-only against the CURRENT
+    * centroids embedded as literal arrays and recomputes the
+    * decimal-routed per-dimension means; between passes the k×64 ROUNDED
+    * means (round 6 — the output discipline, so the round-trip is
+    * bit-stable across engines) collect to the driver and become the
+    * next pass's literals. The corpus is never shuffled by assignment at
+    * any iteration; per iteration the only exchange is the k×64-group
+    * centroid aggregate — the canonical distributed k-means shape (data
+    * stays put, centroids move). A cluster that loses all members simply
+    * has no mean row and drops out of later passes — both engines derive
+    * that from the same GROUP BY. Returns the FINAL pass's
+    * (cluster, dim, centroid, n_vectors).
+    */
+  def kmeansIterate(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     val s = emb.sparkSession
     graft.plans.GraftExtensions.register(s)
     val base = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS double))").as("v"))
-    val seeds = base
+    var centroids: Seq[(Long, Seq[Double])] = base
       .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("mk"))
       .orderBy(col("mk"), col("vec_id")).limit(k)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     def arrLit(cv: Seq[Double]): String =
       "array(" + cv.map(x => s"${x}D").mkString(", ") + ")"
-    // c·c via the engine's own dot (1-row constant job): bit-identical to
-    // the oracle's list_dot_product(cv, cv), immune to any driver-side
-    // fold-order drift
-    val ccs = s.range(1).select(
-      seeds.zipWithIndex.map { case ((_, cv), i) =>
-        expr(s"graft_vector_dot(${arrLit(cv)}, ${arrLit(cv)})").as(s"cc$i")
-      }: _*).head()
-    val d2s = seeds.zipWithIndex.map { case ((cid, cv), i) =>
-      struct(
-        round(col("vv") - lit(2.0) * expr(s"graft_vector_dot(v, ${arrLit(cv)})")
-          + lit(ccs.getDouble(i)), 6).as("d2"),
-        lit(cid).as("c_id"))
+    var out: DataFrame = null
+    for (it <- 1 to iters) {
+      // c·c via the engine's own dot (1-row constant job): bit-identical
+      // to the oracle's list_dot_product(cv, cv), immune to any
+      // driver-side fold-order drift
+      val ccs = s.range(1).select(
+        centroids.zipWithIndex.map { case ((_, cv), i) =>
+          expr(s"graft_vector_dot(${arrLit(cv)}, ${arrLit(cv)})").as(s"cc$i")
+        }: _*).head()
+      val d2s = centroids.zipWithIndex.map { case ((cid, cv), i) =>
+        struct(
+          round(col("vv") - lit(2.0) * expr(s"graft_vector_dot(v, ${arrLit(cv)})")
+            + lit(ccs.getDouble(i)), 6).as("d2"),
+          lit(cid).as("c_id"))
+      }
+      out = base
+        .withColumn("vv", expr("graft_vector_dot(v, v)"))
+        .withColumn("cluster", array_min(array(d2s: _*)).getField("c_id"))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
+          .as("raw"), count(lit(1)).as("n_vectors"))
+        .select(col("cluster"), col("dim"), round(col("raw"), 6).as("centroid"),
+          col("n_vectors"))
+      if (it < iters)
+        centroids = out.collect()
+          .groupBy(_.getLong(0)).toSeq
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          }
+          .sortBy(_._1)
     }
-    base
-      .withColumn("vv", expr("graft_vector_dot(v, v)"))
-      .withColumn("cluster", array_min(array(d2s: _*)).getField("c_id"))
-      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("cluster", "dim")
-      .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
-        .as("raw"), count(lit(1)).as("n_vectors"))
-      .select(col("cluster"), col("dim"), round(col("raw"), 6).as("centroid"),
-        col("n_vectors"))
+    out
   }
 
   /** Planted-variant id offset: the smallest power of 10 strictly above

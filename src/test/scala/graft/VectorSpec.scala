@@ -282,4 +282,48 @@ class VectorSpec extends SparkSpec {
     val perDim = out.groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(3)).sum)
     assert(perDim.values.toSet == Set(n))
   }
+
+  test("q120 iterated k-means: three driver-replicated Lloyd passes agree exactly") {
+    import spark.implicits._
+    val dim = 4
+    val vecs = (0L until 60L).map { id =>
+      val c = (id % 3).toDouble * 7.0
+      (id, Array.tabulate(dim)(j =>
+        (c + (id % 7).toDouble * 0.013 * (j + 1)).toFloat), 0)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val got = operators.VectorQueries.kmeansIterate(emb, k = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    // driver replica of seeds, rounded-distance assignment, decimal mean,
+    // and the 6-dp centroid round-trip between passes
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = vecs.map(v => v._1 -> v._2.map(_.toDouble).toSeq).toMap
+    var cents: Seq[(Long, Seq[Double])] = vecs.map(_._1)
+      .sortBy(id => (md5hex(id.toString), id)).take(3).map(id => id -> byId(id))
+    var want: Map[(Long, Int), (Double, Long)] = null
+    for (_ <- 1 to 3) {
+      val members = vecs.map { v =>
+        val vv = byId(v._1)
+        val cid = cents.map { case (cid, cv) =>
+          (r6(dot(vv, vv) - 2 * dot(vv, cv) + dot(cv, cv)), cid)
+        }.min._2
+        cid -> v._1
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      want = (for ((cid, ids) <- members.toSeq; j <- 0 until dim) yield {
+        val sumDec = ids.map(id => BigDecimal(byId(id)(j))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+        (cid, j) -> ((r6(sumDec.toDouble / ids.size), ids.size.toLong))
+      }).toMap
+      cents = members.keys.toSeq.sorted.map(cid =>
+        cid -> (0 until dim).map(j => want((cid, j))._1))
+    }
+    assert(got == want)
+  }
 }
