@@ -1575,8 +1575,70 @@ object LlmQueries {
           OR ((n5 - d5) * 1000000 // n5 > 150000) AS rep_flagged
       FROM a2 JOIN a5 ON a2.doc_id = a5.doc_id""")) { (s, dir) =>
       repetitionAudit(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q121
+    // Score-DECILE audit — the "what does each score bucket look like"
+    // sweep run before picking selection thresholds (q99) or mixture
+    // weights (q95): EXACT per-source decile boundaries of a quality
+    // score (n_chars here; swap in any per-doc numeric score), then
+    // per-(source, decile) population stats. Boundaries come from the
+    // zero-shuffle rank-selection kernel ([[StatsQueries
+    // .exactGroupPercentiles]] — bucket-count refinement, bit-equal to
+    // quantile_cont, no sort and no corpus shuffle); assignment is a
+    // MAP-ONLY `filter` HOF against per-source literal boundary arrays
+    // (rounded 6 dp on BOTH engines before comparing, so a boundary tie
+    // breaks identically); the final aggregate is ≤ sources×10 groups.
+    Q("q121_score_deciles", Some("""
+      WITH b AS (
+        SELECT source,
+          [round(quantile_cont(n_chars, 0.1), 6), round(quantile_cont(n_chars, 0.2), 6),
+           round(quantile_cont(n_chars, 0.3), 6), round(quantile_cont(n_chars, 0.4), 6),
+           round(quantile_cont(n_chars, 0.5), 6), round(quantile_cont(n_chars, 0.6), 6),
+           round(quantile_cont(n_chars, 0.7), 6), round(quantile_cont(n_chars, 0.8), 6),
+           round(quantile_cont(n_chars, 0.9), 6)] AS bs
+        FROM documents GROUP BY source)
+      SELECT d.source,
+        CAST(len(list_filter(b.bs, x -> d.n_chars > x)) AS INT) AS decile,
+        COUNT(*) AS n_docs,
+        MIN(d.n_chars) AS min_chars, MAX(d.n_chars) AS max_chars
+      FROM documents d JOIN b USING (source)
+      GROUP BY d.source, decile""")) { (s, dir) =>
+      scoreDecileAudit(Tables.t(s, dir, "documents"))
     }
   )
+
+  /** q121 kernel: exact decile boundaries per source via the
+    * shuffle-free selection kernel, then map-only decile assignment
+    * (`filter` HOF over the source's literal boundary array — a doc's
+    * decile is the number of boundaries strictly below its score) and a
+    * bounded final aggregate. Boundary rounding runs through Spark's own
+    * `round` on a local frame (the q86 fences idiom) so the literals are
+    * bit-identical to the oracle's round(quantile_cont, 6).
+    */
+  def scoreDecileAudit(docs: DataFrame): DataFrame = {
+    val ps = (1 to 9).map(_ / 10.0)
+    val pcts = StatsQueries.exactGroupPercentiles(docs, "source", "n_chars", ps)
+    val s = docs.sparkSession
+    import s.implicits._
+    val sources = pcts.keys.map(_._1).toSeq.distinct.sorted
+    val bounds = sources.flatMap(src => ps.map(p => (src, p, pcts((src, p)))))
+      .toDF("src", "p", "raw")
+      .select(col("src"), col("p"), round(col("raw"), 6).as("b"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (src, rows) =>
+        src -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+    val bArr = sources.foldLeft(lit(null).cast("array<double>")) { (acc, src) =>
+      when(col("source") === src, array(bounds(src).map(lit): _*)).otherwise(acc)
+    }
+    docs
+      .withColumn("decile",
+        size(filter(bArr, x => col("n_chars") > x)))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+  }
 
   /** q115 kernel: per-doc boilerplate-shingle audit against the corpus
     * doc-frequency table. Distinct n-token shingles per doc

@@ -79,6 +79,83 @@ object Stateful {
       }
   }
 
+  /** `tss` must be the watermarked event-time column (same contract as
+    * [[KeyedEvent]]); `h` is the content hash (xxhash64 of the normalized
+    * text upstream), `doc_id` the record identity.
+    */
+  final case class HashedDoc(h: Long, doc_id: Long, tss: java.sql.Timestamp)
+
+  /** `kind` ∈ {"keep", "expired"}: "keep" rows are the deduplicated
+    * output stream (first occurrence per hash inside the horizon);
+    * "expired" rows are per-hash observability emitted when the
+    * watermark retires a key's state — `n_dups` suppressed duplicates.
+    */
+  final case class DedupEvent(h: Long, doc_id: Long, kind: String, n_dups: Long)
+
+  final case class DedupState(first_id: Long, last_ms: Long, dups: Long)
+
+  /** STREAMING exact dedup — first-seen-only per content hash within an
+    * event-time horizon, the streaming face of q40's batch exact dedup.
+    * The Spark-first form of this operator is the one-liner
+    * [[dedupWithinWatermarkBuiltin]] (`dropDuplicatesWithinWatermark`);
+    * this explicit-state variant exists for what the built-in cannot
+    * express: per-hash SUPPRESSION COUNTS, emitted as "expired" stat rows
+    * when the watermark retires a key — the observability a production
+    * dedup stage reports (how much volume each duplicate cluster
+    * contributed), priced at the same O(1) state per key.
+    *
+    * Semantics (identical to the built-in's keep-set, spec-pinned): the
+    * first event of a hash is emitted immediately with kind "keep";
+    * later events within the horizon are suppressed and counted; once
+    * the watermark passes last_seen + horizon the state is dropped and a
+    * re-arrival is a NEW first (exact dedup at 100 TB needs a horizon —
+    * unbounded state is the alternative, and the batch operator already
+    * covers the full-corpus case). State per key: 3 longs, event-time
+    * timeout bounds the store size by the horizon's hash cardinality.
+    */
+  def dedupFirstSeen(docs: Dataset[HashedDoc], horizonMs: Long): Dataset[DedupEvent] = {
+    implicit val outEnc = Encoders.product[DedupEvent]
+    implicit val stEnc = Encoders.product[DedupState]
+    implicit val keyEnc = Encoders.scalaLong
+    docs.groupByKey(_.h)
+      .flatMapGroupsWithState[DedupState, DedupEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (h, it, state: GroupState[DedupState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(DedupEvent(h, s.first_id, "expired", s.dups))
+          } else {
+            val events = it.toSeq.sortBy(e => (e.tss.getTime, e.doc_id))
+            val out = Seq.newBuilder[DedupEvent]
+            var s = state.getOption
+            events.foreach { e =>
+              val t = e.tss.getTime
+              s = s match {
+                case None =>
+                  out += DedupEvent(h, e.doc_id, "keep", 0L)
+                  Some(DedupState(e.doc_id, t, 0L))
+                case Some(st) =>
+                  Some(DedupState(st.first_id, math.max(st.last_ms, t), st.dups + 1))
+              }
+            }
+            s.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last_ms + horizonMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** The built-in form: Spark's own watermark-horizon exact dedup. Kept
+    * as the DEFAULT path (state managed by the engine, no custom code on
+    * the hot path); [[dedupFirstSeen]] is the observability variant. The
+    * spec pins that both keep the same rows.
+    */
+  def dedupWithinWatermarkBuiltin(docs: Dataset[HashedDoc]): Dataset[HashedDoc] =
+    docs.dropDuplicatesWithinWatermark("h")
+
   /** Running per-key event count, re-emitted on every trigger that touches
     * the key — state persists across micro-batches (the property the spec
     * asserts; a stateless agg would reset between triggers).

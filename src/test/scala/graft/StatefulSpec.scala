@@ -104,4 +104,65 @@ class StatefulSpec extends SparkSpec {
       assert(hashes == Seq("a", "b", "c", "d"), s"got $hashes")
     } finally q.stop()
   }
+
+  private def startAppend[T](ds: Dataset[T], name: String) =
+    ds.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+
+  test("streaming exact dedup: first-seen kept, dups counted, horizon expiry re-admits") {
+    import graft.streaming.Stateful.{DedupEvent, HashedDoc}
+    val input = MemoryStream[HashedDoc](spark)
+    val docs = input.toDS().withWatermark("tss", "10 seconds")
+    val q = startAppend(Stateful.dedupFirstSeen(docs, horizonMs = 60000L), "dedup_t")
+    try {
+      input.addData(
+        HashedDoc(100L, 1L, ts("2024-01-01 00:00:01")),
+        HashedDoc(100L, 2L, ts("2024-01-01 00:00:02")),
+        HashedDoc(200L, 3L, ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      input.addData(HashedDoc(100L, 4L, ts("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      val keeps1 = spark.table("dedup_t").as[DedupEvent]
+        .collect().filter(_.kind == "keep").map(e => (e.h, e.doc_id)).toSet
+      // first occurrence per hash only — the same-batch dup (doc 2) and
+      // the cross-batch dup (doc 4) are both suppressed
+      assert(keeps1 == Set((100L, 1L), (200L, 3L)))
+      // watermark far past last_seen + horizon: states retire with their
+      // suppression counts
+      input.addData(HashedDoc(300L, 8L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val expired = spark.table("dedup_t").as[DedupEvent]
+        .collect().filter(_.kind == "expired").map(e => (e.h, e.n_dups)).toMap
+      assert(expired == Map(100L -> 2L, 200L -> 0L))
+      // post-expiry re-arrival is a NEW first (the horizon contract)
+      input.addData(HashedDoc(100L, 9L, ts("2024-01-01 01:00:30")))
+      q.processAllAvailable()
+      val keeps2 = spark.table("dedup_t").as[DedupEvent]
+        .collect().filter(_.kind == "keep").map(e => (e.h, e.doc_id)).toSet
+      assert(keeps2 == Set((100L, 1L), (200L, 3L), (300L, 8L), (100L, 9L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keep-set matches Spark's dropDuplicatesWithinWatermark") {
+    import graft.streaming.Stateful.{DedupEvent, HashedDoc}
+    val input = MemoryStream[HashedDoc](spark)
+    def watermarked = input.toDS().withWatermark("tss", "10 seconds")
+    val qc = startAppend(Stateful.dedupFirstSeen(watermarked, horizonMs = 60000L), "dedup_c")
+    val qb = startAppend(Stateful.dedupWithinWatermarkBuiltin(watermarked), "dedup_b")
+    try {
+      input.addData(
+        HashedDoc(100L, 1L, ts("2024-01-01 00:00:01")),
+        HashedDoc(100L, 2L, ts("2024-01-01 00:00:02")),
+        HashedDoc(200L, 3L, ts("2024-01-01 00:00:01")))
+      qc.processAllAvailable(); qb.processAllAvailable()
+      input.addData(HashedDoc(100L, 4L, ts("2024-01-01 00:00:03")))
+      qc.processAllAvailable(); qb.processAllAvailable()
+      val custom = spark.table("dedup_c").as[DedupEvent]
+        .collect().filter(_.kind == "keep").map(e => (e.h, e.doc_id)).toSet
+      val builtin = spark.table("dedup_b").as[HashedDoc]
+        .collect().map(e => (e.h, e.doc_id)).toSet
+      assert(custom == builtin)
+      assert(custom == Set((100L, 1L), (200L, 3L)))
+    } finally { qc.stop(); qb.stop() }
+  }
 }

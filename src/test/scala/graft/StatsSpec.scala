@@ -189,4 +189,23 @@ class StatsSpec extends SparkSpec {
     val nonZero = df.where(col("cnt") > 0).count()
     assert(nonZero == observed)
   }
+
+  test("q121 decile audit: uniform corpus balances deciles, boundary ties go low") {
+    import spark.implicits._
+    val docs = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 40).map(i => ("b", (i * 3).toLong)))
+      .toDF("source", "n_chars")
+    val got = operators.LlmQueries.scoreDecileAudit(docs)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // source a = 1..100: every decile holds exactly 10 docs, and the
+    // interpolated boundaries (10.9, 20.8, ...) split [1,100] cleanly
+    for (d <- 0 to 9) {
+      val (n, lo, hi) = got(("a", d))
+      assert(n == 10L, s"decile $d holds $n")
+      assert(lo == d * 10 + 1L && hi == d * 10 + 10L, s"decile $d range [$lo,$hi]")
+    }
+    // source b groups 40 docs into 10 deciles of 4 — per-source boundaries
+    assert((0 to 9).forall(d => got(("b", d))._1 == 4L))
+  }
 }
