@@ -336,8 +336,111 @@ object VectorQueries {
       FROM asg3, range(0, 64) t(i) GROUP BY c_id, i""")) { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       kmeansIterate(Tables.t(s, dir, "embeddings"), k = 8, iters = 3)
+    },
+
+    // --------------------------------------------------------------- Q122
+    // Embedding OUTLIER scrub — distance-to-own-centroid z-score per
+    // label, the embedding-space data-QA sweep (mislabeled / corrupted /
+    // off-manifold vectors sit far from their cluster's centroid; the
+    // 2σ Tukey-style fence marks them for review before training). Per
+    // label: exact decimal-routed centroid (q77 arithmetic), each
+    // vector's rounded d² to its OWN centroid (map-only — label-bounded
+    // literal centroid arrays, codegen'd graft_vector_dot), exact
+    // decimal moment sums of d² (the q70 idiom: per-row products in
+    // IEEE double, aggregation in DECIMAL so the parallel sum is
+    // order-free), then mean/σ/fence evaluated with IDENTICAL double
+    // expression text on both engines. Output is one row per label —
+    // counts, moments, outlier count, max. 100 TB posture: two map-only
+    // scans (stats, then fence counts against broadcast thresholds) and
+    // label-bounded aggregates; nothing corpus-sized shuffles.
+    Q("q122_embed_outliers", Some("""
+      WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT label, i,
+          round(CAST(SUM(CAST(v[i + 1] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS c
+        FROM base, range(0, 64) t(i) GROUP BY label, i),
+      cl AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+      d AS (SELECT b.vec_id, b.label,
+          round(list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, cl.cv)
+                + list_dot_product(cl.cv, cl.cv), 6) AS d2
+        FROM base b JOIN cl USING (label)),
+      m AS (SELECT label, COUNT(*) AS n,
+          CAST(SUM(CAST(d2 AS DECIMAL(28,10))) AS DOUBLE) AS sd_,
+          CAST(SUM(CAST(d2 * d2 AS DECIMAL(28,10))) AS DOUBLE) AS sdd
+        FROM d GROUP BY label)
+      SELECT d.label, m.n AS n_vectors,
+        round(m.sd_ / m.n, 6) AS mean_d2,
+        round(sqrt(greatest(m.sdd / m.n - (m.sd_ / m.n) * (m.sd_ / m.n), 0.0)), 6) AS sd_d2,
+        CAST(SUM(CASE WHEN d.d2 > m.sd_ / m.n
+              + 2 * sqrt(greatest(m.sdd / m.n - (m.sd_ / m.n) * (m.sd_ / m.n), 0.0))
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        round(MAX(d.d2), 6) AS max_d2
+      FROM d JOIN m USING (label)
+      GROUP BY d.label, m.n, m.sd_, m.sdd""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      embedOutliers(Tables.t(s, dir, "embeddings"))
     }
   )
+
+  /** q122 kernel: per-label centroid (collected — labels are bounded),
+    * map-only own-centroid d², exact decimal moment sums, fence counts
+    * in a second map-only pass against thresholds evaluated with the
+    * oracle's exact double expression text (a local frame, the q86
+    * fences idiom). Returns one row per label.
+    */
+  def embedOutliers(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    graft.plans.GraftExtensions.register(s)
+    import s.implicits._
+    val base = emb.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+    val cents = base
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(round(sum(col("x").cast(DecimalType(18, 9))).cast("double") /
+        count(lit(1)), 6).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (l, rows) =>
+        l -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+    val labels = cents.keys.toSeq.sorted
+    def arrLit(cv: Seq[Double]): String =
+      "array(" + cv.map(x => s"${x}D").mkString(", ") + ")"
+    val ccs = s.range(1).select(labels.map { l =>
+      expr(s"graft_vector_dot(${arrLit(cents(l))}, ${arrLit(cents(l))})").as(s"cc$l")
+    }: _*).head()
+    val d2Col = labels.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (l, i)) =>
+      when(col("label") === l,
+        round(expr("graft_vector_dot(v, v)")
+          - lit(2.0) * expr(s"graft_vector_dot(v, ${arrLit(cents(l))})")
+          + lit(ccs.getDouble(i)), 6)).otherwise(acc)
+    }
+    val d = base.withColumn("d2", d2Col)
+    val stats = d.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(d2 AS DECIMAL(28,10))) AS DOUBLE)").as("sd_"),
+        expr("CAST(SUM(CAST(d2 * d2 AS DECIMAL(28,10))) AS DOUBLE)").as("sdd"))
+      // fence evaluated ON A LOCAL FRAME with the oracle's expression text
+      .selectExpr("label", "n", "sd_", "sdd",
+        """sd_ / n + 2 * sqrt(greatest(sdd / n - (sd_ / n) * (sd_ / n), 0.0))
+           AS thr""")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val thrCol = stats.foldLeft(lit(Double.NaN)) { case (acc, (l, _, _, _, thr)) =>
+      when(col("label") === l, lit(thr)).otherwise(acc)
+    }
+    val fences = d
+      .groupBy("label")
+      .agg(sum(when(col("d2") > thrCol, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("d2")), 6).as("max_d2"))
+    val statsDf = stats.toSeq.map { case (l, n, sd_, sdd, _) => (l, n, sd_, sdd) }
+      .toDF("label", "n", "sd_", "sdd")
+      .selectExpr("label", "n AS n_vectors",
+        "round(sd_ / n, 6) AS mean_d2",
+        "round(sqrt(greatest(sdd / n - (sd_ / n) * (sd_ / n), 0.0)), 6) AS sd_d2")
+    statsDf.join(fences, "label")
+      .select(col("label"), col("n_vectors"), col("mean_d2"), col("sd_d2"),
+        col("n_outliers"), col("max_d2"))
+  }
 
   /** One oracle-side Lloyd assignment pass: nearest centroid by the
     * rounded-distance + c_id tie-break (the q45 contract arithmetic).

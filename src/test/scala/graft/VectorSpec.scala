@@ -326,4 +326,25 @@ class VectorSpec extends SparkSpec {
     }
     assert(got == want)
   }
+
+  test("q122 embedding outliers: planted far vector flagged, tight cluster clean") {
+    import spark.implicits._
+    // label 0: 40 tight vectors + ONE far outlier; label 1: uniform ring
+    // (no point beyond mean + 2 sigma) — the fence must flag exactly the plant
+    val vecs =
+      (0L until 40L).map(id => (id, Array.tabulate(4)(j =>
+        ((id % 5).toDouble * 0.01 + j * 0.001).toFloat), 0)) ++
+      Seq((99L, Array.tabulate(4)(_ => 50.0f), 0)) ++
+      (100L until 120L).map(id => (id, Array.tabulate(4)(j =>
+        (if ((id + j) % 2 == 0) 1.0f else -1.0f)), 1))
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val got = operators.VectorQueries.embedOutliers(emb)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    val (n0, mean0, sd0, out0, max0) = got(0)
+    assert(n0 == 41L && out0 == 1L, s"label 0: n=$n0 outliers=$out0")
+    assert(max0 > mean0 + 2 * sd0, "plant must sit beyond the fence")
+    val (n1, _, _, out1, _) = got(1)
+    assert(n1 == 20L && out1 == 0L, s"label 1: n=$n1 outliers=$out1")
+  }
 }
