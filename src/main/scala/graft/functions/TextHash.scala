@@ -164,6 +164,43 @@ object TextHash {
     }
   }
 
+  /** q118's per-doc gram statistics in ONE token pass: (n2, top2, n5, d5)
+    * = (bigram occurrences, max single-bigram multiplicity, 5-gram
+    * occurrences, distinct 5-grams), over whitespace tokens with the same
+    * split semantics as Spark `split(text, ' ')` / DuckDB string_split
+    * (empty tokens from doubled spaces are REAL tokens on both engines,
+    * so they are real here too). Exact string-keyed counting — no hash
+    * collision channel — in tight JVM maps; returns null for docs under
+    * 5 tokens (no 5-gram stream; the fractions would be degenerate).
+    * Replaces an interpreted array_sort + aggregate-HOF chain that paid
+    * per-ELEMENT virtual-call overhead; this is one virtual call per ROW.
+    */
+  def gramStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val L = toks.length
+    if (L < 5) return null
+    val big = new java.util.HashMap[String, Int](L * 2)
+    var top2 = 0L
+    var i = 0
+    while (i < L - 1) {
+      val key = toks(i) + " " + toks(i + 1)
+      val c = big.merge(key, 1, (a, b) => a + b)
+      if (c > top2) top2 = c
+      i += 1
+    }
+    val five = new java.util.HashSet[String](L * 2)
+    i = 0
+    while (i < L - 4) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < 5) { sb.append(' ').append(toks(i + j)); j += 1 }
+      five.add(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((L - 1).toLong, top2, (L - 4).toLong, five.size.toLong))
+  }
+
   /** Hamming distance between two equal-length bit strings ('0'/'1' chars)
     * — counts differing positions; the oracle mirror is a per-position
     * substr compare sum. Runs only on candidate pairs (post-bucket-join),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the two hot byte-level kernels, plus the
@@ -343,6 +343,37 @@ final case class CmsEstimate(sketch: Expression, child: Expression)
 /** Injector: `SparkSession.builder.withExtensions(new GraftExtensions)` at
   * session build time, or [[GraftExtensions.register]] on a live session.
   */
+/** `graft_gram_stats(string) → struct<n2,top2,n5,d5>`: q118's per-doc
+  * repetition statistics in one token pass (kernel + split contract in
+  * [[graft.functions.TextHash.gramStats]]); null for docs under 5 tokens.
+  * Not codegen'd beyond the call (the kernel IS the work — one virtual
+  * call per row, unlike the per-element HOF chain it replaced).
+  */
+final case class GramStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n2", LongType, nullable = false),
+    StructField("top2", LongType, nullable = false),
+    StructField("n5", LongType, nullable = false),
+    StructField("d5", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gram_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHash.gramStats(input.asInstanceOf[UTF8String])
+  // defineCodeGen assumes a non-null result for a non-null input; this
+  // kernel returns null for short docs, so the generated code must flip
+  // isNull itself or downstream struct reads NPE
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHash.gramStats($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): GramStats =
+    copy(child = newChild)
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     GraftExtensions.functions.foreach { case (name, info, builder) =>
@@ -393,6 +424,9 @@ object GraftExtensions {
         require(args.length == 2, "graft_bloom_contains takes exactly 2 arguments")
         BloomContains(args(0), args(1))
       }),
+    ("graft_gram_stats",
+      new ExpressionInfo(classOf[GramStats].getName, "graft_gram_stats"),
+      (args: Seq[Expression]) => GramStats(one(args, "graft_gram_stats"))),
     ("graft_cms_estimate",
       new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
       (args: Seq[Expression]) => {

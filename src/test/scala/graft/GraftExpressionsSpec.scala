@@ -189,4 +189,28 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(ZlibOps.inflateOrRaw(deflated).toSeq == payload.toSeq)
     assert(ZlibOps.inflateOrRaw(payload).toSeq == payload.toSeq) // not zlib → raw
   }
+
+  test("graft_gram_stats: one-pass gram statistics, empty-token fidelity, null for short docs") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // doubled space => an EMPTY token, a real token on both engines'
+    // split semantics; the kernel must count it like any other
+    val rows = Seq(
+      (1L, "a b a b a b a b a b"),          // "a b" x5 in 9 bigrams
+      (2L, "u v  u v w"),                   // tokens: u,v,"",u,v,w (6)
+      (3L, "x y z w"),                      // 4 tokens -> null
+      (4L, (1 to 30).map(i => s"t$i").mkString(" ")))
+    val got = rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "graft_gram_stats(text) AS gs")
+      .selectExpr("doc_id", "gs.n2", "gs.top2", "gs.n5", "gs.d5")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((9L, 5L, 6L, 2L)))
+    // doc 2 bigrams: "u v","v ",""+"u"... : ("u","v"),("v",""),("","u"),("u","v"),("v","w")
+    // -> n2=5, top2=2 ("u v" twice); 5-grams: 2 occurrences, both distinct
+    assert(got(2L) == ((5L, 2L, 2L, 2L)))
+    assert(got(3L) == null)
+    assert(got(4L) == ((29L, 1L, 26L, 26L)))
+  }
 }
