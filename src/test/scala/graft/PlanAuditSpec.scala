@@ -267,4 +267,29 @@ class PlanAuditSpec extends SparkSpec {
     val read = p.replaceAll("(?s).*FileScan parquet \\[([^\\]]*)\\].*", "$1")
     assert(!read.contains("text"), s"scan must prune text: $read")
   }
+
+  test("q118 repetition audit is a single map-only pass: native kernel, no exchange") {
+    val p = plan("q118_repetition_audit")
+    assert(p.contains("graft_gram_stats"), s"native kernel missing:\n$p")
+    assert(!p.contains("Exchange"), s"per-doc gram stats must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"no gram explode may remain:\n$p")
+  }
+
+  test("q119/q120 k-means assignment is map-only: no join, one centroid-update exchange") {
+    for (q <- Seq("q119_kmeans_step", "q120_kmeans_iterate")) {
+      val all = executed(q)
+      assert(!all.exists(_.nodeName.contains("Join")),
+        s"$q assignment must not join (literal centroids)")
+      val exchanges = all.count(_.nodeName.contains("Exchange"))
+      assert(exchanges <= 1, s"$q: expected only the kxdim-group update exchange, got $exchanges")
+    }
+  }
+
+  test("q121 decile assignment plans no window and no corpus-sized join") {
+    val all = executed("q121_score_deciles")
+    assert(!all.exists(_.nodeName.contains("Window")),
+      "decile assignment must be the literal-boundary filter HOF, not a window rank")
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
+      "no corpus-sized join may appear")
+  }
 }
