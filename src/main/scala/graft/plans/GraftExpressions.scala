@@ -133,19 +133,22 @@ object VectorDot {
   }
 }
 
-/** `graft_minhash16(string) → array<string>`: 16-permutation MinHash
-  * signature over the text's 3-token shingles (kernel + oracle contract in
-  * [[graft.functions.TextHash.minhashArray]]). A native expression rather
-  * than a ScalaUDF so the whole q41/q42/q83 signature scan stays inside one
-  * WholeStageCodegen span — no closure dispatch, no WrappedArray encoder
-  * boundary, and the tokenize/shingle steps fuse into the kernel instead of
-  * running as interpreted HOF lambdas in the plan.
+/** `graft_minhash16(string) → array<bigint>`: 16-permutation MinHash
+  * signature over the text's 3-token shingles — one md5 per shingle + 16
+  * linear permutations mod 2^61−1 (kernel + oracle contract in
+  * [[graft.functions.TextHash.minhashArray]]; the r13 family paid 16 md5
+  * digests per shingle, the measured dominant cost of the LSH suite). A
+  * native expression rather than a ScalaUDF so the whole q41/q42/q83
+  * signature scan stays inside one WholeStageCodegen span — no closure
+  * dispatch, no WrappedArray encoder boundary, and the tokenize/shingle
+  * steps fuse into the kernel instead of running as interpreted HOF
+  * lambdas in the plan.
   */
 final case class MinHash16(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
-  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_minhash16"
   override protected def nullSafeEval(input: Any): Any =
     graft.functions.TextHash.minhashArray(input.asInstanceOf[UTF8String])

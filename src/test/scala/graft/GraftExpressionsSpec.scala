@@ -126,12 +126,21 @@ class GraftExpressionsSpec extends SparkSpec {
     text.split(" ", -1).toSeq.sliding(n).filter(_.length == n)
       .map(_.mkString(" ")).toSeq.distinct
 
-  private def refMinhash16(text: String): Seq[String] = {
+  // independent BigInt formulation of the single-hash + linear-permutation
+  // family — no Mersenne folding, so it cross-validates the kernel's
+  // 128-bit fold arithmetic, not just its tokenization
+  private def refMinhash16(text: String): Seq[Any] = {
+    val P = BigInt(2).pow(61) - 1
     val sh = text.split(" ", -1).toSeq.sliding(3).filter(_.length == 3)
       .map(_.mkString(" ")).toSeq
+    val hs = sh.map(s => BigInt(md5hex(s).take(16), 16) mod P)
     (0 until 16).map { i =>
-      if (sh.isEmpty) null
-      else sh.map(s => md5hex(s"$i:$s").take(8)).min
+      if (hs.isEmpty) null
+      else {
+        val a = BigInt(graft.functions.TextHash.MinHashA(i))
+        val b = BigInt(graft.functions.TextHash.MinHashB(i))
+        hs.map(h => ((a * h + b) mod P).toLong).min
+      }
     }
   }
 
@@ -171,7 +180,7 @@ class GraftExpressionsSpec extends SparkSpec {
         val r = out(i)
         r.getSeq[String](1) == refShingles(t, 3) &&
           r.getSeq[String](2) == refShingles(t, 5) &&
-          r.getSeq[String](3) == refMinhash16(t) &&
+          r.getSeq[Any](3) == refMinhash16(t) &&
           r.getString(4) == refSimhash64(t)
       }
     }
