@@ -223,7 +223,10 @@ object TextHash {
     val toks = text.toString.split(" ", -1)
     val L = toks.length
     if (L < 5) return null
-    val big = new java.util.HashMap[String, Int](L * 2)
+    // clamp the hint: L*2 overflows Int (negative capacity → IAE) for a
+    // pathological ~2^30-token document; the maps grow past the hint fine
+    val cap = math.min(L.toLong * 2, 1L << 30).toInt
+    val big = new java.util.HashMap[String, Int](cap)
     var top2 = 0L
     var i = 0
     while (i < L - 1) {
@@ -232,7 +235,7 @@ object TextHash {
       if (c > top2) top2 = c
       i += 1
     }
-    val five = new java.util.HashSet[String](L * 2)
+    val five = new java.util.HashSet[String](cap)
     i = 0
     while (i < L - 4) {
       val sb = new java.lang.StringBuilder(toks(i))

@@ -2184,7 +2184,11 @@ object LlmQueries {
     */
   def labelPropagation(docs: DataFrame, edgesIn: DataFrame,
       broadcastChaseBelow: Long = 2000000L,
-      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+      checkpointDir: Option[String] = None,
+      // per-round observability hook: (round, frontierN, deltaN) as the
+      // loop saw them — lets specs pin the observed sizes against
+      // recomputed counts in BOTH truncate modes (ADVICE r13)
+      roundStats: (Int, Long, Long) => Unit = (_, _, _) => ()): (DataFrame, Int) = {
     val session = docs.sparkSession
     // lineage hygiene: each round references the merged delta from both
     // sides of the pointer join, so the logical plan grows geometrically
@@ -2316,26 +2320,44 @@ object LlmQueries {
       // frontier + delta sizes ride the checkpoint job as observed
       // metrics: CollectMetrics is a streaming pass-through over the rows
       // the checkpoint materializes anyway, and `obs.get` blocks only
-      // until that action's listener fires (verified: eager
-      // localCheckpoint and reliable checkpoint both run through
-      // Dataset.withAction, which notifies the observation)
-      val obs = Observation(s"cc_round_$round")
-      val observed = chased.observe(obs,
-        sum(col("chg").cast("long")).as("chg_n"),
-        count(lit(1)).as("delta_n"))
-      val next = ptime(s"round $round truncate+observe")(truncate(observed))
-      val metrics = obs.get
-      frontierN = metrics.get("chg_n") match {
-        case Some(l: java.lang.Long) => l.longValue // null sum = empty round
-        case _ => 0L
+      // until that action's listener fires. LOCAL mode only: a reliable
+      // df.checkpoint() runs the plan once for the materializing action
+      // and AGAIN for the checkpoint-write job, so the CollectMetrics
+      // accumulator would receive every row twice (~2× chg_n/delta_n —
+      // ADVICE r13; loop termination survives 2×0=0, but the sizes feed
+      // the broadcast-threshold decisions and roundStats). In checkpointDir
+      // mode read the sizes from the checkpointed result instead: one
+      // extra DELTA-sized job per round, in the mode already paying a DFS
+      // write per round — and no observe node at all, so no listener is
+      // left registered by an obs.get that never ran.
+      if (checkpointDir.isDefined) {
+        val next = ptime(s"round $round truncate")(truncate(chased))
+        val r = next.agg(sum(col("chg").cast("long")), count(lit(1))).head()
+        frontierN = if (r.isNullAt(0)) 0L else r.getLong(0)
+        deltaN = r.getLong(1)
+        merged.unpersist()
+        delta = next.select("doc_id", "canonical")
+        frontier = next.filter(col("chg")).select("doc_id", "canonical")
+      } else {
+        val obs = Observation(s"cc_round_$round")
+        val observed = chased.observe(obs,
+          sum(col("chg").cast("long")).as("chg_n"),
+          count(lit(1)).as("delta_n"))
+        val next = ptime(s"round $round truncate+observe")(truncate(observed))
+        val metrics = obs.get
+        frontierN = metrics.get("chg_n") match {
+          case Some(l: java.lang.Long) => l.longValue // null sum = empty round
+          case _ => 0L
+        }
+        deltaN = metrics.get("delta_n") match {
+          case Some(l: java.lang.Long) => l.longValue
+          case _ => 0L
+        }
+        merged.unpersist()
+        delta = next.select("doc_id", "canonical")
+        frontier = next.filter(col("chg")).select("doc_id", "canonical")
       }
-      deltaN = metrics.get("delta_n") match {
-        case Some(l: java.lang.Long) => l.longValue
-        case _ => 0L
-      }
-      merged.unpersist()
-      delta = next.select("doc_id", "canonical")
-      frontier = next.filter(col("chg")).select("doc_id", "canonical")
+      roundStats(round, frontierN, deltaN)
     }
     // ONE corpus-sized pass, after the loop converged: expand the sparse
     // delta over the full doc list. The delta row count is known-small

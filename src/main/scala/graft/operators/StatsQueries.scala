@@ -146,6 +146,7 @@ object StatsQueries {
 
   private val RankB = 8192              // bucket fan-out per refinement level
   private val RankCollectCap = 262144L  // max bracket rows fetched to the driver
+  private val RankMaxLevels = 8         // refinement budget before the sort fallback
 
   /** Monotone bucket index of `x` under the linear map [lo, hi] → [0, B):
     * deterministic executor-side double arithmetic, clamped at both ends
@@ -173,8 +174,12 @@ object StatsQueries {
     * (plus its range-sampling pass) with two or three cheap scans of a
     * cached narrow projection; convergence is geometric (a bracket that
     * stays on one bucket re-maps over that bucket's observed [min, max],
-    * ≥ 8192× tighter per level), so the level-8 guard is unreachable for
-    * any finite double range. Three resolutions never fetch a row at
+    * ≥ 8192× tighter per level) — in the VALUE domain. Double density is
+    * logarithmic, so a log-uniform bracket spanning hundreds of decades
+    * can shed rows slower than the range shrinks; after [[RankMaxLevels]]
+    * levels any still-oversized bracket falls back to a range-partitioned
+    * sort of that bracket's rows alone (not the corpus — the path filter
+    * precedes the exchange). Three resolutions never fetch a row at
     * all: a bracket whose min = max IS the value; a rank that is the
     * first/last of its bucket reads the bucket's min/max aggregate.
     *
@@ -209,7 +214,27 @@ object StatsQueries {
     var level = 0
     while (active.nonEmpty) {
       level += 1
-      require(level <= 8, s"rank selection failed to converge: $active")
+      if (level > RankMaxLevels) {
+        // Convergence fallback (ADVICE r13): linear bucketing narrows the
+        // VALUE range 8192× per level, but representable-double density is
+        // logarithmic — a log-uniform bracket spanning hundreds of decades
+        // sheds only ~log10(8192) decades of rows per level, so a
+        // > RankCollectCap bracket can legitimately outlive the level
+        // budget. Resolve the stragglers with the r12 shape — a range-
+        // partitioned sort — but scoped to the STUCK BRACKET's rows only
+        // (the path filter runs before the exchange), not the corpus: the
+        // pathological tail pays one bounded shuffle instead of failing,
+        // and every normal distribution still never sorts anything.
+        active.foreach { bk =>
+          val want = bk.ranks.map(_ - bk.base).toSet
+          val got = data.filter(col("g") === bk.g && pathCond(bk))
+            .select(col("x")).sort("x").as[Double].rdd
+            .zipWithIndex().filter { case (_, i) => want.contains(i) }
+            .collect().map { case (v, i) => i -> v }.toMap
+          bk.ranks.foreach(r => picked += ((bk.g, r) -> got(r - bk.base)))
+        }
+        active = Nil
+      } else {
       // brackets are pairwise disjoint row sets (siblings split on
       // different bucket indices of a shared path prefix), so the CASE
       // chain assigns each row at most one bracket id
@@ -254,6 +279,7 @@ object StatsQueries {
         }
       }
       active = nextActive.toList
+      }
     }
     if (toFetch.nonEmpty) {
       // one fetch job for every collect-sized bracket (depths may

@@ -104,13 +104,19 @@ object Stateful {
     * dedup stage reports (how much volume each duplicate cluster
     * contributed), priced at the same O(1) state per key.
     *
-    * Semantics (identical to the built-in's keep-set, spec-pinned): the
-    * first event of a hash is emitted immediately with kind "keep";
-    * later events within the horizon are suppressed and counted; once
-    * the watermark passes last_seen + horizon the state is dropped and a
-    * re-arrival is a NEW first (exact dedup at 100 TB needs a horizon —
-    * unbounded state is the alternative, and the batch operator already
-    * covers the full-corpus case). State per key: 3 longs, event-time
+    * Semantics: the first event of a hash is emitted immediately with
+    * kind "keep"; later events within the horizon are suppressed and
+    * counted; once the watermark passes last_seen + horizon the state is
+    * dropped and a re-arrival is a NEW first (exact dedup at 100 TB
+    * needs a horizon — unbounded state is the alternative, and the batch
+    * operator already covers the full-corpus case). The KEPT-HASH SET is
+    * identical to the built-in's (spec-pinned); WHICH row represents a
+    * hash can differ when one micro-batch carries out-of-timestamp-order
+    * events: this operator deterministically keeps the min-(event_time,
+    * doc_id) row of the batch, while `dropDuplicatesWithinWatermark`
+    * keeps the arrival-order first — a deliberate choice, since a
+    * deterministic keeper is replayable across micro-batch re-executions
+    * and arrival order is not. State per key: 3 longs, event-time
     * timeout bounds the store size by the horizon's hash cardinality.
     */
   def dedupFirstSeen(docs: Dataset[HashedDoc], horizonMs: Long): Dataset[DedupEvent] = {

@@ -199,15 +199,29 @@ class DedupSpec extends SparkSpec {
     // durability: labels and round counts identical on a chain.
     val (docs, edges) = chainGraph(32)
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    val (lb, rb) = operators.LlmQueries.labelPropagation(docs, edges)
+    val statsLocal = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long)]
+    val statsRel = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long)]
+    val (lb, rb) = operators.LlmQueries.labelPropagation(docs, edges,
+      roundStats = (r, f, d) => statsLocal += ((r, f, d)))
     val (lc, rc) = operators.LlmQueries.labelPropagation(docs, edges,
-      checkpointDir = Some(dir))
+      checkpointDir = Some(dir),
+      roundStats = (r, f, d) => statsRel += ((r, f, d)))
     assert(rb == rc, s"rounds differ local=$rb reliable=$rc")
     val mb = lb.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val mc = lc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(mb == mc, "labels differ between checkpoint modes")
     assert(new java.io.File(dir).listFiles.nonEmpty,
       "reliable mode must actually write checkpoint files")
+    // ADVICE r13: reliable df.checkpoint() re-runs the plan for the
+    // checkpoint-write job, so riding CollectMetrics through it double-
+    // counted (~2x frontierN/deltaN). Reliable mode now recomputes the
+    // sizes from the checkpointed result (ground truth by construction);
+    // local mode keeps the observe. The loops are deterministic, so the
+    // per-round sizes must agree EXACTLY between modes — a resurfaced 2x
+    // channel on either side fails this immediately.
+    assert(statsLocal.toList == statsRel.toList,
+      s"per-round (frontierN, deltaN) diverged:\n local=$statsLocal\n rel=$statsRel")
+    assert(statsLocal.last._2 == 0L, "final round must observe an empty change-set")
   }
 
   test("q113 Bloom pre-filter reproduces q92's exact rows and actually filters") {

@@ -110,4 +110,22 @@ class ExactPercentileSpec extends SparkSpec {
     for (k <- want.keySet)
       assert(got(k) == want(k), s"$k: got ${got(k)} want ${want(k)}")
   }
+
+  test("log-uniform 300-decade distribution resolves via the sort fallback, bit-equal to builtin") {
+    // ADVICE r13: linear bucketing shrinks the VALUE range 8192× per
+    // level, but this stream is log-uniform over ~300 decades — each
+    // level sheds only ~log10(8192) ≈ 3.9 decades of rows, so the
+    // median's bracket still holds far more than RankCollectCap rows when
+    // the level budget runs out (the r13 require() threw here). 400k rows
+    // at x_i = 10^(-300·i/n) forces exactly that regime; the bracket-
+    // scoped sort fallback must resolve it to the builtin's exact bits.
+    val n = 400000
+    val df = spark.range(n).selectExpr("'a' AS g",
+      s"power(10.0, -300.0 * CAST(id AS DOUBLE) / $n) AS v")
+    val got = operators.StatsQueries.exactGroupPercentiles(df, "g", "v", ps)
+    val want = builtin(df, "g", "v")
+    assert(got.keySet == want.keySet)
+    for (k <- want.keySet)
+      assert(got(k) == want(k), s"$k: got ${got(k)} want ${want(k)}")
+  }
 }

@@ -165,4 +165,28 @@ class StatefulSpec extends SparkSpec {
       assert(custom == Set((100L, 1L), (200L, 3L)))
     } finally { qc.stop(); qb.stop() }
   }
+
+  test("streaming dedup: out-of-order batch keeps the min-(event_time, doc_id) row deterministically") {
+    import graft.streaming.Stateful.{DedupEvent, HashedDoc}
+    // ADVICE r13: when ONE micro-batch carries out-of-timestamp-order
+    // events, the kept ROW diverges from dropDuplicatesWithinWatermark
+    // (arrival-order first) by design — this operator keeps the
+    // min-(event_time, doc_id) row, which is replayable across
+    // micro-batch re-executions. Pin the deterministic choice: doc 7
+    // ARRIVES first but doc 5 has the earlier event time and wins.
+    val input = MemoryStream[HashedDoc](spark)
+    val docs = input.toDS().withWatermark("tss", "10 seconds")
+    val q = startAppend(Stateful.dedupFirstSeen(docs, horizonMs = 60000L), "dedup_o")
+    try {
+      input.addData(
+        HashedDoc(100L, 7L, ts("2024-01-01 00:00:05")),
+        HashedDoc(100L, 5L, ts("2024-01-01 00:00:01")),
+        HashedDoc(100L, 6L, ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      val keeps = spark.table("dedup_o").as[DedupEvent]
+        .collect().filter(_.kind == "keep").map(e => (e.h, e.doc_id)).toSet
+      // earliest event time wins; the doc_id tie at 00:00:01 breaks low
+      assert(keeps == Set((100L, 5L)))
+    } finally q.stop()
+  }
 }
