@@ -89,6 +89,27 @@ object ScaleData {
               s -> s.w)"""), " "))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
+  /** Fraction-level boilerplate plant (round 14): every [[FooterEvery]]-th
+    * doc of EVERY replica (the mutate hook runs before the key shift, so
+    * the pattern keys on the ORIGINAL doc_id and is replica-stable by
+    * construction) carries the same fixed 6-token footer. docfreq = corpus/400 = 0.25% at any factor —
+    * comfortably above q115's 0.1% docfreq-FRACTION threshold — so the
+    * fraction mode's frequent set is NON-EMPTY and scale-stable: exactly
+    * the footer's 2 interior 5-grams survive at every scale (boundary
+    * shingles are doc-specific, chance collisions still fall OUT as the
+    * threshold rises with the corpus). Before this plant the knob's
+    * non-empty join path was measured against an empty set at every scale
+    * (VERDICT r13) — the curve recorded a vacuous 0, not a working knob.
+    */
+  private val FooterEvery = 400
+  private val Footer = "standard graft footer applies terms apply"
+
+  private def plantFooter(d: DataFrame): DataFrame =
+    d.withColumn("text",
+        when(pmod(col("doc_id"), lit(FooterEvery)) === 0,
+          concat(col("text"), lit(" " + Footer))).otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
   /** Replica i>0: fresh pseudo-random unit-range vector per (vec_id, i). */
   private def freshEmbedding(d: DataFrame, i: Int): DataFrame =
     if (i == 0) d
@@ -102,7 +123,8 @@ object ScaleData {
     val df = Tables.t(spark, src, name)
     name match {
       case "region" | "nation" => df
-      case "documents" => replicate(df, factor, shuffleDoc)
+      case "documents" =>
+        replicate(df, factor, (d, i) => plantFooter(shuffleDoc(d, i)))
       case "embeddings" => replicate(df, factor, freshEmbedding)
       case _ => replicate(df, factor)
     }

@@ -378,6 +378,65 @@ object VectorQueries {
       GROUP BY d.label, m.n, m.sd_, m.sdd""")) { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       embedOutliers(Tables.t(s, dir, "embeddings"))
+    },
+
+    // --------------------------------------------------------------- Q123
+    // k-means-clustered SemDeDup — the published pipeline shape (cluster
+    // with k-means, THEN dedup within clusters), composing q120's
+    // iterated assignment with q117's quality-aware keep: the k-means
+    // partition replaces q116's hyperplane LSH as the candidate
+    // generator, pairs verify by exact cosine >= 0.9, semantic groups
+    // close transitively, and each group keeps its highest-quality
+    // member. Runs over the same planted two-arm variant corpus as
+    // q116/q117, so the planted near-dups are known-findable: a variant
+    // differs from its original in one zeroed dimension, lands in the
+    // same k-means cell (nearest-centroid is robust to a 1-dim
+    // perturbation), and cosine ~0.99 passes the gate. See
+    // [[kmeansSemDedup]] for the plan-shape / 100 TB discussion. The
+    // oracle unrolls the identical 3 Lloyd passes as chained CTEs
+    // (q120's kmAsgSql/kmCentSql/kmListSql helpers), then the same
+    // within-cell pair join, recursive closure, and argmax tail as q117.
+    Q("q123_kmeans_semdedup", Some(s"""
+      WITH RECURSIVE base AS ($semBaseSql),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      seeds AS (SELECT vec_id AS c_id, v AS cv FROM base
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      ${kmAsgSql("base", "seeds", "asg1")},
+      ${kmCentSql("asg1", "cent1")},
+      ${kmListSql("cent1", "cl1")},
+      ${kmAsgSql("base", "cl1", "asg2")},
+      ${kmCentSql("asg2", "cent2")},
+      ${kmListSql("cent2", "cl2")},
+      ${kmAsgSql("base", "cl2", "asg3")},
+      sims AS (
+        SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+        FROM asg3 a JOIN asg3 b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        JOIN n na ON a.vec_id = na.vec_id JOIN n nb ON b.vec_id = nb.vec_id
+        WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) >= 0.9),
+      edges AS (SELECT vec_id1 AS src, vec_id2 AS dst FROM sims
+                UNION SELECT vec_id2, vec_id1 FROM sims),
+      reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM base
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cc AS (SELECT src AS vec_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+      qual AS (SELECT vec_id,
+                 CAST(floor(sqrt(CAST(list_sum(list_transform(v,
+                   x -> CAST(x * x AS DECIMAL(26,12)))) AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS quality
+               FROM base),
+      m AS (SELECT cc.vec_id, cc.canonical, qual.quality, asg3.c_id
+            FROM cc JOIN qual USING (vec_id) JOIN asg3 USING (vec_id)),
+      mx AS (SELECT canonical, MAX(quality) AS max_quality, COUNT(*) AS n_members,
+                    MIN(c_id) AS km_cluster
+             FROM m GROUP BY canonical)
+      SELECT m.canonical AS cluster_id, mx.km_cluster, MIN(m.vec_id) AS keep_id,
+             mx.max_quality, mx.n_members
+      FROM m JOIN mx ON m.canonical = mx.canonical AND m.quality = mx.max_quality
+      GROUP BY m.canonical, mx.km_cluster, mx.max_quality, mx.n_members""")) {
+      (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      kmeansSemDedup(semCorpus(s, dir))
     }
   )
 
@@ -495,49 +554,66 @@ object VectorQueries {
     * (cluster, dim, centroid, n_vectors).
     */
   def kmeansIterate(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    val s = emb.sparkSession
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    kmMeans(kmeansAssign(emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS double))").as("v")), k, iters))
+  }
+
+  /** The q77/q119 decimal-routed rounded per-dimension mean over an
+    * assignment (needs `cluster` and `v`): k×64 groups, partial map-side
+    * sums, the only exchange in a Lloyd pass.
+    */
+  private def kmMeans(asg: DataFrame): DataFrame =
+    asg.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
+        .as("raw"), count(lit(1)).as("n_vectors"))
+      .select(col("cluster"), col("dim"), round(col("raw"), 6).as("centroid"),
+        col("n_vectors"))
+
+  /** Final-pass Lloyd ASSIGNMENT after `iters` passes over a prepared
+    * `base` with `vec_id` and double-array `v` (extra columns ride
+    * along): returns `base`'s columns plus `cluster`. This is the
+    * composition seam q123 builds on — the assignment, not just the
+    * means, is the useful product of k-means in a SemDeDup-shaped
+    * pipeline. Same arithmetic contract as the scaladoc above
+    * ([[kmeansIterate]] = kmMeans of this).
+    */
+  def kmeansAssign(base: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val s = base.sparkSession
     graft.plans.GraftExtensions.register(s)
-    val base = emb.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS double))").as("v"))
     var centroids: Seq[(Long, Seq[Double])] = base
       .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("mk"))
       .orderBy(col("mk"), col("vec_id")).limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     def arrLit(cv: Seq[Double]): String =
       "array(" + cv.map(x => s"${x}D").mkString(", ") + ")"
-    var out: DataFrame = null
-    for (it <- 1 to iters) {
+    def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
       // c·c via the engine's own dot (1-row constant job): bit-identical
       // to the oracle's list_dot_product(cv, cv), immune to any
       // driver-side fold-order drift
       val ccs = s.range(1).select(
-        centroids.zipWithIndex.map { case ((_, cv), i) =>
+        cents.zipWithIndex.map { case ((_, cv), i) =>
           expr(s"graft_vector_dot(${arrLit(cv)}, ${arrLit(cv)})").as(s"cc$i")
         }: _*).head()
-      val d2s = centroids.zipWithIndex.map { case ((cid, cv), i) =>
+      val d2s = cents.zipWithIndex.map { case ((cid, cv), i) =>
         struct(
           round(col("vv") - lit(2.0) * expr(s"graft_vector_dot(v, ${arrLit(cv)})")
             + lit(ccs.getDouble(i)), 6).as("d2"),
           lit(cid).as("c_id"))
       }
-      out = base
-        .withColumn("vv", expr("graft_vector_dot(v, v)"))
+      base.withColumn("vv", expr("graft_vector_dot(v, v)"))
         .withColumn("cluster", array_min(array(d2s: _*)).getField("c_id"))
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim")
-        .agg((sum(col("x").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
-          .as("raw"), count(lit(1)).as("n_vectors"))
-        .select(col("cluster"), col("dim"), round(col("raw"), 6).as("centroid"),
-          col("n_vectors"))
-      if (it < iters)
-        centroids = out.collect()
-          .groupBy(_.getLong(0)).toSeq
-          .map { case (cid, rows) =>
-            (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-          }
-          .sortBy(_._1)
+        .drop("vv")
     }
-    out
+    for (_ <- 1 until iters)
+      centroids = kmMeans(assign(centroids)).collect()
+        .groupBy(_.getLong(0)).toSeq
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }
+        .sortBy(_._1)
+    assign(centroids)
   }
 
   /** Planted-variant id offset: the smallest power of 10 strictly above
@@ -631,6 +707,71 @@ object VectorQueries {
         |  AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin).as("quality"))
     LlmQueries.keepBest(
       cc.join(qual, "doc_id").select("doc_id", "canonical", "quality"))
+  }
+
+  /** q123 kernel: the published SemDeDup pipeline shape (Abbas et al.
+    * 2023 — cluster with k-means FIRST, then deduplicate WITHIN each
+    * cluster) over any (vec_id, v, nrm) corpus. q116/q117 generate
+    * candidate pairs with hyperplane LSH; here the k-means partition IS
+    * the candidate generator: [[kmeansAssign]]'s map-only final-pass
+    * assignment, a self-join on the cluster id (both sides the identical
+    * plan → ONE ReusedExchange shuffle on `cluster`; never all-pairs
+    * across clusters), exact cosine ≥ `tau` verification, transitive
+    * closure ([[LlmQueries.labelPropagation]] — semantic groups may
+    * chain), and q117's single-argmax quality keep. 100 TB posture: the
+    * corpus shuffles ONCE (on cluster id, both join sides reused); the
+    * quadratic term is bounded per cluster, which is exactly the
+    * published recipe's point — production sets k ∝ n so cluster size
+    * (and the per-cluster pair count) stays constant as the corpus
+    * grows; k is a parameter here for that reason. Output adds the
+    * k-means cluster id (`km_cluster`) to q117's schema — every semantic
+    * group lives inside one k-means cluster by construction, and
+    * exposing it makes the two-level structure auditable.
+    */
+  def kmeansSemDedup(corpus: DataFrame, k: Int = 8, iters: Int = 3,
+      tau: Double = 0.9): DataFrame = {
+    val asg = kmeansAssign(corpus, k, iters)
+    val sims = kmeansPairs(asg, tau)
+    val edges = sims.select(explode(array(
+        struct(col("vec_id1").as("src"), col("vec_id2").as("dst")),
+        struct(col("vec_id2").as("src"), col("vec_id1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val cc = LlmQueries
+      .labelPropagation(corpus.select(col("vec_id").as("doc_id")), edges)
+      ._1.select("doc_id", "canonical")
+    // quality and the km cluster ride ONE map-only corpus scan
+    val memb = asg.select(col("vec_id").as("doc_id"),
+      col("cluster").as("km"), expr(
+        """CAST(floor(sqrt(CAST(aggregate(v, CAST(0 AS DECIMAL(26,12)),
+          |  (a, x) -> CAST(a + CAST(x * x AS DECIMAL(26,12)) AS DECIMAL(26,12)))
+          |  AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin).as("quality"))
+    cc.join(memb, "doc_id")
+      .groupBy(col("canonical").as("cluster_id"))
+      .agg(min(col("km")).as("km_cluster"),
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("km_cluster"),
+        (-col("best.nid")).as("keep_id"),
+        col("best.quality").as("max_quality"), col("n_members"))
+  }
+
+  /** q123's candidate stage, split out so PlanAuditSpec can pin its shape
+    * directly: same-cell pairs verified by exact cosine ≥ `tau` over a
+    * k-means assignment (`vec_id`, `v`, `nrm`, `cluster`). Both join
+    * sides are the identical map-only assignment plan shuffled on the
+    * cluster id, so ReusedExchange computes the assignment ONCE — the
+    * corpus's single shuffle in the whole candidate pipeline.
+    */
+  def kmeansPairs(asg: DataFrame, tau: Double = 0.9): DataFrame = {
+    val a = asg.select(col("vec_id").as("vec_id1"), col("v").as("v1"),
+      col("nrm").as("nrm1"), col("cluster"))
+    val b = asg.select(col("vec_id").as("vec_id2"), col("v").as("v2"),
+      col("nrm").as("nrm2"), col("cluster").as("cluster2"))
+    a.hint("merge").join(b,
+        col("cluster") === col("cluster2") && col("vec_id1") < col("vec_id2"))
+      .filter(round(expr("graft_vector_dot(v1, v2)") /
+        (col("nrm1") * col("nrm2")), 6) >= tau)
+      .select("vec_id1", "vec_id2")
   }
 
   /** SQL mirror of [[semCorpus]] (a `base` CTE body). */

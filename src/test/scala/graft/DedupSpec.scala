@@ -367,6 +367,45 @@ class DedupSpec extends SparkSpec {
     assert(boilerDocs(corpus(7)) == 3L, "threshold floor broken")
   }
 
+  test("ScaleData plants fraction-level boilerplate that survives the q115 fraction threshold") {
+    import spark.implicits._
+    // VERDICT r13: the fraction-mode curve measured an EMPTY frequent set
+    // at every scale — the production knob's non-empty join path was
+    // never exercised with data. ScaleData now appends a fixed 6-token
+    // footer to every 400th ORIGINAL doc of every replica; scale a
+    // controlled fixture and pin that (a) exactly the footer's 2 interior
+    // 5-grams survive a 0.1%-style fraction threshold, (b) the planted
+    // docs are flagged by boilerplateScrub's fraction mode, clean docs
+    // are not.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    // ids 0 and 400 plant (doc_id % 400 == 0); 48 disjoint-filler docs
+    val src = ((0 until 50).map { i =>
+      val id = if (i == 1) 400L else i.toLong
+      (id, (0 until 8).map(j => s"w$i-$j").mkString(" "), "webcrawl")
+    }).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    src.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val scaled = ScaleData.scaleTable(spark, tmp, "documents", 4)
+    val nDocs = scaled.count()
+    assert(nDocs == 200L)
+    // 8 planted docs of 200 = 4% — far above the 0.1%-of-corpus bar the
+    // production knob uses; with fraction 0.02 the threshold is
+    // max(2, ceil(4)) = 4 < 8, so the footer survives while every filler
+    // shingle (df <= factor = 4 only via identical replicas — but
+    // replicas PERMUTE tokens, so filler shingles never repeat) is out
+    val flagged = operators.LlmQueries
+      .boilerplateScrub(scaled, minDocFreqFraction = Some(0.02))
+      .where(col("n_boiler") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(flagged.length == 8, s"planted docs flagged: ${flagged.toSeq}")
+    // every flagged doc is a replica of original id 0 or 400, and carries
+    // exactly the footer's 2 interior 5-grams as boilerplate
+    flagged.foreach { case (id, nBoiler) =>
+      assert(id % 400L == 0L, s"non-planted doc $id flagged")
+      assert(nBoiler == 2L, s"doc $id: expected the 2 footer shingles, got $nBoiler")
+    }
+  }
+
   test("q118 repetition audit: planted repetitive doc flagged, diverse doc clean, short doc skipped") {
     import spark.implicits._
     // "a b" × 5: bigrams = 9 occurrences (top "a b" × 5), 5-grams = 6

@@ -285,6 +285,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q123 candidate stage: map-only assignment, ONE cluster-id exchange reused across the pair self-join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    graft.plans.GraftExtensions.register(spark)
+    val base = spark.range(64).selectExpr("id AS vec_id",
+      "transform(sequence(0, 63), i -> CAST(id % 7 + i AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "v", "sqrt(graft_vector_dot(v, v)) AS nrm")
+    val asg = operators.VectorQueries.kmeansAssign(base, k = 4, iters = 2)
+    asg.collect()
+    val ap = flatten(asg.queryExecution.executedPlan)
+    assert(!ap.exists(_.nodeName.contains("Join")),
+      "final-pass assignment must not join (literal centroids)")
+    assert(!ap.exists(_.nodeName.contains("Exchange")),
+      "final-pass assignment must be map-only")
+    val pairs = operators.VectorQueries.kmeansPairs(asg)
+    pairs.collect()
+    val pp = flatten(pairs.queryExecution.executedPlan)
+    // both self-join sides are the identical assignment plan shuffled on
+    // the cluster id: exactly one DISTINCT shuffle may exist (the second
+    // side must reuse it, so the map-only assignment runs once)
+    val distinctShuffles = pp.collect { case e: ShuffleExchangeLike => e }
+      .map(e => System.identityHashCode(e)).distinct
+    assert(distinctShuffles.size == 1,
+      s"expected ONE reused cluster-id exchange, got ${distinctShuffles.size}:\n" +
+        pairs.queryExecution.executedPlan)
+  }
+
   test("q121 decile assignment plans no window and no corpus-sized join") {
     val all = executed("q121_score_deciles")
     assert(!all.exists(_.nodeName.contains("Window")),

@@ -347,4 +347,60 @@ class VectorSpec extends SparkSpec {
     val (n1, _, _, out1, _) = got(1)
     assert(n1 == 20L && out1 == 0L, s"label 1: n=$n1 outliers=$out1")
   }
+
+  test("k-means empty-cluster contract: a duplicate-seed cell empties and drops out of later passes") {
+    import spark.implicits._
+    // ids 1 and 2 are IDENTICAL vectors; md5 seed order over {1,2,3,4} is
+    // 4 < 1 < 2 < 3, so k=3 picks seeds {4, 1, 2} — and because seed 2's
+    // vector equals seed 1's, every member of that point ties at d²=0 and
+    // the lower c_id (1) wins: cluster 2 is EMPTY from pass 1. The
+    // documented contract is that an empty cluster simply has no mean row
+    // and drops out of later passes; pin that for one step AND a full
+    // 3-pass iteration (k and iters are the exposed knobs).
+    val vecs = Seq(
+      (1L, Array.fill(64)(0.5f), 0),
+      (2L, Array.fill(64)(0.5f), 0),
+      (3L, Array.fill(64)(0.4f), 0),
+      (4L, Array.fill(64)(-0.5f), 0))
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    for (iters <- Seq(1, 3)) {
+      val rows = operators.VectorQueries.kmeansIterate(emb, k = 3, iters = iters)
+        .collect()
+      val clusters = rows.map(_.getLong(0)).toSet
+      assert(!clusters.contains(2L),
+        s"iters=$iters: the emptied seed-2 cluster must have no mean rows, got $clusters")
+      assert(clusters == Set(1L, 4L), s"iters=$iters: surviving clusters $clusters")
+      // membership stays (1,2,3) -> cluster 1, (4) -> cluster 4 at every
+      // pass: means only tighten around the same split
+      val n = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(n == Map(1L -> 3L, 4L -> 1L), s"iters=$iters: member counts $n")
+    }
+  }
+
+  test("q123 keeps the highest-quality member of each within-cell semantic group") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // md5 order over {1,2,7} is 7 < 1 < 2, so k=2 seeds are {7, 1}:
+    // vector 2 (parallel to 1, scaled up — cosine 1.0, higher norm) joins
+    // seed 1's cell, the orthogonal noise vector 7 sits alone. The
+    // within-cell pair (1,2) must close into one group whose keeper is 2
+    // — the argmax-quality member, not the min id.
+    val base = Seq(
+      (1L, Array.fill(64)(0.5)),
+      (2L, Array.fill(64)(0.6)),
+      (7L, Array.tabulate(64)(i => if (i % 2 == 0) 0.5 else -0.5)))
+      .toDF("vec_id", "v")
+      .selectExpr("vec_id", "v", "sqrt(graft_vector_dot(v, v)) AS nrm")
+    val out = operators.VectorQueries.kmeansSemDedup(base, k = 2, iters = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 7L), s"clusters: ${out.keySet}")
+    val (km1, keep1, q1, n1) = out(1L)
+    assert(keep1 == 2L, s"argmax must override min-id: kept $keep1")
+    assert(n1 == 2L && km1 == 1L)
+    assert(q1 == math.floor(math.sqrt(64 * 0.36) * 1e6).toLong)
+    val (km7, keep7, _, n7) = out(7L)
+    assert(keep7 == 7L && n7 == 1L && km7 == 7L)
+  }
 }
