@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // every query generates fresh whole-stage-codegen classes; a full-suite
+  // run fills the default 240 MB code cache mid-suite, the JIT disables
+  // itself, and CPU-bound kernels (the rankSelect bucket aggregates) run
+  // interpreted 3-4x slower — the r13/r14 committed-vs-targeted gap
+  "-XX:ReservedCodeCacheSize=1g",
 )

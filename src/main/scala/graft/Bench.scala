@@ -21,7 +21,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-    (Tables.sessionConf ++ Tables.scratchDirConf).foreach { case (k, v) => builder.config(k, v) }
+      // back-stop for the per-sample System.gc() below: the cleaner's own
+      // periodic GC default is 30 min — longer than a whole suite run
+      .config("spark.cleaner.periodicGC.interval", "2min")
+    (Tables.sessionConf ++ Tables.staticConf ++ Tables.scratchDirConf).foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorbs JVM/codegen/session startup so the first timed
@@ -59,6 +62,18 @@ object Bench {
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       if (!failedSet(name)) {
         startedMs.getOrElseUpdate(name, System.currentTimeMillis())
+        // Per-query isolation (r14, the committed-vs-targeted 2.4× gap on
+        // the rankSelect family): neighbors leave unreferenced cached /
+        // localCheckpoint blocks behind (e.g. every labelPropagation
+        // result), and Spark's ContextCleaner only frees them after a
+        // DRIVER GC notices the dead references. In this 8 GB shared JVM
+        // the leftovers evicted the next query's own cache (q86's passes
+        // were re-scanning parquet instead of reading its persisted
+        // projection — RANKPROF showed every sub-second pass uniformly
+        // 2–4× slower mid-suite). One explicit GC before each timed
+        // sample lets the cleaner drain; it runs OUTSIDE the timed
+        // window, so it speeds measurement fidelity, not the queries.
+        System.gc()
         val la = loadavg1m()
         try {
           val t0 = System.nanoTime()

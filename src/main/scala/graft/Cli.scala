@@ -202,7 +202,7 @@ object Cli {
     val b = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-    Tables.sessionConf.foreach { case (k, v) => b.config(k, v) }
+    (Tables.sessionConf ++ Tables.staticConf).foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

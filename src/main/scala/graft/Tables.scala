@@ -27,6 +27,21 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.enabled" -> "true")
 
+  /** STATIC confs — builder-only (setting them on a live session throws
+    * CANNOT_MODIFY_STATIC_CONFIG, so [[SparkEntry.entry]]'s runtime
+    * conf-apply must not see them). The codegen class cache is the
+    * load-bearing one: the default 100 entries thrash across a 120-query
+    * suite (each query compiles several stages), so multi-small-job
+    * kernels (rankSelect's refinement passes) paid Janino recompilation
+    * on EVERY pass mid-suite — measured as the r13/r14
+    * committed-vs-targeted 2-3× gap on q58/q86, and ~2× across the whole
+    * heavy family (the 22-query sf5 probe dropped 150 s → 70 s). The
+    * cache key is the generated source; 5000 entries is megabytes of
+    * metaspace, not heap.
+    */
+  val staticConf: Map[String, String] = Map(
+    "spark.sql.codegen.cache.maxEntries" -> "5000")
+
   /** SQL yielding `events.ts` as epoch-MICROSECOND BIGINT, robust to the
     * fixture's on-disk encoding. The driver's testdata has shipped `ts`
     * both as TIMESTAMP(NANOS) — read as BIGINT nanos via nanosAsLong — and

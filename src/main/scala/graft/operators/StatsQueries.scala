@@ -148,6 +148,19 @@ object StatsQueries {
   private val RankCollectCap = 262144L  // max bracket rows fetched to the driver
   private val RankMaxLevels = 8         // refinement budget before the sort fallback
 
+  /** Env-gated pass profiler (GRAFT_RANK_PROFILE=1): the rankSelect family
+    * is a chain of small driver-round-trip jobs, so suite-context slowdowns
+    * that a single-job query never sees (GC pressure, scheduler backlog,
+    * cache eviction) show up here as uniform or pass-specific inflation —
+    * this pins down which (the r13 committed-vs-targeted 2.4× question).
+    */
+  private def rtime[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime; val r = f
+    if (sys.env.contains("GRAFT_RANK_PROFILE"))
+      println(f"RANKPROF $name: ${(System.nanoTime - t0) / 1e9}%.3f s")
+    r
+  }
+
   /** Monotone bucket index of `x` under the linear map [lo, hi] → [0, B):
     * deterministic executor-side double arithmetic, clamped at both ends
     * so totals stay exact, degenerate (lo = hi) ranges collapse to bucket
@@ -247,10 +260,11 @@ object StatsQueries {
         }
       val aggs = Seq(count(lit(1)).as("c"), min(col("x")).as("mn"),
         max(col("x")).as("mx")) ++ (if (level == 1) extra else Nil)
-      val rows = data.withColumn("vg", vgCol).filter(col("vg") >= 0)
-        .withColumn("b", bucketOf(col("x"), perVg(_.lo), perVg(_.hi)))
-        .groupBy("vg", "b").agg(aggs.head, aggs.tail: _*)
-        .collect()
+      val rows = rtime(s"level $level (${active.size} brackets)")(
+        data.withColumn("vg", vgCol).filter(col("vg") >= 0)
+          .withColumn("b", bucketOf(col("x"), perVg(_.lo), perVg(_.hi)))
+          .groupBy("vg", "b").agg(aggs.head, aggs.tail: _*)
+          .collect())
       if (level == 1 && extra.nonEmpty)
         extras = rows.groupBy(r => active(r.getInt(0)).g).map { case (g, rs) =>
           g -> extra.indices.map(j => rs.map(_.getLong(5 + j)).sum).toSeq
@@ -288,9 +302,10 @@ object StatsQueries {
       val vgCol = fs.zipWithIndex.foldLeft(lit(-1)) { case (acc, (b, i)) =>
         when(col("g") === b.g && pathCond(b), lit(i)).otherwise(acc)
       }
-      val got = data.withColumn("vg", vgCol).filter(col("vg") >= 0)
-        .select(col("vg"), col("x")).as[(Int, Double)]
-        .collect().groupBy(_._1)
+      val got = rtime(s"fetch (${fs.size} brackets)")(
+        data.withColumn("vg", vgCol).filter(col("vg") >= 0)
+          .select(col("vg"), col("x")).as[(Int, Double)]
+          .collect()).groupBy(_._1)
       fs.zipWithIndex.foreach { case (bk, i) =>
         val ds = got.getOrElse(i, Array.empty[(Int, Double)]).map(_._2).sorted
         require(ds.length == bk.rows,
@@ -335,9 +350,10 @@ object StatsQueries {
         col(valueCol).cast("double").as("x"))
       .persist()
     try {
-      val meta = base.groupBy("g").agg(count(lit(1)).as("n"),
+      val meta = rtime("pcts meta+cache")(base.groupBy("g")
+        .agg(count(lit(1)).as("n"),
           min(col("x")).as("mn"), max(col("x")).as("mx"))
-        .collect()
+        .collect())
         .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
         .toMap
       val nByG = meta.map { case (g, m) => g -> m._1 }
@@ -384,9 +400,10 @@ object StatsQueries {
         col(valueCol).cast("double").as("v"))
       .persist()
     val dev = try {
-      val meta = base.groupBy("g").agg(count(lit(1)).as("n"),
+      val meta = rtime("robust meta+cache")(base.groupBy("g")
+        .agg(count(lit(1)).as("n"),
           min(col("v")).as("mn"), max(col("v")).as("mx"))
-        .collect()
+        .collect())
         .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
         .toMap
       val nByG = meta.map { case (g, m) => g -> m._1 }

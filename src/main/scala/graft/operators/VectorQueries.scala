@@ -400,7 +400,8 @@ object VectorQueries {
       WITH RECURSIVE base AS ($semBaseSql),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
       seeds AS (SELECT vec_id AS c_id, v AS cv FROM base
-                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT ${semDedupKSql("base")}),
       ${kmAsgSql("base", "seeds", "asg1")},
       ${kmCentSql("asg1", "cent1")},
       ${kmListSql("cent1", "cl1")},
@@ -582,32 +583,53 @@ object VectorQueries {
   def kmeansAssign(base: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     val s = base.sparkSession
     graft.plans.GraftExtensions.register(s)
-    var centroids: Seq[(Long, Seq[Double])] = base
+    var centroids: Seq[(Long, Seq[Double])] = kmProf(s"seed collect k=$k")(base
       .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("mk"))
       .orderBy(col("mk"), col("vec_id")).limit(k)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    def arrLit(cv: Seq[Double]): String =
-      "array(" + cv.map(x => s"${x}D").mkString(", ") + ")"
+      .collect()).map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
-      // c·c via the engine's own dot (1-row constant job): bit-identical
-      // to the oracle's list_dot_product(cv, cv), immune to any
-      // driver-side fold-order drift
-      val ccs = s.range(1).select(
-        cents.zipWithIndex.map { case ((_, cv), i) =>
-          expr(s"graft_vector_dot(${arrLit(cv)}, ${arrLit(cv)})").as(s"cc$i")
-        }: _*).head()
-      val d2s = cents.zipWithIndex.map { case ((cid, cv), i) =>
-        struct(
-          round(col("vv") - lit(2.0) * expr(s"graft_vector_dot(v, ${arrLit(cv)})")
-            + lit(ccs.getDouble(i)), 6).as("d2"),
-          lit(cid).as("c_id"))
+      // ONE argmin kernel call per row instead of k separate
+      // graft_vector_dot(v, literal) expressions: the expression form
+      // converted BOTH arrays to double[] on every call — k+1 array
+      // copies per row, which at q123's corpus-derived k ≈ sqrt(n)
+      // dwarfed the k·d useful flops (measured 4–7 s per assignment pass
+      // at sf5, k=134). The kernel deserializes v once and loops over a
+      // primitive centroid matrix. Arithmetic is bit-identical to the
+      // expression form and the oracle: dist² = v·v − 2·v·c + c·c with
+      // every dot the same sequential [[graft.plans.VectorDot.dot]] fold
+      // (c·c precomputed ONCE per pass from the same doubles the arrLit
+      // literals used to round-trip through the parser), Spark `round`'s
+      // exact double semantics (java BigDecimal.valueOf + HALF_UP), and
+      // the (d2, c_id) lexicographic tie-break of the old
+      // array_min-over-structs. A plain UDF is fine here — the per-row
+      // encoder boundary is one primitive-array wrap, amortized over
+      // k·64 flops (the [[graft.functions.TextHash.hammingBits]]
+      // argument).
+      val ids = cents.map(_._1).toArray
+      val mat = cents.map(_._2.toArray).toArray
+      val ccs = mat.map(c => graft.plans.VectorDot.dot(c, c))
+      val argmin = udf { (v: Seq[Double]) =>
+        val va = v.toArray
+        val vv = graft.plans.VectorDot.dot(va, va)
+        var bestD = 0.0
+        var bestId = 0L
+        var first = true
+        var i = 0
+        while (i < mat.length) {
+          val d2 = java.math.BigDecimal
+            .valueOf(vv - 2.0 * graft.plans.VectorDot.dot(va, mat(i)) + ccs(i))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (first || d2 < bestD || (d2 == bestD && ids(i) < bestId)) {
+            bestD = d2; bestId = ids(i); first = false
+          }
+          i += 1
+        }
+        bestId
       }
-      base.withColumn("vv", expr("graft_vector_dot(v, v)"))
-        .withColumn("cluster", array_min(array(d2s: _*)).getField("c_id"))
-        .drop("vv")
+      base.withColumn("cluster", argmin(col("v")))
     }
-    for (_ <- 1 until iters)
-      centroids = kmMeans(assign(centroids)).collect()
+    for (it <- 1 until iters)
+      centroids = kmProf(s"mean collect pass $it")(kmMeans(assign(centroids)).collect())
         .groupBy(_.getLong(0)).toSeq
         .map { case (cid, rows) =>
           (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
@@ -714,30 +736,47 @@ object VectorQueries {
     * cluster) over any (vec_id, v, nrm) corpus. q116/q117 generate
     * candidate pairs with hyperplane LSH; here the k-means partition IS
     * the candidate generator: [[kmeansAssign]]'s map-only final-pass
-    * assignment, a self-join on the cluster id (both sides the identical
-    * plan → ONE ReusedExchange shuffle on `cluster`; never all-pairs
-    * across clusters), exact cosine ≥ `tau` verification, transitive
+    * assignment, [[kmeansPairs]]' per-cell dense pairwise kernel over ONE
+    * cluster-id shuffle (never all-pairs across clusters, and no joined
+    * vector rows), exact cosine ≥ `tau` verification, transitive
     * closure ([[LlmQueries.labelPropagation]] — semantic groups may
     * chain), and q117's single-argmax quality keep. 100 TB posture: the
     * corpus shuffles ONCE (on cluster id, both join sides reused); the
     * quadratic term is bounded per cluster, which is exactly the
-    * published recipe's point — production sets k ∝ n so cluster size
-    * (and the per-cluster pair count) stays constant as the corpus
-    * grows; k is a parameter here for that reason. Output adds the
-    * k-means cluster id (`km_cluster`) to q117's schema — every semantic
-    * group lives inside one k-means cluster by construction, and
-    * exposing it makes the two-level structure auditable.
+    * published recipe's point. k defaults to [[semDedupK]]'s
+    * sqrt-balanced corpus-derived value (a fixed k=8 measured 203 s at
+    * sf5 — ~14k-vector cells made the pair join quadratic; the adaptive
+    * k keeps assignment cost n·k·d·iters and pair cost n·(n/k)·d/2 in
+    * balance). Production at 100 TB sets k ∝ n instead, so cell size —
+    * and with it both the per-cell pair count and, via an ANN centroid
+    * index for assignment, the per-row cost — stays constant; both
+    * engines here derive the same k from the same COUNT, the
+    * [[hyperplaneBandBits]] pattern. Output adds the k-means cluster id
+    * (`km_cluster`) to q117's schema — every semantic group lives inside
+    * one k-means cluster by construction, and exposing it makes the
+    * two-level structure auditable.
     */
-  def kmeansSemDedup(corpus: DataFrame, k: Int = 8, iters: Int = 3,
+  def kmeansSemDedup(corpus: DataFrame, k: Option[Int] = None, iters: Int = 3,
       tau: Double = 0.9): DataFrame = {
-    val asg = kmeansAssign(corpus, k, iters)
+    // the kernel is a chain of ~8 driver-sequenced jobs (seed collect,
+    // per-pass mean collects, pairs, CC rounds, final reduce) and EVERY
+    // one re-reads the corpus; uncached, each re-ran the 3-scan
+    // union+transform lineage (measured: the corpus+assignment recompute
+    // chain was ~2/3 of q123's 20 s at sf5). Cache the corpus for the
+    // loop and the final-pass assignment for its two consumers; the
+    // result is materialized (the CC kernel does this anyway for its own
+    // lineage hygiene) so both caches release before returning.
+    val corpusP = corpus.persist()
+    val kk = k.getOrElse(kmProf("corpus count")(semDedupK(corpusP.count())))
+    val asg = kmProf("kmeansAssign driver loop")(
+      kmeansAssign(corpusP, kk, iters)).persist()
     val sims = kmeansPairs(asg, tau)
     val edges = sims.select(explode(array(
         struct(col("vec_id1").as("src"), col("vec_id2").as("dst")),
         struct(col("vec_id2").as("src"), col("vec_id1").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val cc = LlmQueries
-      .labelPropagation(corpus.select(col("vec_id").as("doc_id")), edges)
+      .labelPropagation(corpusP.select(col("vec_id").as("doc_id")), edges)
       ._1.select("doc_id", "canonical")
     // quality and the km cluster ride ONE map-only corpus scan
     val memb = asg.select(col("vec_id").as("doc_id"),
@@ -745,7 +784,7 @@ object VectorQueries {
         """CAST(floor(sqrt(CAST(aggregate(v, CAST(0 AS DECIMAL(26,12)),
           |  (a, x) -> CAST(a + CAST(x * x AS DECIMAL(26,12)) AS DECIMAL(26,12)))
           |  AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin).as("quality"))
-    cc.join(memb, "doc_id")
+    val out = cc.join(memb, "doc_id")
       .groupBy(col("canonical").as("cluster_id"))
       .agg(min(col("km")).as("km_cluster"),
         max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"),
@@ -753,25 +792,93 @@ object VectorQueries {
       .select(col("cluster_id"), col("km_cluster"),
         (-col("best.nid")).as("keep_id"),
         col("best.quality").as("max_quality"), col("n_members"))
+    val outM = kmProf("final reduce materialize")(out.localCheckpoint(true))
+    asg.unpersist()
+    corpusP.unpersist()
+    outM
   }
+
+  private def kmProf[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime; val r = f
+    if (sys.env.contains("GRAFT_KM_PROFILE"))
+      println(f"KMPROF $name: ${(System.nanoTime - t0) / 1e9}%.2f s")
+    r
+  }
+
+  /** q123's corpus-derived k: max(8, min(512, ceil(sqrt(n / 6)))) —
+    * sqrt-of-n balances the map-only assignment (n·k·d·iters) against
+    * the within-cell pair join (n·(n/k)·d/2): with iters = 3 the two
+    * terms equalize at k ≈ sqrt(n/6). Every operation (long→double
+    * widening, the /6.0 division, sqrt, ceil) is correctly rounded IEEE
+    * on both engines, so the SQL mirror — GREATEST/LEAST/ceil/sqrt over
+    * COUNT(*) in [[semDedupKSql]] — derives the identical k at any
+    * corpus size (the [[hyperplaneBandBits]] count-derived-parameter
+    * pattern; its log-ratio lesson does not apply because sqrt is a
+    * single correctly-rounded primitive, not a libm ratio).
+    */
+  def semDedupK(n: Long): Int =
+    math.max(8L, math.min(512L, math.ceil(math.sqrt(n / 6.0)).toLong)).toInt
+
+  /** SQL mirror of [[semDedupK]], as a scalar-subquery LIMIT operand. */
+  def semDedupKSql(base: String): String =
+    s"(SELECT GREATEST(8, LEAST(512, CAST(ceil(sqrt(COUNT(*) / 6.0)) AS BIGINT))) FROM $base)"
 
   /** q123's candidate stage, split out so PlanAuditSpec can pin its shape
     * directly: same-cell pairs verified by exact cosine ≥ `tau` over a
-    * k-means assignment (`vec_id`, `v`, `nrm`, `cluster`). Both join
-    * sides are the identical map-only assignment plan shuffled on the
-    * cluster id, so ReusedExchange computes the assignment ONCE — the
-    * corpus's single shuffle in the whole candidate pipeline.
+    * k-means assignment (`vec_id`, `v`, `nrm`, `cluster`).
+    *
+    * Within-cell all-pairs is a DENSE COMPUTE kernel, not a relational
+    * join: the first r14 cut self-joined the assignment on the cluster id
+    * and let the join materialize BOTH 64-double vectors into every
+    * candidate row — ~45 M joined-row copies (≈50 GB of memcpy) at sf5
+    * before the cosine filter ever ran; measured 46.7 s. This form keeps
+    * the exact same ONE cluster-id shuffle (`groupByKey`) but runs the
+    * pairwise loop over primitive arrays inside each cell, so the only
+    * rows that ever leave the kernel are the verified (id1, id2) pairs.
+    * Per-cell memory is (n/k)·~600 B — bounded by the sqrt-balanced k at
+    * ~sqrt(6n) members, megabytes at any corpus size. The cosine round
+    * replicates Spark's `round(_, 6)` double semantics exactly
+    * (java.math.BigDecimal.valueOf + HALF_UP — the codegen formula), so
+    * the oracle's DuckDB round stays bit-compatible.
     */
   def kmeansPairs(asg: DataFrame, tau: Double = 0.9): DataFrame = {
-    val a = asg.select(col("vec_id").as("vec_id1"), col("v").as("v1"),
-      col("nrm").as("nrm1"), col("cluster"))
-    val b = asg.select(col("vec_id").as("vec_id2"), col("v").as("v2"),
-      col("nrm").as("nrm2"), col("cluster").as("cluster2"))
-    a.hint("merge").join(b,
-        col("cluster") === col("cluster2") && col("vec_id1") < col("vec_id2"))
-      .filter(round(expr("graft_vector_dot(v1, v2)") /
-        (col("nrm1") * col("nrm2")), 6) >= tau)
-      .select("vec_id1", "vec_id2")
+    val s = asg.sparkSession
+    import s.implicits._
+    asg.select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.map { case (_, id, v, nrm) => (id, v.toArray, nrm) }.toArray
+        val out = Seq.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < ms.length) {
+          val (idI, vI, nrmI) = ms(i)
+          var j = i + 1
+          while (j < ms.length) {
+            val (idJ, vJ, nrmJ) = ms(j)
+            var d = 0.0
+            var t = 0
+            val n = math.min(vI.length, vJ.length)
+            while (t < n) { d += vI(t) * vJ(t); t += 1 }
+            val cos = d / (nrmI * nrmJ)
+            // |round(x, 6) − x| ≤ 5e-7, so outside a ±1e-6 band the
+            // rounded compare is decided by the raw double and the
+            // BigDecimal allocation (the measured per-pair cost over
+            // ~50 M candidate pairs at sf5) only runs for boundary pairs
+            val pass =
+              if (cos >= tau + 1e-6) true
+              else if (cos < tau - 1e-6) false
+              else java.math.BigDecimal.valueOf(cos)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() >= tau
+            if (pass)
+              out += (if (idI < idJ) (idI, idJ) else (idJ, idI))
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("vec_id1", "vec_id2")
   }
 
   /** SQL mirror of [[semCorpus]] (a `base` CTE body). */
@@ -999,7 +1106,18 @@ object VectorQueries {
       .join(bands.select(col("vec_id").as("id2"), col("bk64").as("bk64b")),
         col("bk64") === col("bk64b") && col("id1") < col("id2"))
       .select("id1", "id2").distinct().count()
-    Seq("vectors" -> base.count(), "q46_pairs" -> q46, "q108_pairs" -> q108)
+    // q123 candidates: same-k-means-cell pairs, pre-cosine — the pair
+    // join the adaptive sqrt-balanced k is supposed to keep near
+    // n·sqrt(n)-bounded (a fixed k=8 measured quadratic growth)
+    val sem = semCorpus(s, dir)
+    val k123 = semDedupK(sem.count())
+    val asg123 = kmeansAssign(sem, k123, iters = 3)
+    val q123 = asg123.select(col("vec_id").as("id1"), col("cluster"))
+      .hint("merge")
+      .join(asg123.select(col("vec_id").as("id2"), col("cluster").as("cl2")),
+        col("cluster") === col("cl2") && col("id1") < col("id2")).count()
+    Seq("vectors" -> base.count(), "q46_pairs" -> q46, "q108_pairs" -> q108,
+      "q123_k" -> k123.toLong, "q123_pairs" -> q123)
   }
 
   /** IVF multi-probe candidate scores, probe count as a parameter: each

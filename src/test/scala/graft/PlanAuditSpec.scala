@@ -301,13 +301,16 @@ class PlanAuditSpec extends SparkSpec {
     val pairs = operators.VectorQueries.kmeansPairs(asg)
     pairs.collect()
     val pp = flatten(pairs.queryExecution.executedPlan)
-    // both self-join sides are the identical assignment plan shuffled on
-    // the cluster id: exactly one DISTINCT shuffle may exist (the second
-    // side must reuse it, so the map-only assignment runs once)
+    // the per-cell dense kernel consumes ONE cluster-id shuffle of the
+    // map-only assignment; no join may exist anywhere (the first cut's
+    // self-join materialized both 64-double vectors into every candidate
+    // row — 50 GB of joined-row copies at sf5)
+    assert(!pp.exists(_.nodeName.contains("Join")),
+      "pair stage must be the per-cell kernel, not a join")
     val distinctShuffles = pp.collect { case e: ShuffleExchangeLike => e }
       .map(e => System.identityHashCode(e)).distinct
     assert(distinctShuffles.size == 1,
-      s"expected ONE reused cluster-id exchange, got ${distinctShuffles.size}:\n" +
+      s"expected ONE cluster-id exchange, got ${distinctShuffles.size}:\n" +
         pairs.queryExecution.executedPlan)
   }
 

@@ -391,7 +391,7 @@ class VectorSpec extends SparkSpec {
       (7L, Array.tabulate(64)(i => if (i % 2 == 0) 0.5 else -0.5)))
       .toDF("vec_id", "v")
       .selectExpr("vec_id", "v", "sqrt(graft_vector_dot(v, v)) AS nrm")
-    val out = operators.VectorQueries.kmeansSemDedup(base, k = 2, iters = 3)
+    val out = operators.VectorQueries.kmeansSemDedup(base, k = Some(2), iters = 3)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
