@@ -588,45 +588,28 @@ object VectorQueries {
       .orderBy(col("mk"), col("vec_id")).limit(k)
       .collect()).map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
-      // ONE argmin kernel call per row instead of k separate
-      // graft_vector_dot(v, literal) expressions: the expression form
-      // converted BOTH arrays to double[] on every call — k+1 array
-      // copies per row, which at q123's corpus-derived k ≈ sqrt(n)
-      // dwarfed the k·d useful flops (measured 4–7 s per assignment pass
-      // at sf5, k=134). The kernel deserializes v once and loops over a
-      // primitive centroid matrix. Arithmetic is bit-identical to the
-      // expression form and the oracle: dist² = v·v − 2·v·c + c·c with
-      // every dot the same sequential [[graft.plans.VectorDot.dot]] fold
-      // (c·c precomputed ONCE per pass from the same doubles the arrLit
-      // literals used to round-trip through the parser), Spark `round`'s
-      // exact double semantics (java BigDecimal.valueOf + HALF_UP), and
-      // the (d2, c_id) lexicographic tie-break of the old
-      // array_min-over-structs. A plain UDF is fine here — the per-row
-      // encoder boundary is one primitive-array wrap, amortized over
-      // k·64 flops (the [[graft.functions.TextHash.hammingBits]]
-      // argument).
-      val ids = cents.map(_._1).toArray
-      val mat = cents.map(_._2.toArray).toArray
-      val ccs = mat.map(c => graft.plans.VectorDot.dot(c, c))
-      val argmin = udf { (v: Seq[Double]) =>
-        val va = v.toArray
-        val vv = graft.plans.VectorDot.dot(va, va)
-        var bestD = 0.0
-        var bestId = 0L
-        var first = true
-        var i = 0
-        while (i < mat.length) {
-          val d2 = java.math.BigDecimal
-            .valueOf(vv - 2.0 * graft.plans.VectorDot.dot(va, mat(i)) + ccs(i))
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (first || d2 < bestD || (d2 == bestD && ids(i) < bestId)) {
-            bestD = d2; bestId = ids(i); first = false
-          }
-          i += 1
-        }
-        bestId
+      // ONE native argmin call per row ([[graft.plans.CentroidArgmin]],
+      // codegen'd) instead of k separate graft_vector_dot(v, literal)
+      // expressions: the per-centroid form converted BOTH arrays to
+      // double[] on every call — k+1 array copies per row, which at
+      // q123's corpus-derived k ≈ sqrt(n) dwarfed the k·d useful flops
+      // (measured 4–7 s per assignment pass at sf5, k=134; this form
+      // runs it in ~1 s). The centroid matrix, ids, and c·c terms enter
+      // the plan as FOLDABLE array literals (the kernel converts them
+      // to primitive tables once per task); c·c is precomputed with the
+      // same [[graft.plans.VectorDot.dot]] fold the oracle's
+      // list_dot_product(cv, cv) computes, the literals round-trip
+      // Double.toString exactly, and the (d², c_id) tie-break matches
+      // the old array_min-over-structs — arithmetic is bit-identical to
+      // both the old plan and the oracle.
+      val ccs = cents.map { case (_, cv) =>
+        val a = cv.toArray; graft.plans.VectorDot.dot(a, a)
       }
-      base.withColumn("cluster", argmin(col("v")))
+      def dArr(xs: Seq[Double]): String =
+        "array(" + xs.map(x => s"${x}D").mkString(",") + ")"
+      val idsSql = "array(" + cents.map(c => s"${c._1}L").mkString(",") + ")"
+      base.withColumn("cluster", expr(
+        s"graft_centroid_argmin(v, ${dArr(cents.flatMap(_._2))}, $idsSql, ${dArr(ccs)})"))
     }
     for (it <- 1 until iters)
       centroids = kmProf(s"mean collect pass $it")(kmMeans(assign(centroids)).collect())

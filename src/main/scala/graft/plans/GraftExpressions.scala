@@ -133,6 +133,94 @@ object VectorDot {
   }
 }
 
+/** `graft_centroid_argmin(v, flat_centroids, c_ids, c_dots) → bigint`:
+  * the id of the nearest centroid by
+  * `round(v·v − 2·v·cᵢ + c_dotsᵢ, 6)` with (d², id) lexicographic
+  * tie-break — the Lloyd assignment of q119/q120/q123 as ONE native call
+  * per row. The centroid matrix (row-major, k×d), ids, and precomputed
+  * c·c terms are FOLDABLE array literals: the expression converts them
+  * to primitive tables once per task (transient lazy vals riding
+  * serialization), so a row pays exactly one `v` deserialization plus
+  * k·d multiply-adds — where a per-centroid `graft_vector_dot(v, lit)`
+  * chain paid k+1 array conversions per row (measured 4–7 s per
+  * assignment pass at sf5 with k=134; this form runs the same pass in
+  * ~1 s) and a ScalaUDF would pay an encoder boundary. Every dot is the
+  * same sequential [[VectorDot.dot]] fold and the round replicates
+  * Spark `round(_, 6)`'s exact double semantics, so oracle parity is
+  * unchanged (list_dot_product + round in DuckDB).
+  */
+final case class CentroidArgmin(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!first.dataType.isInstanceOf[ArrayType])
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires an ARRAY vector")
+    else if (!(second.foldable && third.foldable && fourth.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires literal centroid/ids/dots arrays")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_centroid_argmin"
+  @transient private lazy val matArr: Array[Double] =
+    second.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+  @transient private lazy val idsArr: Array[Long] =
+    third.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+  @transient private lazy val ccsArr: Array[Double] =
+    fourth.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+  override protected def nullSafeEval(v: Any, f: Any, i: Any, c: Any): Any =
+    KmeansKernel.argmin(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      matArr, idsArr, ccsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("kmMat", matArr, "double[]")
+    val id = ctx.addReferenceObj("kmIds", idsArr, "long[]")
+    val cc = ctx.addReferenceObj("kmCcs", ccsArr, "double[]")
+    defineCodeGen(ctx, ev,
+      (v, _, _, _) => s"graft.plans.KmeansKernel.argmin($v, $m, $id, $cc)")
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): CentroidArgmin = copy(a, b, c, d)
+}
+
+object KmeansKernel {
+  /** Nearest-centroid id: `mat` is the row-major k×d centroid matrix,
+    * `ccs(i)` the precomputed cᵢ·cᵢ (the same [[VectorDot.dot]] fold).
+    * Dots run ascending over min(|v|, d) like [[VectorDot.dot]];
+    * rounding is `java.math.BigDecimal.valueOf` + HALF_UP — Spark
+    * `round`'s codegen formula for doubles.
+    */
+  def argmin(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      mat: Array[Double], ids: Array[Long], ccs: Array[Double]): Long = {
+    val va = v.toDoubleArray()
+    val k = ids.length
+    val d = if (k == 0) 0 else mat.length / k
+    var vv = 0.0
+    var t = 0
+    while (t < va.length) { vv += va(t) * va(t); t += 1 }
+    var bestD = 0.0
+    var bestId = 0L
+    var first = true
+    var i = 0
+    while (i < k) {
+      val off = i * d
+      val n = math.min(va.length, d)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += va(j) * mat(off + j); j += 1 }
+      val d2 = java.math.BigDecimal.valueOf(vv - 2.0 * dot + ccs(i))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (first || d2 < bestD || (d2 == bestD && ids(i) < bestId)) {
+        bestD = d2; bestId = ids(i); first = false
+      }
+      i += 1
+    }
+    bestId
+  }
+}
+
 /** `graft_minhash16(string) → array<bigint>`: 16-permutation MinHash
   * signature over the text's 3-token shingles — one md5 per shingle + 16
   * linear permutations mod 2^61−1 (kernel + oracle contract in
@@ -435,6 +523,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cms_estimate takes exactly 2 arguments")
         CmsEstimate(args(0), args(1))
+      }),
+    ("graft_centroid_argmin",
+      new ExpressionInfo(classOf[CentroidArgmin].getName, "graft_centroid_argmin"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_centroid_argmin takes exactly 4 arguments")
+        CentroidArgmin(args(0), args(1), args(2), args(3))
       }))
 
   /** Idempotent post-hoc registration for sessions built without
