@@ -1625,8 +1625,95 @@ object LlmQueries {
       FROM documents d JOIN b USING (source)
       GROUP BY d.source, decile""")) { (s, dir) =>
       scoreDecileAudit(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q124
+    // Vocabulary COVERAGE curve — the tokenizer-design table: for each
+    // candidate vocab size k, the share of all token OCCURRENCES the k
+    // most frequent types cover (the number a BPE/vocab-size decision
+    // reads off). Exact integer micro-units (covered·10⁶ div total) so
+    // both engines agree bit-for-bit. 100 TB shape: ONE shuffle — the
+    // map-side-combining (token → count) aggregate (the q98 table); the
+    // total is a single-row aggregate over the type counts (type-
+    // cardinality-sized, not corpus-sized), the top-k prefix is a
+    // bounded TakeOrdered collect (k ≤ 30, the IVF-centroid-collect
+    // idiom), and the k-row curve is driver-assembled exactly like the
+    // rank tables.
+    Q("q124_vocab_coverage", Some("""
+      WITH c AS (SELECT token, COUNT(*) AS freq
+                 FROM (SELECT unnest(string_split(text, ' ')) AS token
+                       FROM documents) t
+                 GROUP BY token),
+      tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM c),
+      rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS r
+             FROM c)
+      SELECT k AS top_k,
+        CAST((SELECT COALESCE(SUM(freq), 0) FROM rk WHERE r <= k) AS BIGINT)
+          AS covered_occurrences,
+        tot.total AS total_occurrences,
+        CAST((SELECT COALESCE(SUM(freq), 0) FROM rk WHERE r <= k) * 1000000
+          // tot.total AS BIGINT) AS coverage_micro
+      FROM (SELECT unnest([1, 5, 10, 20, 30]) AS k) ks, tot""")) { (s, dir) =>
+      vocabCoverage(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q125
+    // Dedup cluster-size HISTOGRAM — the observability report a dedup
+    // stage ships with its output: how many duplicate clusters exist at
+    // each size, and how many documents they absorb (the "dedup will
+    // remove X% of the corpus" number comes straight off this table).
+    // Composes q87's transitive components with two BOUNDED aggregates:
+    // labels → per-cluster size (shuffle on canonical, partial
+    // map-side), sizes → histogram (≤ max-cluster-size groups). The
+    // oracle replays q87's recursive closure and the same two GROUP BYs.
+    Q("q125_cluster_size_histogram", Some(s"""
+      WITH RECURSIVE bands AS (${bandTableSql(chainCorpusSql)}),
+      capped AS (${cappedSql("bands")}),
+      edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM capped a JOIN capped b
+                  ON a.band = b.band AND a.band_key = b.band_key),
+      docs AS (SELECT doc_id FROM ($chainCorpusSql)),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM docs
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cc AS (SELECT src AS doc_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+      sz AS (SELECT canonical, COUNT(*) AS cluster_size FROM cc GROUP BY canonical)
+      SELECT cluster_size, COUNT(*) AS n_clusters,
+             CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+      FROM sz GROUP BY cluster_size""")) { (s, dir) =>
+      connectedComponents(chainCorpus(s, dir))
+        .groupBy("canonical").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
     }
   )
+
+  /** q124 kernel: exact vocab-coverage curve. The (token → freq) table
+    * is the only corpus-sized computation (one map-side-combining
+    * shuffle); `total` aggregates the TYPE counts (vocab-sized), the
+    * top-`ks.max` frequency prefix collects via a bounded TakeOrdered
+    * (ties broken by token, matching the oracle's row_number ORDER BY),
+    * and the curve itself is assembled driver-side in exact integer
+    * arithmetic (truncating division == DuckDB `//` for non-negatives).
+    */
+  def vocabCoverage(docs: DataFrame,
+      ks: Seq[Int] = Seq(1, 5, 10, 20, 30)): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq")).persist()
+    val total = counts.agg(sum(col("freq"))).head.getLong(0)
+    val top = counts.orderBy(col("freq").desc, col("token")).limit(ks.max)
+      .collect().map(_.getLong(1))
+    counts.unpersist()
+    val cum = top.scanLeft(0L)(_ + _)
+    ks.map { k =>
+      val covered = cum(math.min(k, top.length))
+      (k, covered, total, covered * 1000000L / total)
+    }.toDF("top_k", "covered_occurrences", "total_occurrences",
+      "coverage_micro")
+  }
 
   /** q121 kernel: exact decile boundaries per source via the
     * shuffle-free selection kernel, then map-only decile assignment
