@@ -1686,8 +1686,109 @@ object LlmQueries {
         .groupBy("canonical").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    },
+
+    // --------------------------------------------------------------- Q126
+    // Token-window document CHUNKING — the context-window prep step every
+    // training pipeline runs before packing: each document becomes
+    // overlapping 32-token windows at stride 16 (a 2x expansion bound,
+    // independent of document length). Entirely MAP-SIDE: tokenize once,
+    // explode the per-doc start sequence, slice — zero exchanges at any
+    // corpus size (PlanAuditSpec pins no-Exchange), so the operator scales
+    // with scan bandwidth alone. Chunk boundaries are pure integer
+    // arithmetic; the oracle spells the identical starts via
+    // range(0, n, 16) and the identical clamped slice.
+    Q("q126_token_chunks", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+      st AS (SELECT doc_id, toks, len(toks) AS n,
+                    unnest(range(0, len(toks), 16)) AS start
+             FROM tok)
+      SELECT doc_id, CAST(start // 16 AS INT) AS chunk_id,
+        CAST(least(start + 32, n) - start AS INT) AS n_tokens,
+        array_to_string(list_slice(toks, start + 1, least(start + 32, n)), ' ')
+          AS chunk_text
+      FROM st""")) { (s, dir) =>
+      tokenChunks(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q127
+    // TF-IDF top-terms per document — keyword extraction for topic
+    // bucketing / rule-based curation. Scoring is EXACT cross-engine
+    // without log(): rank by tf*N/df, computed as an IEEE double division
+    // of exact integers (correctly rounded identically in both engines),
+    // ties broken by token. Plan: one corpus-sized token explode feeding
+    // the (doc,token) tf aggregate (map-side combined); df aggregates the
+    // ALREADY-REDUCED tf table (vocab x avg-doc-vocab rows, not corpus
+    // tokens); the tf-df join shuffles on token where AQE's skew handling
+    // covers stopword keys (a df-count window here would instead BUFFER
+    // each token's full partition — quadratic pain on stopwords); the
+    // final per-doc top-3 is a window over doc-bounded partitions. Every
+    // post-explode stage runs on reduced data.
+    Q("q127_tfidf_terms", Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+             GROUP BY doc_id, token),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+          CAST(tf.tf * nd.n_docs AS DOUBLE) / df.df AS score
+        FROM tf JOIN df USING (token), nd)
+      SELECT doc_id, rk, token, tf, df, score FROM (
+        SELECT doc_id, token, tf, df, score,
+          CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, token) AS INT) AS rk
+        FROM scored) t
+      WHERE rk <= 3""")) { (s, dir) =>
+      tfidfTopTerms(Tables.t(s, dir, "documents"))
     }
   )
+
+  /** q126 kernel: overlapping token-window chunking (`window` tokens at
+    * `stride`). Chunk starts are every multiple of `stride` below the
+    * token count, so expansion is bounded by window/stride regardless of
+    * document length, and the whole operator is map-side (tokenize,
+    * explode the start sequence, clamped slice — PlanAuditSpec pins zero
+    * exchanges). Tail chunks shorter than `window` are emitted as-is;
+    * a doc shorter than `stride` yields exactly one chunk.
+    */
+  def tokenChunks(docs: DataFrame, window: Int = 32,
+      stride: Int = 16): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("start",
+        explode(sequence(lit(0), col("n") - 1, lit(stride))))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        (least(col("start") + window, col("n")) - col("start")).cast("int")
+          .as("n_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"))
+
+  /** q127 kernel: top-`k` TF-IDF terms per document. The idf surrogate is
+    * the exact rational tf·N/df evaluated as one IEEE double division of
+    * exact integers (bit-identical in any engine; log() would not be), so
+    * ranking is deterministic with the token tie-break. df aggregates the
+    * already-reduced (doc, token, tf) table — the raw token stream is
+    * touched exactly once, by the tf aggregate's map-side combine.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val nDocs = docs.count() // parquet-metadata count, not a scan
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        ((col("tf") * nDocs).cast("double") / col("df")).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "token", "tf", "df", "score")
+  }
 
   /** q124 kernel: exact vocab-coverage curve. The (token → freq) table
     * is the only corpus-sized computation (one map-side-combining

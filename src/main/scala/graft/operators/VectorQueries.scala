@@ -438,8 +438,80 @@ object VectorQueries {
       (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       kmeansSemDedup(semCorpus(s, dir))
+    },
+
+    // --------------------------------------------------------------- Q128
+    // Hard-triplet mining for contrastive training: for each anchor in a
+    // bounded query set, the hardest POSITIVE (same label, LOWEST cosine —
+    // the same-class pair the model most confuses) and the hardest
+    // NEGATIVE (different label, HIGHEST cosine — the impostor). The
+    // anchor set broadcasts, the corpus streams through ONE scan, and the
+    // per-anchor argmin/argmax collapse into a single bounded aggregate
+    // via lexicographic struct min/max — no window, no corpus shuffle
+    // (PlanAuditSpec pins broadcast-join + single-agg shape). min(struct(
+    // sim, vec_id)) == ORDER BY sim ASC, vec_id ASC LIMIT 1; max(struct(
+    // sim, -vec_id)) == ORDER BY sim DESC, vec_id ASC LIMIT 1 — exactly
+    // the oracle's two row_number subqueries. Similarity rounds to 6 dp
+    // before ranking (the q45 determinism idiom).
+    Q("q128_hard_triplets", Some("""
+      WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                     AS nrm
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+            FROM n WHERE vec_id < 8),
+      scored AS (SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+                   round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 6) AS sim
+                 FROM q JOIN n c ON c.vec_id <> q.query_id),
+      pos AS (SELECT query_id, vec_id, sim,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim ASC, vec_id) AS r
+              FROM scored WHERE label = qlabel),
+      neg AS (SELECT query_id, vec_id, sim,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, vec_id) AS r
+              FROM scored WHERE label <> qlabel)
+      SELECT p.query_id, p.vec_id AS hard_pos_id, p.sim AS hard_pos_sim,
+             g.vec_id AS hard_neg_id, g.sim AS hard_neg_sim
+      FROM pos p JOIN neg g ON p.query_id = g.query_id
+      WHERE p.r = 1 AND g.r = 1""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // graft_vector_dot
+      hardTriplets(Tables.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS double))").as("v")))
     }
   )
+
+  /** q128 kernel: hardest positive / hardest negative per anchor over a
+    * (vec_id, label, v: array&lt;double&gt;) corpus. The anchor set
+    * (`vec_id < nAnchors`) broadcasts; the corpus streams through one
+    * scan; per-anchor selection is a single aggregate of lexicographic
+    * struct extremes — min(struct(sim, vec_id)) keeps the LOWEST
+    * same-label cosine with the smallest id on ties, max(struct(sim,
+    * -vec_id)) the HIGHEST other-label cosine with the smallest id on
+    * ties. Anchors with no positive or no negative peer drop (the
+    * oracle's inner join).
+    */
+  def hardTriplets(emb: DataFrame, nAnchors: Int = 8): DataFrame = {
+    val n = emb.withColumn("nrm", sqrt(expr("graft_vector_dot(v, v)")))
+    val q = n.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        round(expr("graft_vector_dot(qv, v)") / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+    scored.groupBy("query_id")
+      .agg(
+        min(when(col("label") === col("qlabel"),
+          struct(col("sim"), col("vec_id")))).as("p"),
+        max(when(col("label") =!= col("qlabel"),
+          struct(col("sim"), (-col("vec_id")).as("nid")))).as("g"))
+      .filter(col("p").isNotNull && col("g").isNotNull)
+      .select(col("query_id"),
+        col("p.vec_id").as("hard_pos_id"), col("p.sim").as("hard_pos_sim"),
+        (-col("g.nid")).as("hard_neg_id"), col("g.sim").as("hard_neg_sim"))
+  }
 
   /** q122 kernel: per-label centroid (collected — labels are bounded),
     * map-only own-centroid d², exact decimal moment sums, fence counts

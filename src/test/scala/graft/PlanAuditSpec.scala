@@ -321,4 +321,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
       "no corpus-sized join may appear")
   }
+
+  test("q126 chunking is entirely map-side: zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val ex = executed("q126_token_chunks").collect { case e: Exchange => e }
+    assert(ex.isEmpty,
+      s"token chunking must scale with scan bandwidth alone: ${ex.map(_.nodeName)}")
+  }
+
+  test("q127 tf-idf joins post-reduction tables only: no corpus-row join input") {
+    // the tf-df join must consume the AGGREGATED tf table, never the raw
+    // exploded token stream: every join in the plan sits above at least one
+    // HashAggregate on each side's subtree
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec => BJ}
+    val all = executed("q127_tfidf_terms")
+    val joins = all.collect { case j: BJ => j }
+    assert(joins.nonEmpty, "expected the tf-df join")
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(flatten(side).exists(_.nodeName.contains("Aggregate")),
+          s"join side must be a reduced aggregate, not raw tokens:\n$j")
+      }
+    }
+  }
+
+  test("q128 triplet mining: anchors broadcast, corpus never shuffle-joins") {
+    val all = executed("q128_hard_triplets")
+    // the anchor-corpus pairing is a non-equi join (vec_id <> query_id), so
+    // the broadcast form is a nested-loop over the 8-row broadcast side
+    assert(all.exists(p => p.nodeName.contains("Join") &&
+      p.nodeName.contains("Broadcast")),
+      s"the bounded anchor set must broadcast: ${all.map(_.nodeName).distinct}")
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")) &&
+      !all.exists(_.nodeName.contains("ShuffledHashJoin")),
+      "the corpus must stream through the broadcast join, not shuffle")
+    assert(!all.exists(_.nodeName.contains("Window")),
+      "per-anchor argmin/argmax must be the struct min/max aggregate, not a window rank")
+  }
 }

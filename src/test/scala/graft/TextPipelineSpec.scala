@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the training-prep text kernels: token-window
+  * chunking boundaries (q126) and TF-IDF ranking semantics (q127).
+  */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenChunks emits stride-spaced overlapping windows with clamped tails") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 tokens
+      (2L, "a b c"), //  3 tokens — one short chunk
+      (3L, (1 to 17).map(i => s"w$i").mkString(" "))  // 17 tokens — tail start
+    ).toDF("doc_id", "text")
+    val got = operators.LlmQueries.tokenChunks(docs) // window 32, stride 16
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+
+    // doc 1: starts 0/16/32 → 32, 24, 8 tokens
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3)).toSeq == Seq((0, 32), (1, 24), (2, 8)))
+    // overlap: chunk 1 begins with chunk 0's last (window - stride) tokens
+    val c0 = d1(0)._4.split(" ")
+    val c1 = d1(1)._4.split(" ")
+    assert(c1.take(16).toSeq == c0.takeRight(16).toSeq)
+    assert(c1.head == "t17" && d1(2)._4.split(" ").head == "t33")
+
+    // doc 2: a single sub-window chunk, verbatim text
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "a b c")))
+
+    // doc 3: 17 tokens → a full 17-token chunk plus the 1-token tail at 16
+    assert(got.filter(_._1 == 3L).map(c => (c._2, c._3)).toSeq ==
+      Seq((0, 17), (1, 1)))
+  }
+
+  test("tfidfTopTerms ranks by exact tf*N/df with token tie-break") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")
+    ).toDF("doc_id", "text")
+    val got = operators.LlmQueries.tfidfTopTerms(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2))
+
+    // doc 1: apple tf=2 df=1 → 6.0; banana tf=1 df=2 → 1.5
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3, t._6)).toSeq ==
+      Seq((1, "apple", 6.0), (2, "banana", 1.5)))
+    // doc 2: banana and cherry TIE at 1.5 → token ascending breaks it
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq ==
+      Seq((1, "banana"), (2, "cherry")))
+    // doc 3: cherry 3*3/2=4.5 beats date 1*3/1=3.0
+    assert(got.filter(_._1 == 3L).map(t => (t._2, t._3, t._6)).toSeq ==
+      Seq((1, "cherry", 4.5), (2, "date", 3.0)))
+  }
+}

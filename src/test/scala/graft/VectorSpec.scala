@@ -403,4 +403,27 @@ class VectorSpec extends SparkSpec {
     val (km7, keep7, _, n7) = out(7L)
     assert(keep7 == 7L && n7 == 1L && km7 == 7L)
   }
+
+  test("q128 picks lowest-cosine positive / highest-cosine negative, ties to min id") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val emb = Seq(
+      (0L, 0, Seq(1.0, 0.0)),  // anchor
+      (1L, 2, Seq(1.0, 1.0)),  // anchor with NO same-label peer → dropped
+      (10L, 0, Seq(0.0, 1.0)), // positive, sim 0.0 (tie with 15)
+      (11L, 0, Seq(1.0, 0.0)), // positive, sim 1.0 — easy, must lose to 10
+      (12L, 1, Seq(1.0, 0.0)), // negative, sim 1.0 (tie with 14)
+      (13L, 1, Seq(0.6, 0.8)), // negative, sim 0.6
+      (14L, 1, Seq(1.0, 0.0)), // negative, sim 1.0 — larger id, must lose
+      (15L, 0, Seq(0.0, 1.0))  // positive, sim 0.0 — larger id, must lose
+    ).toDF("vec_id", "label", "v")
+    val got = operators.VectorQueries.hardTriplets(emb).collect()
+    assert(got.length == 1, s"anchor 1 has no positive and must drop: ${got.toSeq}")
+    val r = got.head
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 10L && r.getDouble(2) == 0.0,
+      s"hard positive must be min-sim with min-id tie-break: $r")
+    assert(r.getLong(3) == 12L && r.getDouble(4) == 1.0,
+      s"hard negative must be max-sim with min-id tie-break: $r")
+  }
 }
