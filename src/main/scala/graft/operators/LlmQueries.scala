@@ -2003,31 +2003,40 @@ object LlmQueries {
     */
   private def bigramParts(docs: DataFrame):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tokenized = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val toks = tokenized.filter(size(col("t")) >= 2)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
     val bg = toks.select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // vocabulary over ALL docs' tokens (the oracle's unnest is unfiltered
-    // too — single-token docs still contribute to V)
-    val vDf = tokenized.select(explode(col("t")).as("tok"))
-      .agg(countDistinct(col("tok")).as("vs"))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
     val uc = bc.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    // vocabulary over ALL docs' tokens (the oracle's unnest is unfiltered
+    // too — single-token docs still contribute to V). Derived from the
+    // CHECKPOINTED count table, not a second corpus-sized token pass:
+    // every token of a ≥2-token doc appears as some bigram's w1 or w2,
+    // and a doc splits to a single token exactly when its text has no
+    // separator — so the corpus contributes only a cheap no-space filter
+    // scan where r13 exploded and distinct-shuffled the full token stream.
+    val vDf = bc.select(col("w1").as("tok"))
+      .union(bc.select(col("w2").as("tok")))
+      .union(docs.filter(!col("text").contains(" "))
+        .select(col("text").as("tok")))
+      .agg(countDistinct(col("tok")).as("vs"))
     (bg, bc, uc, vDf)
   }
 
   /** The scoring stream: one row per bigram occurrence with its corpus
     * counts and the vocabulary size — (doc_id, w1, w2, c12, c1, vs).
-    * The count tables are small relative to the corpus (bounded by the
-    * distinct-bigram vocabulary), so Catalyst/AQE broadcasts them and the
-    * occurrence stream never shuffles.
+    * The per-distinct-bigram counts pre-join into ONE table (c12 and c1
+    * side by side, vocab²-bounded), so the corpus-sized occurrence
+    * stream meets a single join — AQE broadcasts the count table at any
+    * realistic vocabulary and the occurrence stream never shuffles.
     */
   private def bigramJoined(docs: DataFrame): DataFrame = {
     val (bg, bc, uc, vDf) = bigramParts(docs)
-    bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+    bg.join(bc.join(uc, Seq("w1")), Seq("w1", "w2"))
       .crossJoin(broadcast(vDf))
   }
 
@@ -2100,18 +2109,30 @@ object LlmQueries {
     val slack12 = math.ceil(2 * eps * cms12.totalCount()).toLong
     val slack1 = math.ceil(2 * eps * cms1.totalCount()).toLong
     graft.plans.GraftExtensions.register(spark)
-    bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
-      .crossJoin(broadcast(vDf))
+    // Probe the sketches on the DISTINCT-bigram count table, not per
+    // occurrence: the bound check depends only on (w1, w2), so auditing
+    // it once per distinct bigram and carrying the verdict booleans
+    // through the occurrence join is pointwise identical to the r13
+    // per-occurrence probes (bool_and over the same row multiset) while
+    // evaluating ~|corpus occurrences| / |distinct bigrams| fewer
+    // estimateCount calls and string concats — the probes now cost
+    // vocab², whatever the corpus size.
+    val audited = bc.join(uc, Seq("w1"))
       .withColumn("e12", call_function("graft_cms_estimate",
         lit(sketchBytes(cms12)), concat_ws(" ", col("w1"), col("w2"))))
       .withColumn("e1", call_function("graft_cms_estimate",
         lit(sketchBytes(cms1)), col("w1")))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        expr(s"e12 >= c12 AND e12 <= c12 + $slack12").as("b12"),
+        expr(s"e1 >= c1 AND e1 <= c1 + $slack1").as("b1"))
+    bg.join(audited, Seq("w1", "w2"))
+      .crossJoin(broadcast(vDf))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(((c12 + 1) * 1000000L) div (c1 + vs)) div count(1)")
           .as("lm_score_micro"),
-        expr(s"bool_and(e12 >= c12 AND e12 <= c12 + $slack12)").as("cms12_ok"),
-        expr(s"bool_and(e1 >= c1 AND e1 <= c1 + $slack1)").as("cms1_ok"))
+        expr("bool_and(b12)").as("cms12_ok"),
+        expr("bool_and(b1)").as("cms1_ok"))
   }
 
   /** One serialized copy of a sketch for plan embedding (see
