@@ -9,14 +9,16 @@ import org.apache.spark.sql.types.DecimalType
 /** Statistical / sampling / reshape operator batch (round 3).
   *
   * Design notes shared by the batch:
-  *  - Moment statistics (q70) are derived from EXACT decimal moment sums:
-  *    per-row products are computed in IEEE double (deterministic), routed
-  *    through DECIMAL so the aggregation is order-independent (a parallel
-  *    double sum is not), then the closed-form statistics are evaluated in
-  *    double with the IDENTICAL expression text on the Spark and DuckDB
-  *    sides — same ops in the same order → bit-identical results. `pow` is
-  *    deliberately avoided (libm pow may differ across engines by 1 ulp);
-  *    only `*`, `/`, `sqrt` (IEEE-exact) appear.
+  *  - Moment statistics (q70) are derived from EXACT integer moment sums:
+  *    per-row products are computed in IEEE double (deterministic), scaled
+  *    to their true 10⁻⁴-unit INTEGER value (see [[momentDefs]] — the
+  *    fixed-point input contract makes ROUND tie-free and exact), summed
+  *    as overflow-split longs so the aggregation is order-independent (a
+  *    parallel double sum is not), then the closed-form statistics are
+  *    evaluated in double with the IDENTICAL expression text on the Spark
+  *    and DuckDB sides — same ops in the same order → bit-identical
+  *    results. `pow` is deliberately avoided (libm pow may differ across
+  *    engines by 1 ulp); only `*`, `/`, `sqrt` (IEEE-exact) appear.
   *  - Sampling (q71) is hash-deterministic (md5 prefix), not rand(): it is
   *    reproducible across engines AND across cluster re-runs, pushes down
   *    to the scan as a plain filter, and needs no coordination — the right
@@ -79,16 +81,42 @@ object StatsQueries {
     Seq("q75_pairs" ->
       editCandidates(Tables.t(s, dir, "documents")).count())
 
-  /** Exact decimal moment sums (identical text runs on both engines). */
-  private val moments = Seq(
-    "COUNT(*) AS n_rows",
-    s"${dsum("l_quantity")} AS sx",
-    s"${dsum("l_quantity * l_quantity")} AS sxx",
-    s"${dsum("l_quantity * l_quantity * l_quantity")} AS sxxx",
-    s"${dsum("l_quantity * l_quantity * l_quantity * l_quantity")} AS sxxxx",
-    s"${dsum("l_extendedprice")} AS sy",
-    s"${dsum("l_extendedprice * l_extendedprice")} AS syy",
-    s"${dsum("l_quantity * l_extendedprice")} AS sxy")
+  /** Exact moment sums as SCALED-INTEGER aggregation (q70).
+    *
+    * The r13 form summed DECIMAL(28,4) casts of the per-row products;
+    * profiled at sf5, Spark's decimal machinery (a BigDecimal allocation
+    * per cast plus decimal adds in the sum buffer) cost 4× the
+    * arithmetic itself (decimal sums 6.4 s vs double sums 1.6 s for the
+    * same scan). The moment values don't need decimal: l_quantity is
+    * integral (≤ 50) and l_extendedprice has exactly 2 decimals
+    * (≤ ~1.1e5), so every product scaled by 10⁴ is a true INTEGER below
+    * 2⁵³ — representable in the double product up to an error ≪ 0.5,
+    * which means ROUND lands on the same integer in every engine with no
+    * tie to break. Each moment therefore sums as pure LONG arithmetic,
+    * split hi/lo at 10⁷ so the ANSI long sums stay overflow-free to
+    * ~8×10¹¹ rows per group (≈ 130 TB of lineitem; a 3-way split extends
+    * it), and recombines EXACTLY in one DECIMAL(38,0) expression before
+    * the single cast to double. The oracle needs no split — DuckDB's
+    * SUM(BIGINT) is a 128-bit HUGEINT, cast to double once — and both
+    * sides round the identical exact integer to the nearest double.
+    * Requires non-negative inputs (div/% signs), which TPC-H guarantees.
+    */
+  private val momentDefs = Seq(
+    "sx" -> "l_quantity",
+    "sxx" -> "l_quantity * l_quantity",
+    "sxxx" -> "l_quantity * l_quantity * l_quantity",
+    "sxxxx" -> "l_quantity * l_quantity * l_quantity * l_quantity",
+    "sy" -> "l_extendedprice",
+    "syy" -> "l_extendedprice * l_extendedprice",
+    "sxy" -> "l_quantity * l_extendedprice")
+
+  private val MomentSplit = 10000000L // 10^7 ≈ sqrt(max scaled product)
+
+  /** DuckDB inner aggregate for q70 — HUGEINT sums, one double cast. */
+  private val momentsSql: String =
+    momentDefs.map { case (n, e) =>
+      s"CAST(SUM(CAST(ROUND(($e) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS $n"
+    }.mkString(",\n              ")
 
   /** Closed-form statistics over the exact sums — pow-free, shared text. */
   private val statFormulas = Seq(
@@ -488,12 +516,21 @@ object StatsQueries {
     // per return flag. See object scaladoc for the exactness argument.
     Q("q70_stats_moments", Some(s"""
       SELECT ${statFormulas.mkString(",\n        ")}
-      FROM (SELECT l_returnflag, ${moments.mkString(",\n              ")}
+      FROM (SELECT l_returnflag, COUNT(*) AS n_rows, $momentsSql
             FROM lineitem GROUP BY l_returnflag) t""")) { (s, dir) =>
+      val scaled = momentDefs.map { case (n, e) =>
+        expr(s"CAST(ROUND(($e) * 10000) AS BIGINT)").as(s"v_$n") }
+      val aggs = momentDefs.flatMap { case (n, _) => Seq(
+        expr(s"SUM(v_$n div $MomentSplit)").as(s"${n}_hi"),
+        expr(s"SUM(v_$n % $MomentSplit)").as(s"${n}_lo")) }
+      val sums = momentDefs.map { case (n, _) =>
+        expr(s"CAST(CAST(${n}_hi AS DECIMAL(38,0)) * $MomentSplit + ${n}_lo" +
+          s" AS DOUBLE) / 10000.0D").as(n) }
       Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag") +: scaled: _*)
         .groupBy("l_returnflag")
-        .agg(expr(moments.head).as("n_rows"),
-          moments.tail.map(expr): _*)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(col("l_returnflag") +: col("n_rows") +: sums: _*)
         .selectExpr(statFormulas: _*)
     },
 
