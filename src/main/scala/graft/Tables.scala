@@ -13,8 +13,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every entry point scans through here, so this is the one chokepoint
+    // that guarantees the graft_* function registry (including the
+    // fixed-point sum aggregate dsum resolves against) on ANY session the
+    // driver hands us; registration is an idempotent map put
+    graft.plans.GraftExtensions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Session options every graft entry point needs:
     *  - UTC so naive parquet timestamps agree with the DuckDB oracle;

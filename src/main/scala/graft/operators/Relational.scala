@@ -23,8 +23,16 @@ object Relational {
     * bit-identical on both engines (a scale-10 decimal→double cast is NOT:
     * DuckDB's int128/10^s path double-rounds, off by 1 ulp).
     */
+  // Exact SUM → ROUND(,2) → DOUBLE. Since round 14 the sum runs on the
+  // fixed-point long kernel (graft.plans.FixedPointSum — two-long buffer,
+  // no per-row BigDecimal) instead of SUM(DECIMAL(28,scale)); the values
+  // are identical because every call site's input is a fixed-point
+  // decimal of ≤ min(scale, 6) true digits (2-dp money columns, integral
+  // quantities, and their ≤6-dp products at scale 10), so both forms sum
+  // the same exact integers and the oracle's DECIMAL SQL needs no change.
   private[operators] def dsum(c: Column, scale: Int = 2): Column =
-    round(sum(c.cast(DecimalType(28, scale))), 2).cast("double")
+    round(graft.plans.FixedPointSum.exact(c, math.min(scale, 6)), 2)
+      .cast("double")
   private[operators] def sqlDsum(e: String, scale: Int = 2): String =
     s"CAST(ROUND(SUM(CAST($e AS DECIMAL(28,$scale))), 2) AS DOUBLE)"
 

@@ -551,7 +551,7 @@ object StatsQueries {
           .isin("0", "1", "2", "3"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_sampled"),
-          round(sum(col("o_totalprice").cast(DecimalType(28, 2))), 2)
+          round(graft.plans.FixedPointSum.exact(col("o_totalprice"), 2), 2)
             .cast("double").as("sum_price"))
     },
 
@@ -570,12 +570,12 @@ object StatsQueries {
       FROM w UNPIVOT (value FOR metric IN (qty, price, disc))""")) { (s, dir) =>
       Tables.t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-          round(sum(col("l_quantity").cast(DecimalType(28, 2))), 2)
+        .agg( // fixed-point long kernel, == the oracle's DECIMAL(28,2) sums
+          round(graft.plans.FixedPointSum.exact(col("l_quantity"), 2), 2)
             .cast("double").as("qty"),
-          round(sum(col("l_extendedprice").cast(DecimalType(28, 2))), 2)
+          round(graft.plans.FixedPointSum.exact(col("l_extendedprice"), 2), 2)
             .cast("double").as("price"),
-          round(sum(col("l_discount").cast(DecimalType(28, 2))), 2)
+          round(graft.plans.FixedPointSum.exact(col("l_discount"), 2), 2)
             .cast("double").as("disc"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("qty"), col("price"), col("disc")), "metric", "value")
@@ -817,7 +817,7 @@ object StatsQueries {
           when(col("o_orderpriority") === "1-URGENT", "7").otherwise("1"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_sampled"),
-          round(sum(col("o_totalprice").cast(DecimalType(28, 2))), 2)
+          round(graft.plans.FixedPointSum.exact(col("o_totalprice"), 2), 2)
             .cast("double").as("sum_price"))
     },
 

@@ -529,6 +529,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 4, "graft_centroid_argmin takes exactly 4 arguments")
         CentroidArgmin(args(0), args(1), args(2), args(3))
+      }),
+    ("graft_fixed_sum_hl",
+      new ExpressionInfo(classOf[FixedPointSumHL].getName, "graft_fixed_sum_hl"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_fixed_sum_hl takes exactly 2 arguments")
+        val scale = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_fixed_sum_hl scale must be an INT literal, got $other")
+        }
+        FixedPointSumHL(args(0), scale)
       }))
 
   /** Idempotent post-hoc registration for sessions built without

@@ -222,4 +222,38 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(got(3L) == null)
     assert(got(4L) == ((29L, 1L, 26L, 26L)))
   }
+
+  test("graft_fixed_sum_hl equals the decimal sum on fixed-point data, SUM null semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.register(spark)
+    // 2-dp fixed-point values incl. negatives and nulls; group c is
+    // all-null and must yield NULL like SUM
+    val rows = Seq(
+      ("a", Some(12.34)), ("a", Some(-0.07)), ("a", Some(100000.01)),
+      ("a", None), ("b", Some(-99999.99)), ("b", Some(0.01)),
+      ("c", None)) ++ (1 to 5000).map(i => ("b", Some(i / 100.0)))
+    val df = rows.toDF("g", "x")
+    val got = df.groupBy("g")
+      .agg(round(graft.plans.FixedPointSum.exact(col("x"), 2), 2)
+        .cast("double").as("s"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val want = df.groupBy("g")
+      .agg(round(sum(col("x").cast(org.apache.spark.sql.types
+        .DecimalType(28, 2))), 2).cast("double").as("s"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got("c") == null)
+    // scale-6 products: the q1 charge shape (2dp x 2dp x 2dp = 6 true dp)
+    val prods = Seq((1.23, 0.96, 1.04), (45.67, 0.99, 1.08),
+      (99999.99, 0.90, 1.00)).toDF("e", "d", "t")
+      .select((col("e") * col("d") * col("t")).as("x"))
+    val g6 = prods.agg(graft.plans.FixedPointSum.exact(col("x"), 6)
+      .cast("double")).head.getDouble(0)
+    val w6 = prods.agg(sum(col("x").cast(org.apache.spark.sql.types
+      .DecimalType(28, 10))).cast("double")).head.getDouble(0)
+    assert(g6 == w6, s"scale-6 kernel $g6 != decimal $w6")
+  }
 }
