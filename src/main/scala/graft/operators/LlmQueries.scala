@@ -2002,7 +2002,7 @@ object LlmQueries {
     *    both the c12 join and the uc rollup.
     */
   private def bigramParts(docs: DataFrame):
-      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      (DataFrame, DataFrame, DataFrame) = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
     val bg = toks.select(col("doc_id"), explode(expr(
@@ -2024,7 +2024,14 @@ object LlmQueries {
       .union(docs.filter(!col("text").contains(" "))
         .select(col("text").as("tok")))
       .agg(countDistinct(col("tok")).as("vs"))
-    (bg, bc, uc, vDf)
+    // The scoring join consumes c12 and c1 side by side; CHECKPOINT the
+    // merged table so the big join sees its EXACT size — a join of two
+    // estimated inputs gets multiplicative row guesses, and the inflated
+    // estimate pushed AQE past the broadcast threshold at sf1/sf2,
+    // shuffling the corpus-sized occurrence stream (measured 1.7 → 6.1 s
+    // at sf2 before this checkpoint). Vocab²-bounded write, one job.
+    val counts = bc.join(uc, Seq("w1")).localCheckpoint(true)
+    (bg, counts, vDf)
   }
 
   /** The scoring stream: one row per bigram occurrence with its corpus
@@ -2035,8 +2042,15 @@ object LlmQueries {
     * realistic vocabulary and the occurrence stream never shuffles.
     */
   private def bigramJoined(docs: DataFrame): DataFrame = {
-    val (bg, bc, uc, vDf) = bigramParts(docs)
-    bg.join(bc.join(uc, Seq("w1")), Seq("w1", "w2"))
+    val (bg, counts, vDf) = bigramParts(docs)
+    // the broadcast hint pins BuildRight: Catalyst's size estimate for
+    // the exploded occurrence stream (a filtered two-column scan of a
+    // compressed parquet) can undercut the checkpointed count table's
+    // in-memory size, and without the hint it BROADCAST THE CORPUS SIDE
+    // at sf1/sf2 (measured 1.5 → 6 s). counts is the vocab²-bounded side
+    // by construction; at open-web vocabulary q112's CMS is the scale
+    // path and this exact form is the oracle anchor.
+    bg.join(broadcast(counts), Seq("w1", "w2"))
       .crossJoin(broadcast(vDf))
   }
 
@@ -2071,7 +2085,7 @@ object LlmQueries {
       confidence: Double = 0.999, seed: Int = 42): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (bg, bc, uc, vDf) = bigramParts(docs)
+    val (bg, counts, vDf) = bigramParts(docs)
     // ONE pass over the (small, checkpointed) COUNT table builds BOTH
     // sketches — zero corpus-sized passes where r9 ran two sequential
     // stat.countMinSketch driver jobs over the full occurrence stream.
@@ -2082,7 +2096,7 @@ object LlmQueries {
     // partial-buffer merge is counter addition (commutative), so with
     // the fixed seed the sketches are bit-identical whatever the
     // partitioning/order.
-    val bytes = bc
+    val bytes = counts
       .select(concat_ws(" ", col("w1"), col("w2")), col("w1"), col("c12"))
       .as[(String, String, Long)]
       .select(new TwoCmsAgg(eps, confidence, seed).toColumn).head()
@@ -2117,7 +2131,7 @@ object LlmQueries {
     // evaluating ~|corpus occurrences| / |distinct bigrams| fewer
     // estimateCount calls and string concats — the probes now cost
     // vocab², whatever the corpus size.
-    val audited = bc.join(uc, Seq("w1"))
+    val audited = counts
       .withColumn("e12", call_function("graft_cms_estimate",
         lit(sketchBytes(cms12)), concat_ws(" ", col("w1"), col("w2"))))
       .withColumn("e1", call_function("graft_cms_estimate",
@@ -2125,7 +2139,7 @@ object LlmQueries {
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
         expr(s"e12 >= c12 AND e12 <= c12 + $slack12").as("b12"),
         expr(s"e1 >= c1 AND e1 <= c1 + $slack1").as("b1"))
-    bg.join(audited, Seq("w1", "w2"))
+    bg.join(broadcast(audited), Seq("w1", "w2")) // see bigramJoined: pin BuildRight
       .crossJoin(broadcast(vDf))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
