@@ -248,6 +248,37 @@ object TextHash {
       Array[Any]((L - 1).toLong, top2, (L - 4).toLong, five.size.toLong))
   }
 
+  /** Per-document term frequencies in ONE token pass: distinct tokens of
+    * the whitespace split (empty tokens from doubled spaces are real, as
+    * everywhere) with their multiplicities, first-occurrence order. This
+    * is the map-side half of exact TF-IDF: tokens of a document already
+    * live in one row, so grouping them by a corpus-wide (doc, token)
+    * shuffle — the classic explode→groupBy shape — moves every token
+    * occurrence across the cluster to count neighbors that were adjacent
+    * in the input. One kernel call per row replaces that entire exchange.
+    */
+  def tokenTf(text: UTF8String):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val cap = math.min(toks.length.toLong * 2, 1L << 30).toInt
+    val m = new java.util.LinkedHashMap[String, Long](cap)
+    var i = 0
+    while (i < toks.length) {
+      m.merge(toks(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[AnyRef](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Hamming distance between two equal-length bit strings ('0'/'1' chars)
     * — counts differing positions; the oracle mirror is a per-position
     * substr compare sum. Runs only on candidate pairs (post-bucket-join),

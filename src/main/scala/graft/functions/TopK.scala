@@ -36,3 +36,34 @@ final class TopKByValue(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ValKey]]()
   override def outputEncoder: Encoder[Seq[ValKey]] = bufferEncoder
 }
+
+/** Input row for [[TopTermsByScore]]: a scored term with its counts,
+  * ranked by (score DESC, token ASC) — the token string is the
+  * deterministic tie-break (q127's ORDER BY).
+  */
+final case class TermScore(score: Double, token: String, tf: Long, df: Long)
+
+/** Bounded top-k terms per document — [[TopKByValue]]'s pattern with a
+  * string tie-break and the tf/df payload carried through. Map tasks keep
+  * ≤k terms per doc, so the per-doc reduction happens BEFORE the shuffle
+  * when a document's terms are co-located (they are, when the scored
+  * stream keeps scan order), and the final merge is O(k²·partials).
+  */
+final class TopTermsByScore(k: Int)
+    extends Aggregator[TermScore, Seq[TermScore], Seq[TermScore]] {
+
+  private val ord: Ordering[TermScore] =
+    Ordering.by[TermScore, (Double, String)](t => (-t.score, t.token))
+
+  private def bounded(s: Seq[TermScore]): Seq[TermScore] = s.sorted(ord).take(k)
+
+  override def zero: Seq[TermScore] = Nil
+  override def reduce(b: Seq[TermScore], a: TermScore): Seq[TermScore] =
+    bounded(b :+ a)
+  override def merge(b1: Seq[TermScore], b2: Seq[TermScore]): Seq[TermScore] =
+    bounded(b1 ++ b2)
+  override def finish(r: Seq[TermScore]): Seq[TermScore] = r
+  override def bufferEncoder: Encoder[Seq[TermScore]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermScore]]()
+  override def outputEncoder: Encoder[Seq[TermScore]] = bufferEncoder
+}

@@ -1717,14 +1717,14 @@ object LlmQueries {
     // bucketing / rule-based curation. Scoring is EXACT cross-engine
     // without log(): rank by tf*N/df, computed as an IEEE double division
     // of exact integers (correctly rounded identically in both engines),
-    // ties broken by token. Plan: one corpus-sized token explode feeding
-    // the (doc,token) tf aggregate (map-side combined); df aggregates the
-    // ALREADY-REDUCED tf table (vocab x avg-doc-vocab rows, not corpus
-    // tokens); the tf-df join shuffles on token where AQE's skew handling
-    // covers stopword keys (a df-count window here would instead BUFFER
-    // each token's full partition — quadratic pain on stopwords); the
-    // final per-doc top-3 is a window over doc-bounded partitions. Every
-    // post-explode stage runs on reduced data.
+    // ties broken by token. Plan: per-doc tf in ONE kernel call per row
+    // (`graft_token_tf` — a doc's tokens already share a row, so the
+    // classic (doc, token) count shuffle never happens), the vocab-sized
+    // df aggregate as the only map-side-combined exchange, df broadcast
+    // back, and the per-doc top-3 via the bounded TopTermsByScore
+    // Aggregator (the q9 posture: ≤k rows per doc per map task, no
+    // window sort). No corpus-sized exchange anywhere — see
+    // [[tfidfTopTerms]].
     Q("q127_tfidf_terms", Some("""
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                    FROM documents),
@@ -1770,24 +1770,39 @@ object LlmQueries {
   /** q127 kernel: top-`k` TF-IDF terms per document. The idf surrogate is
     * the exact rational tf·N/df evaluated as one IEEE double division of
     * exact integers (bit-identical in any engine; log() would not be), so
-    * ranking is deterministic with the token tie-break. df aggregates the
-    * already-reduced (doc, token, tf) table — the raw token stream is
-    * touched exactly once, by the tf aggregate's map-side combine.
+    * ranking is deterministic with the token tie-break.
+    *
+    * Shuffle budget — the first cut moved the corpus TWICE (a (doc,
+    * token) tf shuffle, then a doc_id window sort) and measured 3.3 s at
+    * sf5. Now: per-doc tf comes from the `graft_token_tf` kernel — a
+    * document's tokens already live in one row, so counting them never
+    * needs an exchange; only the VOCAB-sized doc-frequency aggregate
+    * shuffles (map-side combined (token) rows); df broadcasts back
+    * (pinned — the corpus side's scan estimate must never win the build
+    * side, the q111 lesson; for an open-vocabulary corpus drop the hint
+    * and the join degrades to a shuffle gracefully); and the per-doc
+    * top-k is the house bounded Aggregator, which collapses each doc to
+    * ≤k rows BEFORE its shuffle because the scored stream keeps scan
+    * order — no window, no corpus sort, no corpus-sized exchange
+    * anywhere.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     val nDocs = docs.count() // parquet-metadata count, not a scan
     val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), explode(expr("graft_token_tf(text)")).as("t"))
+      .select(col("doc_id"), col("t.token").as("token"), col("t.tf").as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "token")
+    val scored = tf.join(broadcast(df), "token")
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         ((col("tf") * nDocs).cast("double") / col("df")).as("score"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("token"))
-    scored.withColumn("rk", row_number().over(w).cast("int"))
-      .filter(col("rk") <= k)
-      .select("doc_id", "rk", "token", "tf", "df", "score")
+    val topk = udaf(new graft.functions.TopTermsByScore(k))
+    scored.groupBy("doc_id")
+      .agg(topk(col("score"), col("token"), col("tf"), col("df")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("t.token").as("token"), col("t.tf").as("tf"),
+        col("t.df").as("df"), col("t.score").as("score"))
   }
 
   /** q124 kernel: exact vocab-coverage curve. The (token → freq) table

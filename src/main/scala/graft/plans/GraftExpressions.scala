@@ -465,6 +465,30 @@ final case class GramStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_token_tf(string) → array<struct<token, tf>>`: per-document term
+  * frequencies in one pass ([[graft.functions.TextHash.tokenTf]]) — the
+  * map-side half of exact TF-IDF (q127). Emitting (distinct token,
+  * multiplicity) pairs from the row itself removes the corpus-wide
+  * (doc, token) count shuffle entirely; only the vocab-sized doc-frequency
+  * aggregate still exchanges. Not codegen'd beyond the call — the kernel
+  * IS the work, one virtual call per row.
+  */
+final case class TokenTf(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_token_tf"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHash.tokenTf(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.tokenTf($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenTf =
+    copy(child = newChild)
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     GraftExtensions.functions.foreach { case (name, info, builder) =>
@@ -530,6 +554,9 @@ object GraftExtensions {
         require(args.length == 4, "graft_centroid_argmin takes exactly 4 arguments")
         CentroidArgmin(args(0), args(1), args(2), args(3))
       }),
+    ("graft_token_tf",
+      new ExpressionInfo(classOf[TokenTf].getName, "graft_token_tf"),
+      (args: Seq[Expression]) => TokenTf(one(args, "graft_token_tf"))),
     ("graft_fixed_sum_hl",
       new ExpressionInfo(classOf[FixedPointSumHL].getName, "graft_fixed_sum_hl"),
       (args: Seq[Expression]) => {

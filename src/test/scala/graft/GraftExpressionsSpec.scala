@@ -223,6 +223,19 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(got(4L) == ((29L, 1L, 26L, 26L)))
   }
 
+  test("graft_token_tf counts multiplicities, keeps empty tokens, first-occurrence order") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val got = Seq((1L, "b a b  b"), (2L, "x")).toDF("doc_id", "text")
+      .selectExpr("doc_id", "explode(graft_token_tf(text)) AS t")
+      .selectExpr("doc_id", "t.token", "t.tf")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // "b a b  b" splits to [b, a, b, "", b] — the doubled space yields a
+    // REAL empty token, matching split semantics everywhere else
+    assert(got.toSeq == Seq((1L, "b", 3L), (1L, "a", 1L), (1L, "", 1L),
+      (2L, "x", 1L)))
+  }
+
   test("graft_fixed_sum_hl equals the decimal sum on fixed-point data, SUM null semantics") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

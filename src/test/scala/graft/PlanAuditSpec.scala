@@ -329,20 +329,20 @@ class PlanAuditSpec extends SparkSpec {
       s"token chunking must scale with scan bandwidth alone: ${ex.map(_.nodeName)}")
   }
 
-  test("q127 tf-idf joins post-reduction tables only: no corpus-row join input") {
-    // the tf-df join must consume the AGGREGATED tf table, never the raw
-    // exploded token stream: every join in the plan sits above at least one
-    // HashAggregate on each side's subtree
-    import org.apache.spark.sql.execution.joins.{BaseJoinExec => BJ}
+  test("q127 tf-idf: kernel tf, broadcast df, bounded top-k — no window, no corpus shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val all = executed("q127_tfidf_terms")
-    val joins = all.collect { case j: BJ => j }
-    assert(joins.nonEmpty, "expected the tf-df join")
-    joins.foreach { j =>
-      Seq(j.left, j.right).foreach { side =>
-        assert(flatten(side).exists(_.nodeName.contains("Aggregate")),
-          s"join side must be a reduced aggregate, not raw tokens:\n$j")
-      }
-    }
+    assert(!all.exists(_.nodeName.contains("Window")),
+      "per-doc top-k must be the bounded Aggregator, not a window rank")
+    assert(all.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "df must broadcast back to the doc-ordered scored stream")
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
+      "the corpus-side stream must never shuffle for the df join")
+    // the only shuffles allowed: the vocab-sized df aggregate's (token)
+    // exchange and the ≤k-rows-per-doc top-k exchange
+    val shuffles = all.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2,
+      s"expected at most df-agg + topk exchanges, got ${shuffles.size}")
   }
 
   test("q128 triplet mining: anchors broadcast, corpus never shuffle-joins") {
