@@ -490,10 +490,15 @@ object Relational {
     // ---------------------------------------------------------------- Q29
     // TPC-H Q8-shaped market share: 8-table join (lineitem⋈orders⋈customer⋈
     // nation⋈region ⋈ supplier⋈nation ⋈ part) + per-year share via an exact
-    // decimal window sum. Join-order/strategy left entirely to Catalyst+AQE:
-    // region/nation are bounded dims (auto-broadcast), customer/supplier/
-    // part SF-proportional (shuffle or broadcast by measured size), and the
-    // one fact-fact join (lineitem⋈orders) shuffles on the order key.
+    // decimal window sum. Spark ships with CBO join-reorder OFF, so the
+    // DECLARED order is the executed order — a left-deep lineitem⋈orders
+    // first would shuffle both full facts before any selective filter
+    // lands. We declare the selective order instead: p_type='PROMO' (~1/6
+    // of parts) and the ASIA customer set (~1/5) reduce EACH fact via
+    // dim joins (AQE broadcasts them at measured size — no forced
+    // broadcast of SF-proportional tables, so at 100 TB they degrade to
+    // shuffles, never driver OOM), leaving ONE fact-fact shuffle on the
+    // order key over the 6×/5×-reduced sides.
     Q("q29_market_share", Some("""
       WITH base AS (
         SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
@@ -514,19 +519,29 @@ object Relational {
         round(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY o_year) AS DOUBLE), 6) AS share
       FROM agg""")) { (s, dir) =>
       def t(n: String) = Tables.t(s, dir, n)
-      val base = t("lineitem")
-        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t("customer"), col("o_custkey") === col("c_custkey"))
-        .join(t("nation").as("n1"), col("c_nationkey") === col("n1.n_nationkey"))
+      // ASIA customer keys: bounded nation⋈region broadcast, then the
+      // SF-proportional customer projection (2 cols survive the scan).
+      val asiaNationKeys = t("nation").as("n1")
         .join(t("region"), col("n1.n_regionkey") === col("r_regionkey"))
-        .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+        .where(col("r_name") === "ASIA")
+        .select(col("n1.n_nationkey"))
+      val custF = t("customer")
+        .join(asiaNationKeys, col("c_nationkey") === col("n1.n_nationkey"))
+        .select(col("c_custkey"))
+      val ordersF = t("orders")
+        .join(custF, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val suppNation = t("supplier")
         .join(t("nation").as("n2"), col("s_nationkey") === col("n2.n_nationkey"))
-        .join(t("part"), col("l_partkey") === col("p_partkey"))
-        .where(col("r_name") === "ASIA" && col("p_type") === "PROMO")
-        .select(year(col("o_orderdate")).as("o_year"),
-          col("n2.n_name").as("supp_nation"),
+        .select(col("s_suppkey"), col("n2.n_name").as("supp_nation"))
+      val partF = t("part").where(col("p_type") === "PROMO").select(col("p_partkey"))
+      val base = t("lineitem")
+        .join(partF, col("l_partkey") === col("p_partkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("supp_nation"),
           (col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast(DecimalType(28, 10)).as("vol"))
+        .join(ordersF, col("l_orderkey") === col("o_orderkey"))
       val agg = base.groupBy("o_year", "supp_nation").agg(sum("vol").as("rev"))
       agg.select(col("o_year"), col("supp_nation"),
         round(col("rev"), 2).cast("double").as("revenue"),
