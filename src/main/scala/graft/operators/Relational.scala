@@ -151,20 +151,32 @@ object Relational {
         AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY n_name ORDER BY revenue DESC, n_name""")) { (s, dir) =>
+      // CBO join-reorder is off, so declare the selective order: the ASIA
+      // nation set (bounded broadcast) restricts customer AND supplier
+      // (~1/5 each) BEFORE any fact join; the 1997 orders (~1/7) join the
+      // ASIA customers first, so the one lineitem shuffle probes an
+      // orders side already cut ~35×. AQE picks broadcast vs shuffle for
+      // the SF-proportional sides by measured size.
+      val n = Tables.t(s, dir, "nation")
+      val r = Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val asiaN = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       val c = Tables.t(s, dir, "customer")
+        .join(asiaN.select(col("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
       val o = Tables.t(s, dir, "orders")
         .filter(col("o_orderdate") >= ntz("1997-01-01 00:00:00") &&
           col("o_orderdate") < ntz("1998-01-01 00:00:00"))
-      val l = Tables.t(s, dir, "lineitem")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
       val su = Tables.t(s, dir, "supplier")
-      val n = Tables.t(s, dir, "nation")
-      val r = Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(su, l("l_suppkey") === su("s_suppkey") &&
-          c("c_nationkey") === su("s_nationkey"))
-        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .join(asiaN.select(col("n_nationkey").as("sn_key"), col("n_name")),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      Tables.t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 10).as("revenue"))
     },
