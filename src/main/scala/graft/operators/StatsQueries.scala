@@ -504,7 +504,10 @@ object StatsQueries {
   def approxRobust(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+      // accuracy 2500 → rank error ≤ n/2500, a 50× margin under the
+      // audit's eps = 0.02; 10000 paid ~4× the summary-compress work for
+      // margin the audit can't observe (same measured tradeoff as q74)
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 2500)")
         .as("aq"))
       .select(col("l_returnflag"), col("aq")(0).as("ap25"),
         col("aq")(1).as("ap50"), col("aq")(2).as("ap75"))
