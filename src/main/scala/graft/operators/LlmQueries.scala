@@ -1743,8 +1743,112 @@ object LlmQueries {
         FROM scored) t
       WHERE rk <= 3""")) { (s, dir) =>
       tfidfTopTerms(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q129
+    // BM25 ranked retrieval: score every document against a fixed query
+    // term set (Okapi BM25, k1=1.2, b=0.75) and return the global top-10.
+    // The retrieval op the tf-idf family was missing — q127 ranks terms
+    // WITHIN a doc; this ranks DOCS for a query. Shuffle budget: the
+    // corpus never exchanges — per-doc tf comes from one graft_token_tf
+    // kernel call (map probe per query term), corpus statistics (N,
+    // Σdl, per-term df) are ONE 1-row aggregate broadcast back, and the
+    // global top-k is TakeOrdered (heap per partition, k rows to the
+    // driver), not a sort. At 100 TB: two map-only scans + a k-row
+    // result; the query-term set is a literal, so the "dimension" side
+    // is constant-size by construction.
+    //
+    // Cross-engine exactness: the scoring expressions are built ONCE
+    // ([[bm25NormSql]]/[[bm25ScoreSql]]) and interpolated into BOTH the
+    // Spark plan and the DuckDB oracle, with every operand explicitly
+    // CAST to DOUBLE — identical IEEE op sequences are bit-identical in
+    // any engine, which is why the rational idf surrogate replaces
+    // log((N-df+0.5)/(df+0.5)+1): log is the one op with no cross-
+    // library rounding guarantee (the q127 lesson). The surrogate is
+    // monotone in the true idf, so BM25's ranking semantics survive.
+    Q("q129_bm25_topk", Some(s"""
+      WITH tokd AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      base AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+          ${Bm25Terms.zipWithIndex.map { case (t, i) =>
+            s"CAST(len(list_filter(toks, t -> t = '$t')) AS BIGINT) AS tf$i"
+          }.mkString(",\n          ")}
+        FROM tokd),
+      stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+          ${Bm25Terms.indices.map(i =>
+            s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+            .mkString(",\n          ")}
+        FROM base),
+      normed AS (
+        SELECT doc_id, dl, CAST($bm25NHitSql AS INT) AS n_hit,
+          $bm25NormSql AS norm,
+          ${Bm25Terms.indices.map(i => s"tf$i, df$i").mkString(", ")}, n_docs
+        FROM base, stats)
+      SELECT doc_id, $bm25ScoreSql AS score, dl, n_hit
+      FROM normed ORDER BY score DESC, doc_id LIMIT $Bm25K""")) { (s, dir) =>
+      bm25TopK(Tables.t(s, dir, "documents"))
     }
   )
+
+  /** q129 query-term set — literal by design: a retrieval query is
+    * user-supplied, not corpus-derived, so the broadcast side is
+    * constant-size at any corpus scale. */
+  private[graft] def Bm25Terms: Seq[String] =
+    Seq("spark", "join", "window", "table", "fast")
+  private[graft] def Bm25K: Int = 10
+
+  /** BM25 length norm k1·(1−b+b·dl/avgdl) with avgdl expanded to
+    * Σdl/N — every operand CAST to DOUBLE so both engines run the same
+    * IEEE op sequence (decimal literals would type as DECIMAL in both
+    * Spark and DuckDB with engine-specific promotion rules). */
+  private def bm25NormSql: String =
+    "CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * " +
+      "(CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))"
+
+  /** Per-term BM25 contributions summed left-associatively — the rational
+    * idf surrogate (N−df+0.5)/(df+0.5) times tf·(k1+1)/(tf+norm). */
+  private def bm25ScoreSql: String =
+    Bm25Terms.indices.map { i =>
+      s"(((CAST(n_docs - df$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+        s"(CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))) * " +
+        s"(CAST(tf$i AS DOUBLE) * CAST(2.2 AS DOUBLE)) / " +
+        s"(CAST(tf$i AS DOUBLE) + norm))"
+    }.mkString(" + ")
+
+  private def bm25NHitSql: String =
+    Bm25Terms.indices.map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  /** q129 kernel. Two map-only passes over the corpus: pass 1 aggregates
+    * (N, Σdl, df per query term) into ONE row; pass 2 scores each doc
+    * against that broadcast row and keeps the global top-k via
+    * TakeOrdered. Per-doc tf for all query terms comes from a single
+    * graft_token_tf call (the doc's tokens already live in one row —
+    * no (doc, token) exchange exists), probed with try_element_at
+    * (ANSI-safe: absent term → 0). */
+  def bm25TopK(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(coalesce(try_element_at(tfm, '$t'), 0) AS BIGINT) AS tf$i" }
+    val base = docs
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS dl",
+        "map_from_entries(graft_token_tf(text)) AS tfm")
+      .selectExpr("doc_id" +: "dl" +: tfCols: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    base.crossJoin(broadcast(stats))
+      .selectExpr(Seq("doc_id", "dl", s"CAST($bm25NHitSql AS INT) AS n_hit",
+        s"$bm25NormSql AS norm") ++
+        Bm25Terms.indices.flatMap(i => Seq(s"tf$i", s"df$i")) :+ "n_docs": _*)
+      .selectExpr("doc_id", s"$bm25ScoreSql AS score", "dl", "n_hit")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25K)
+  }
 
   /** q126 kernel: overlapping token-window chunking (`window` tokens at
     * `stride`). Chunk starts are every multiple of `stride` below the

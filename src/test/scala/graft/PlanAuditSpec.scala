@@ -358,4 +358,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!all.exists(_.nodeName.contains("Window")),
       "per-anchor argmin/argmax must be the struct min/max aggregate, not a window rank")
   }
+
+  test("q129 bm25: corpus never exchanges — 1-row stats broadcast, TakeOrdered top-k") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val all = executed("q129_bm25_topk")
+    assert(all.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "global top-k must be TakeOrdered (per-partition heap), not a sort")
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")) &&
+      !all.exists(_.nodeName.contains("ShuffledHashJoin")),
+      "the corpus side must stream through the 1-row stats broadcast")
+    // the only shuffle allowed is the 1-row corpus-stats aggregate's merge
+    val shuffles = all.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1,
+      s"expected only the stats-agg exchange, got ${shuffles.size}")
+  }
 }

@@ -57,4 +57,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.filter(_._1 == 3L).map(t => (t._2, t._3, t._6)).toSeq ==
       Seq((1, "cherry", 4.5), (2, "date", 3.0)))
   }
+
+  test("bm25TopK ranks by hit weight, zero-scores no-hit docs, penalizes length") {
+    // query terms: spark join window table fast
+    val docs = Seq(
+      (1L, "spark join spark"),                  // 2 terms hit, spark tf=2
+      (2L, "alpha beta gamma"),                  // no hits → exactly 0.0
+      (3L, "spark alpha beta gamma delta eps"),  // spark tf=1, dl=6
+      (4L, "spark beta")                         // spark tf=1, dl=2 (shorter)
+    ).toDF("doc_id", "text")
+    val got = operators.LlmQueries.bm25TopK(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+
+    // global order: multi-hit doc first; same-tf docs rank by length
+    // norm (shorter wins); zero-hit doc last with score exactly 0.0
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 3L, 2L))
+    assert(got(3)._2 == 0.0, "a doc with no query terms must score exactly 0")
+    assert(got(0)._2 > got(1)._2 && got(1)._2 > got(2)._2 && got(2)._2 > 0.0)
+    assert(got.map(_._3).toSeq == Seq(3L, 2L, 6L, 3L), "dl = token count")
+    assert(got.map(_._4).toSeq == Seq(2, 1, 1, 0), "n_hit = query terms present")
+  }
 }
