@@ -208,6 +208,51 @@ object TextHash {
     }
   }
 
+  /** DISTINCT n-token shingles as 64-bit keys: the [[minhashArray]] fold
+    * (`u64(md5(shingle)[0:16]) mod p`, p = 2^61−1) applied per shingle,
+    * deduped on the HASH, first-occurrence order. For set operations at
+    * corpus scale (q130's cross-source intersection) an 8-byte key
+    * through the exchange beats the ~25-byte shingle string ~3×; both
+    * engines apply the identical fold, so hash-set counts stay
+    * bit-equal oracle-side (a p-collision would merge the same pair of
+    * shingles in both). Oracle mirror: `list_distinct([('0x' ||
+    * substr(md5(s), 1, 16))::UBIGINT::HUGEINT % p for s in shingles])`.
+    */
+  def shingles64(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val count = toks.length - n + 1
+    if (count <= 0) new GenericArrayData(Array.empty[AnyRef])
+    else {
+      val md = md5Tl.get()
+      val buf = bufTl.get()
+      val tb = new Array[Array[Byte]](toks.length)
+      var t = 0
+      while (t < toks.length) { tb(t) = toks(t).getBytes(StandardCharsets.UTF_8); t += 1 }
+      val seen = new java.util.LinkedHashSet[java.lang.Long](count * 2)
+      var k = 0
+      while (k < count) {
+        md.reset()
+        var j = 0
+        while (j < n) {
+          if (j > 0) md.update(spaceByte)
+          md.update(tb(k + j))
+          j += 1
+        }
+        md.digest(buf, 0, 16)
+        var h64 = 0L
+        var i = 0
+        while (i < 8) { h64 = (h64 << 8) | (buf(i) & 0xFFL); i += 1 }
+        seen.add(java.lang.Long.remainderUnsigned(h64, MinHashP))
+        k += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
   /** q118's per-doc gram statistics in ONE token pass: (n2, top2, n5, d5)
     * = (bigram occurrences, max single-bigram multiplicity, 5-gram
     * occurrences, distinct 5-grams), over whitespace tokens with the same

@@ -1789,8 +1789,107 @@ object LlmQueries {
       SELECT doc_id, $bm25ScoreSql AS score, dl, n_hit
       FROM normed ORDER BY score DESC, doc_id LIMIT $Bm25K""")) { (s, dir) =>
       bm25TopK(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q130
+    // Cross-source overlap matrix: exact 5-gram-shingle-set Jaccard for
+    // every source pair — the corpus-health audit run before mixing
+    // sources into a training blend (how much of src_a is already in
+    // src_b decides dedup order and mixture weights). EXACT set
+    // intersection, not a minhash estimate: the answer is |sources|²
+    // numbers, so the honest cost is one vocab-sized exchange. Shingles
+    // travel as md5-folded 64-bit keys (`graft_shingles64`, the MinHash
+    // family's fold — both engines apply it identically, so counts stay
+    // bit-equal): an 8-byte key through the exchange instead of the
+    // ~25-byte shingle string.
+    //
+    // Shuffle budget: (sid, shingle-hash) pairs flow into ONE
+    // groupBy(shingle) whose per-shingle source set is a LONG BITMASK
+    // aggregated with codegen'd bit_or (sources map to ≤64 bit ids from
+    // a bounded sorted dim — no per-key set objects, partials stay 8
+    // bytes however many docs share a shingle); a second map-side-
+    // combined aggregate collapses the vocab to its DISTINCT
+    // CO-OCCURRENCE PATTERNS (mask → count, a handful of rows), which
+    // is localCheckpoint'd and expanded into singleton + ordered-pair
+    // events at pattern granularity. At 100 TB the one big exchange is
+    // the vocabulary — map-side-combined and skew-free (the hot-shingle
+    // key carries one 8-byte partial per map task, not a row per doc).
+    Q("q130_source_overlap", Some(s"""
+      WITH tok AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      sh AS (SELECT DISTINCT source,
+               unnest([ ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT
+                        % ${graft.functions.TextHash.MinHashP} for s in
+                        ${shingleSetSql(5)} ])::BIGINT AS sh
+             FROM tok),
+      per AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+      inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+                GROUP BY 1, 2)
+      SELECT pa.source AS src_a, pb.source AS src_b,
+        pa.n_sh AS n_a, pb.n_sh AS n_b,
+        COALESCE(i.n_inter, 0) AS n_inter,
+        CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+          (pa.n_sh + pb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+      FROM per pa JOIN per pb ON pa.source < pb.source
+      LEFT JOIN inter i ON pa.source = i.src_a AND pb.source = i.src_b
+      ORDER BY src_a, src_b""")) { (s, dir) =>
+      sourceOverlap(Tables.t(s, dir, "documents"))
     }
   )
+
+  /** q130 kernel — see the Q entry for the shuffle-budget argument. The
+    * per-shingle source set is a BIT MASK (sources map to ≤64 bit ids
+    * from a bounded sorted dim), so the corpus-sized aggregate is a
+    * codegen'd `bit_or` over longs — no per-key set objects — and the
+    * second aggregate collapses to the DISTINCT CO-OCCURRENCE PATTERNS
+    * (mask → shingle count), map-side-combined to a handful of rows.
+    * Singles and ordered pairs then expand from each mask's bit list at
+    * pattern granularity, weighted by its count. The Jaccard is one
+    * IEEE division of exact integers (bit-identical in any engine; no
+    * rounding needed — the q127 idiom). */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val srcs = docs.select("source").distinct().orderBy("source")
+      .collect().map(_.getString(0)) // bounded dim — the decile-table idiom
+    require(srcs.length <= 64,
+      s"source bitmask holds <=64 sources, got ${srcs.length}")
+    val sidExpr = srcs.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col("source") === s, lit(i)).otherwise(acc) }
+    def nameOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      srcs.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (s, i)) => when(c === i, lit(s)).otherwise(acc) }
+    val masks = docs
+      .select(sidExpr.as("sid"),
+        explode(expr("graft_shingles64(text, 5)")).as("sh"))
+      .groupBy("sh")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), sid))").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      .withColumn("bits", expr(
+        s"filter(sequence(0, ${srcs.length - 1}), s -> (shiftright(mask, s) & 1) = 1)"))
+      .localCheckpoint(true) // ≤ distinct co-occurrence patterns; 2 consumers
+    val ev = masks
+      .selectExpr("""explode(concat(
+          transform(bits, x -> struct(x AS a, CAST(-1 AS INT) AS b)),
+          flatten(transform(bits, (x, i) ->
+            transform(slice(bits, i + 2, size(bits)), y -> struct(x AS a, y AS b))))
+        )) AS e""", "cnt")
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(sum(col("cnt")).as("n"))
+    val per = ev.filter(col("b") === -1)
+      .select(nameOf(col("a")).as("source"), col("n").as("n_sh"))
+    val inter = ev.filter(col("b") =!= -1)
+      .select(nameOf(col("a")).as("ia"), nameOf(col("b")).as("ib"),
+        col("n").as("n_inter"))
+    per.as("pa").join(per.as("pb"), col("pa.source") < col("pb.source"))
+      .select(col("pa.source").as("src_a"), col("pb.source").as("src_b"),
+        col("pa.n_sh").as("n_a"), col("pb.n_sh").as("n_b"))
+      .join(inter, col("src_a") === col("ia") && col("src_b") === col("ib"),
+        "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .selectExpr("src_a", "src_b", "n_a", "n_b", "n_inter",
+        "CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard")
+  }
 
   /** q129 query-term set — literal by design: a retrieval query is
     * user-supplied, not corpus-derived, so the broadcast side is

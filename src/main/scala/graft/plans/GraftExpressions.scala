@@ -273,6 +273,35 @@ final case class ShingleSet(child: Expression, n: Expression)
     copy(child = newLeft, n = newRight)
 }
 
+/** `graft_shingles64(string, n) → array<bigint>`: DISTINCT n-token
+  * shingles as md5-folded 64-bit keys mod 2^61−1 (kernel + oracle
+  * contract in [[graft.functions.TextHash.shingles64]]) — the 8-byte
+  * exchange-friendly form of [[ShingleSet]] for corpus-scale set
+  * operations.
+  */
+final case class ShingleSet64(child: Expression, n: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = n
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING argument")
+    else if (n.dataType != org.apache.spark.sql.types.IntegerType || !n.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal INT shingle size")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles64"
+  override protected def nullSafeEval(text: Any, size: Any): Any =
+    graft.functions.TextHash.shingles64(text.asInstanceOf[UTF8String],
+      size.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) => s"graft.functions.TextHash.shingles64($t, $s)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleSet64 =
+    copy(child = newLeft, n = newRight)
+}
+
 /** `graft_simhash64(string) → string`: 64-bit SimHash bit string over the
   * text's whitespace tokens (kernel + oracle contract in
   * [[graft.functions.TextHash.simhashBits]]).
@@ -532,6 +561,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_shingles takes exactly 2 arguments")
         ShingleSet(args(0), args(1))
+      }),
+    ("graft_shingles64",
+      new ExpressionInfo(classOf[ShingleSet64].getName, "graft_shingles64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles64 takes exactly 2 arguments")
+        ShingleSet64(args(0), args(1))
       }),
     ("graft_bloom_contains",
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),

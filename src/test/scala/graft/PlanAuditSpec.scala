@@ -372,4 +372,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.size <= 1,
       s"expected only the stats-agg exchange, got ${shuffles.size}")
   }
+
+  test("q130 source overlap: matrix assembly is checkpoint-fed, no corpus join") {
+    val all = executed("q130_source_overlap")
+    // downstream of the localCheckpoint'd mask histogram nothing big
+    // remains: the per×per pair join and the intersection join must both
+    // broadcast, never sort-merge
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
+      "tiny matrix assembly must broadcast")
+    assert(!all.exists(_.nodeName.contains("Window")))
+  }
 }

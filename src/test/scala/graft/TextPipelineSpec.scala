@@ -78,4 +78,39 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.map(_._3).toSeq == Seq(3L, 2L, 6L, 3L), "dl = token count")
     assert(got.map(_._4).toSeq == Seq(2, 1, 1, 0), "n_hit = query terms present")
   }
+
+  test("sourceOverlap computes the exact pairwise shingle-set Jaccard matrix") {
+    val docs = Seq(
+      ("sa", "t1 t2 t3 t4 t5 t6"), // shingles {1..5, 2..6}
+      ("sb", "t1 t2 t3 t4 t5"),    // {1..5} ⊂ sa's set
+      ("sc", "x1 x2 x3 x4 x5"),    // disjoint
+      ("sc", "x1 x2 x3 x4 x5")     // duplicate doc — sets, not bags
+    ).toDF("source", "text")
+    val got = operators.LlmQueries.sourceOverlap(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      ("sa", "sb", 2L, 1L, 1L, 0.5),
+      ("sa", "sc", 2L, 1L, 0L, 0.0),
+      ("sb", "sc", 1L, 1L, 0L, 0.0)))
+  }
+
+  test("shingles64 is the md5 fold of the distinct shingle set") {
+    val out = spark.sql(
+      "SELECT graft_shingles64('a b c a b c a b', 5) AS h," +
+        " graft_shingles('a b c a b c a b', 5) AS s")
+      .collect().head
+    val hs = out.getSeq[Long](0)
+    val ss = out.getSeq[String](1)
+    assert(hs.length == ss.length, "hash set dedups exactly like the string set")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = ss.map { s =>
+      val d = md.digest(s.getBytes("UTF-8"))
+      var h = 0L; (0 until 8).foreach(i => h = (h << 8) | (d(i) & 0xFFL))
+      java.lang.Long.remainderUnsigned(h, functions.TextHash.MinHashP)
+    }
+    assert(hs == expect, "fold must match u64(md5[0:16]) mod 2^61-1")
+  }
 }
