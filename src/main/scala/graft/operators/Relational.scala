@@ -377,17 +377,29 @@ object Relational {
 
     // ---------------------------------------------------------------- Q17
     // GROUPING SETS via SQL (the one shape the DataFrame API lacks).
+    // PRE-AGGREGATED: Catalyst plans grouping sets as Expand × |sets|
+    // BEFORE the aggregate, so the naive form pushed 3× the fact rows
+    // (with a decimal sum each) through the partial agg. COUNT and SUM
+    // are decomposable, so the fact first collapses to its ~6
+    // (flag, status) cells on the fixed-point kernel — one ordinary
+    // scan-shaped aggregate — and the Expand multiplies 6 rows, not
+    // 30 M (3.0 s → scan cost at sf5). Same trick any cube/rollup over
+    // decomposable aggregates admits at 100 TB.
     Q("q17_grouping_sets", Some(s"""
       SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         ${sqlDsum("l_extendedprice")} AS sum_price
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")) { (s, dir) =>
-      Tables.t(s, dir, "lineitem").createOrReplaceTempView("graft_q17_lineitem")
-      s.sql(s"""
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-          ${sqlDsum("l_extendedprice")} AS sum_price
-        FROM graft_q17_lineitem
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n0"),
+          graft.plans.FixedPointSum.exact(col("l_extendedprice"), 2).as("s0"))
+        .createOrReplaceTempView("graft_q17_cells")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, SUM(n0) AS n,
+          CAST(ROUND(SUM(s0), 2) AS DOUBLE) AS sum_price
+        FROM graft_q17_cells
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
     },
 
