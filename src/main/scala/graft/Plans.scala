@@ -14,7 +14,8 @@ object Plans {
     "q1_pricing_summary" -> "scan + two-phase hash aggregation, no sort, no shuffle beyond the 6-group exchange",
     "q2_filter_project" -> "filter + projection pushed into the parquet scan (PushedFilters / pruned columns)",
     "q13_topk_lineitems" -> "global top-k via TakeOrderedAndProject (per-partition heads, no full sort)",
-    "q29_market_share" -> "8-table join: bounded dims broadcast, fact-fact shuffle, AQE picks strategies by measured size",
+    "q29_market_share" -> "8-table join DECLARED in selective order (stock Spark runs joins as written — CBO reorder is off): PROMO parts and ASIA customers reduce each fact via AQE-sized dim joins before the one fact-fact shuffle on the order key",
+    "q17_grouping_sets" -> "grouping sets over PRE-AGGREGATED cells: the fact collapses to ~6 (flag, status) rows on the fixed-point sum kernel before the Expand, which multiplies 6 rows instead of the corpus",
     "q41_minhash_bands" -> "codegen'd graft_minhash16 signature scan — no UDF encoder boundary, no interpreted HOF, no shuffle",
     "q42_lsh_neardup" -> "MinHash band buckets as the join key — candidate pairs only, never all-pairs",
     "q53_asof_join" -> "as-of join composed from union + window carry-forward (no per-row probe)",
@@ -30,7 +31,9 @@ object Plans {
     "q86_robust_stats" -> "exact robust stats on the zero-shuffle rank-selection kernel: every pass a map-side-combining aggregate over one cached projection — no range partition, no sort, no corpus-sized exchange anywhere (the emitted plan is the driver-local epilogue; the heavy passes ran eagerly)",
     "q118_repetition_audit" -> "Gopher-style repetition audit: ONE map-only codegen'd pass — the native graft_gram_stats kernel computes all four per-doc statistics per row; no exchange, no explode, no windows",
     "q119_kmeans_step" -> "one exact Lloyd step: assignment is MAP-ONLY — one argmin kernel call per row over the driver-collected primitive centroid matrix (the per-seed expression form paid k+1 array conversions per row); only the k×64-group centroid update exchanges",
-    "q123_kmeans_semdedup" -> "SemDeDup's published shape: map-only k-means assignment (corpus-derived sqrt-balanced k) as the candidate generator, ONE cluster-id shuffle into a per-cell dense pairwise kernel, sparse-delta CC, single-argmax quality keep")
+    "q123_kmeans_semdedup" -> "SemDeDup's published shape: map-only k-means assignment (corpus-derived sqrt-balanced k) as the candidate generator, ONE cluster-id shuffle into a per-cell dense pairwise kernel, sparse-delta CC, single-argmax quality keep",
+    "q129_bm25_topk" -> "BM25 retrieval with ZERO corpus exchanges: per-doc tf in one graft_token_tf kernel call, corpus stats as a 1-row broadcast aggregate, global top-k via TakeOrderedAndProject",
+    "q130_source_overlap" -> "exact cross-source Jaccard matrix: md5-folded 8-byte shingle keys into ONE vocab-sized exchange aggregating a codegen'd bit_or source bitmask, vocab collapsed to distinct co-occurrence patterns, checkpoint-fed |sources|-squared expansion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
