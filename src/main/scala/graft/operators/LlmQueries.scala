@@ -1834,6 +1834,97 @@ object LlmQueries {
       LEFT JOIN inter i ON pa.source = i.src_a AND pb.source = i.src_b
       ORDER BY src_a, src_b""")) { (s, dir) =>
       sourceOverlap(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q131
+    // Cross-source Stupid Backoff scoring (Brants et al. 2007, "Large
+    // Language Models in Machine Translation" — the backoff score S
+    // designed FOR distributed count-based LMs: no discounting, no
+    // normalization, just raw relative frequencies with a fixed 0.4
+    // backoff factor, chosen because it needs nothing but count tables a
+    // MapReduce/Spark job already produces). Each doc is scored against
+    // the counts of every OTHER source (leave-one-source-out): a trigram
+    // seen elsewhere scores f(w1w2w3)/f(w1w2); one never seen elsewhere
+    // backs off to 0.4·f(w2w3)/f(w2), then to 0.4²·f(w3)/N. That makes
+    // this the cross-source surprise audit — which sources the rest of
+    // the blend cannot predict — and, unlike self-scoring (where every
+    // trigram trivially exists), the backoff path is exercised for real:
+    // ~60% of this corpus's distinct trigrams live in exactly one source.
+    // Scoring is exact integer micro-units (the q111 idiom — floor
+    // division only, no log, no double), so both engines agree bit-for-bit.
+    //
+    // Shuffle budget: ONE corpus-sized aggregation (the per-(trigram,
+    // source) counts); bigram and unigram counts come from rollups of it
+    // plus per-doc last-bigram/last-token correction rows (doc-count-
+    // sized, the q111 rollup lesson), never a second occurrence-stream
+    // shuffle. All five count lookups pre-join at DISTINCT-TRIGRAM scale
+    // into one enriched table with per-source maps, checkpointed so the
+    // corpus-sized occurrence stream meets a single pinned broadcast
+    // join. At open-web vocabulary the exact count tables stop fitting
+    // and q112's CMS substitution is the scale path; this exact form is
+    // its oracle anchor, the q111→q112 split.
+    Q("q131_stupid_backoff", Some("""
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents),
+      tg0 AS (SELECT doc_id, source,
+                unnest([ struct_pack(w1 := t[i], w2 := t[i + 1], w3 := t[i + 2])
+                         for i in range(1, len(t) - 1) ]) AS g
+              FROM toks WHERE len(t) >= 3),
+      tg AS (SELECT doc_id, source, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tg0),
+      bg0 AS (SELECT source,
+                unnest([ struct_pack(b1 := t[i], b2 := t[i + 1])
+                         for i in range(1, len(t)) ]) AS b
+              FROM toks WHERE len(t) >= 2),
+      bg AS (SELECT source, b.b1 AS b1, b.b2 AS b2 FROM bg0),
+      ug AS (SELECT source, unnest(t) AS u FROM toks),
+      tc  AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tg GROUP BY 1, 2, 3),
+      tcs AS (SELECT w1, w2, w3, source, COUNT(*) AS c FROM tg GROUP BY 1, 2, 3, 4),
+      bc  AS (SELECT b1, b2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      bcs AS (SELECT b1, b2, source, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+      uc  AS (SELECT u, COUNT(*) AS c FROM ug GROUP BY 1),
+      ucs AS (SELECT u, source, COUNT(*) AS c FROM ug GROUP BY 1, 2),
+      ns  AS (SELECT source, COUNT(*) AS n_src FROM ug GROUP BY 1),
+      nt  AS (SELECT COUNT(*) AS n_tot FROM ug),
+      terms AS (
+        SELECT s.doc_id,
+          tc.c - COALESCE(tco.c, 0) AS c123x,
+          b12.c - COALESCE(b12o.c, 0) AS c12x,
+          b23.c - COALESCE(b23o.c, 0) AS c23x,
+          u2.c - COALESCE(u2o.c, 0) AS c2x,
+          u3.c - COALESCE(u3o.c, 0) AS c3x,
+          nt.n_tot - ns.n_src AS nx
+        FROM tg s
+        JOIN tc USING (w1, w2, w3)
+        LEFT JOIN tcs tco ON tco.w1 = s.w1 AND tco.w2 = s.w2
+          AND tco.w3 = s.w3 AND tco.source = s.source
+        JOIN bc b12 ON b12.b1 = s.w1 AND b12.b2 = s.w2
+        LEFT JOIN bcs b12o ON b12o.b1 = s.w1 AND b12o.b2 = s.w2
+          AND b12o.source = s.source
+        JOIN bc b23 ON b23.b1 = s.w2 AND b23.b2 = s.w3
+        LEFT JOIN bcs b23o ON b23o.b1 = s.w2 AND b23o.b2 = s.w3
+          AND b23o.source = s.source
+        JOIN uc u2 ON u2.u = s.w2
+        LEFT JOIN ucs u2o ON u2o.u = s.w2 AND u2o.source = s.source
+        JOIN uc u3 ON u3.u = s.w3
+        LEFT JOIN ucs u3o ON u3o.u = s.w3 AND u3o.source = s.source
+        JOIN ns ON ns.source = s.source, nt),
+      scored AS (
+        SELECT doc_id,
+          CASE WHEN c123x > 0 THEN (c123x * 1000000) // c12x
+               WHEN c23x > 0 THEN (c23x * 400000) // c2x
+               WHEN c3x > 0 THEN (c3x * 160000) // nx
+               ELSE 0 END AS term,
+          CASE WHEN c123x > 0 THEN 3 WHEN c23x > 0 THEN 2
+               WHEN c3x > 0 THEN 1 ELSE 0 END AS lvl
+        FROM terms)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        CAST(SUM(term) // COUNT(*) AS BIGINT) AS sb_score_micro,
+        CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hit,
+        CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_hit,
+        CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_hit,
+        CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM scored GROUP BY doc_id""")) { (s, dir) =>
+      stupidBackoff(Tables.t(s, dir, "documents"))
     }
   )
 
@@ -1889,6 +1980,112 @@ object LlmQueries {
         coalesce(col("n_inter"), lit(0L)).as("n_inter"))
       .selectExpr("src_a", "src_b", "n_a", "n_b", "n_inter",
         "CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard")
+  }
+
+  /** q131 kernel — leave-one-source-out Stupid Backoff (see the Q entry
+    * for the method citation and shuffle-budget argument).
+    *
+    * Count-table derivation (the q111 rollup lesson — ONE corpus-sized
+    * aggregation, everything lower-order derived from it):
+    *  - per-(trigram, source) counts `tcs` are the only aggregation of
+    *    the occurrence stream;
+    *  - bigram counts = Σ_w3 tcs (bigrams at positions 0..L−3) PLUS each
+    *    doc's LAST bigram (position L−2; the only bigram of an L=2 doc) —
+    *    a doc-count-sized map-only correction stream, no second explode;
+    *  - unigram counts = Σ_b2 bigram counts (tokens at positions 0..L−2)
+    *    PLUS each doc's LAST token (the only token of an L=1 doc).
+    * Both identities are exact (pinned in TextPipelineSpec against a
+    * direct recount), so the oracle's direct per-order GROUP BYs see the
+    * same tables.
+    *
+    * The five lookups a scoring row needs — c123, c12, c23, c2, c3, each
+    * as (total, own-source) — pre-join at DISTINCT-TRIGRAM scale into one
+    * enriched table `e` carrying per-source maps
+    * (map_from_entries(collect_list(...)) — key lookup is insertion-order
+    * independent and sources are unique per group). `e` is checkpointed
+    * so AQE sees its exact size, and the occurrence-stream join pins
+    * BuildRight via broadcast() — the q111 lesson, where an estimated
+    * join side got the CORPUS broadcast at sf1/sf2. Inner joins are safe:
+    * every trigram's context bigram/unigrams occur at least once (its own
+    * occurrence), and each backoff guard implies its denominator is
+    * positive (a trigram seen outside the source puts its (w1,w2) bigram
+    * outside the source too).
+    */
+  def stupidBackoff(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      split(col("text"), " ").as("t"))
+    val tg = toks.filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, size(t) - 3),
+          |  i -> struct(t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("source"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+    // the ONLY corpus-sized aggregation; read 4× below (bigram rollup +
+    // enriched-table build), hence checkpointed
+    val tcs = tg.groupBy("w1", "w2", "w3", "source")
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val lastBg = toks.filter(size(col("t")) >= 2)
+      .select(expr("t[size(t) - 2]").as("b1"), expr("t[size(t) - 1]").as("b2"),
+        col("source"), lit(1L).as("c"))
+    val bcs = tcs
+      .select(col("w1").as("b1"), col("w2").as("b2"), col("source"), col("c"))
+      .union(lastBg)
+      .groupBy("b1", "b2", "source").agg(sum(col("c")).as("c"))
+      .localCheckpoint(true)
+    val lastTok = toks
+      .select(expr("t[size(t) - 1]").as("u"), col("source"), lit(1L).as("c"))
+    val ucs = bcs.select(col("b1").as("u"), col("source"), col("c"))
+      .union(lastTok)
+      .groupBy("u", "source").agg(sum(col("c")).as("c"))
+      .localCheckpoint(true)
+    // both bounded (≤ |sources| rows / 1 row); checkpointing keeps their
+    // aggregation exchanges out of the corpus-sized scoring plan
+    val ns = ucs.groupBy("source").agg(sum(col("c")).as("n_src"))
+      .localCheckpoint(true)
+    val nTot = ns.agg(sum(col("n_src")).as("n_tot")).localCheckpoint(true)
+    def withMap(df: DataFrame, keys: Seq[String], tot: String, m: String) =
+      df.groupBy(keys.map(col): _*)
+        .agg(sum(col("c")).as(tot),
+          map_from_entries(collect_list(struct(col("source"), col("c"))))
+            .as(m))
+    val tE = withMap(tcs, Seq("w1", "w2", "w3"), "c123_tot", "c123_m")
+    val bE = withMap(bcs, Seq("b1", "b2"), "cb_tot", "cb_m")
+    val uE = withMap(ucs, Seq("u"), "cu_tot", "cu_m")
+    val e = tE
+      .join(bE.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("cb_tot").as("c12_tot"), col("cb_m").as("c12_m")), Seq("w1", "w2"))
+      .join(bE.select(col("b1").as("w2"), col("b2").as("w3"),
+        col("cb_tot").as("c23_tot"), col("cb_m").as("c23_m")), Seq("w2", "w3"))
+      .join(uE.select(col("u").as("w2"),
+        col("cu_tot").as("c2_tot"), col("cu_m").as("c2_m")), Seq("w2"))
+      .join(uE.select(col("u").as("w3"),
+        col("cu_tot").as("c3_tot"), col("cu_m").as("c3_m")), Seq("w3"))
+      .localCheckpoint(true)
+    tg.join(broadcast(e), Seq("w1", "w2", "w3"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .selectExpr("doc_id",
+        "c123_tot - coalesce(element_at(c123_m, source), 0L) AS c123x",
+        "c12_tot - coalesce(element_at(c12_m, source), 0L) AS c12x",
+        "c23_tot - coalesce(element_at(c23_m, source), 0L) AS c23x",
+        "c2_tot - coalesce(element_at(c2_m, source), 0L) AS c2x",
+        "c3_tot - coalesce(element_at(c3_m, source), 0L) AS c3x",
+        "n_tot - n_src AS nx")
+      .selectExpr("doc_id",
+        """CASE WHEN c123x > 0 THEN (c123x * 1000000L) div c12x
+          |     WHEN c23x > 0 THEN (c23x * 400000L) div c2x
+          |     WHEN c3x > 0 THEN (c3x * 160000L) div nx
+          |     ELSE 0L END AS term""".stripMargin,
+        """CASE WHEN c123x > 0 THEN 3 WHEN c23x > 0 THEN 2
+          |     WHEN c3x > 0 THEN 1 ELSE 0 END AS lvl""".stripMargin)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        expr("sum(term) div count(1)").as("sb_score_micro"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hit"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_big_hit"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni_hit"),
+        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"))
   }
 
   /** q129 query-term set — literal by design: a retrieval query is

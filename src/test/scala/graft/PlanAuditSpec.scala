@@ -373,6 +373,23 @@ class PlanAuditSpec extends SparkSpec {
       s"expected only the stats-agg exchange, got ${shuffles.size}")
   }
 
+  test("q131 stupid backoff: occurrence stream meets ONE pinned broadcast, one doc agg") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val all = executed("q131_stupid_backoff")
+    // the count tables pre-join at distinct-trigram scale behind eager
+    // checkpoints; the corpus-sized occurrence stream must meet the
+    // enriched table as the broadcast PROBE side, never shuffle for it
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")) &&
+      !all.exists(_.nodeName.contains("ShuffledHashJoin")),
+      "the trigram occurrence stream must stream through broadcast joins")
+    assert(all.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "enriched-count join must be a broadcast hash join")
+    // the only shuffle in the scoring plan: the final per-doc aggregate
+    val shuffles = all.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1,
+      s"expected only the doc-id agg exchange, got ${shuffles.size}")
+  }
+
   test("q130 source overlap: matrix assembly is checkpoint-fed, no corpus join") {
     val all = executed("q130_source_overlap")
     // downstream of the localCheckpoint'd mask histogram nothing big

@@ -97,6 +97,39 @@ class TextPipelineSpec extends SparkSpec {
       ("sb", "sc", 1L, 1L, 0L, 0.0)))
   }
 
+  test("stupidBackoff scores leave-one-source-out with exact floor-division backoff") {
+    // Hand-computed corpus hitting all four backoff levels, PLUS the two
+    // rollup-correction paths the kernel derives lower-order counts from:
+    // d6 has no trigrams (its (a,b) bigram exists ONLY via the last-bigram
+    // correction stream — without it d1 scores 1000000, not 500000) and d7
+    // is a single token (exists ONLY via the last-token correction —
+    // without it d1's unigram-d backoff halves).
+    val docs = Seq(
+      (1L, "A", "a b c d"),
+      (2L, "B", "a b c"),
+      (3L, "C", "x b c q q"),
+      (4L, "D", "p q d"),
+      (5L, "E", "z z w"),
+      (6L, "B", "a b"),
+      (7L, "D", "d")
+    ).toDF("doc_id", "source", "text")
+    val got = operators.LlmQueries.stupidBackoff(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    // N=21 tokens. d1: (a,b,c) seen in B → 1000000·1/2 (c12x counts d6's
+    // corrected (a,b)); (b,c,d) backs off to unigram d (d7 doubles the
+    // outside count): 2·160000/17. d5's trigram/bigram/unigram exist
+    // nowhere else → OOV. Docs 6/7 emit no trigram rows.
+    assert(got.toSeq == Seq(
+      (1L, 2L, 259411L, 1L, 0L, 1L, 0L),
+      (2L, 1L, 1000000L, 1L, 0L, 0L, 0L),
+      (3L, 3L, 95555L, 0L, 1L, 2L, 0L),
+      (4L, 1L, 9411L, 0L, 0L, 1L, 0L),
+      (5L, 1L, 0L, 0L, 0L, 0L, 1L)))
+  }
+
   test("shingles64 is the md5 fold of the distinct shingle set") {
     val out = spark.sql(
       "SELECT graft_shingles64('a b c a b c a b', 5) AS h," +
