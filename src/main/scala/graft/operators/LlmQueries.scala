@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.TextHash
+import graft.functions.{MisraGries, TextHash}
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Observation, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
@@ -1925,6 +1925,74 @@ object LlmQueries {
         CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
       FROM scored GROUP BY doc_id""")) { (s, dir) =>
       stupidBackoff(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q132
+    // φ-heavy hitters over the corpus shingle stream via a Misra–Gries
+    // summary (Misra & Gries 1982; mergeable-summaries merge, Agarwal et
+    // al. PODS 2012) — the DETERMINISTIC counterpart to q112's CMS: a
+    // ≤ k−1-counter summary underestimates any count by at most n/k, so
+    // with ε = 1/k strictly below φ = 1/16384 every true φ-hitter is
+    // GUARANTEED in the candidate set no matter how Spark partitions or
+    // merges. Two passes, zero corpus shuffles: pass 1 moves only k-sized
+    // summaries (map-side partial MG per partition, one merge); pass 2
+    // re-scans the corpus through a broadcast semi-join on the ≤ k−1
+    // candidates and exact-counts only them — the output is the EXACT
+    // φ-heavy-hitter set (shingle, exact count, integer micro frequency),
+    // which is why a DuckDB oracle can check a sketch-built plan
+    // bit-for-bit. The q111→q112 split, third way: CMS = tiny state +
+    // probabilistic overestimate; MG = k counters + deterministic
+    // containment; both anchor to the same exact audit.
+    Q("q132_heavy_hitters", Some(s"""
+      WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      sh AS (SELECT unnest($shinglesSql) AS shingle
+             FROM tok WHERE len(toks) >= 3),
+      n AS (SELECT COUNT(*) AS n_tot FROM sh),
+      c AS (SELECT shingle, COUNT(*) AS cnt FROM sh GROUP BY 1)
+      SELECT shingle, cnt,
+        CAST((cnt * 1000000) // n_tot AS BIGINT) AS freq_micro
+      FROM c, n WHERE cnt * 16384 > n_tot""")) { (s, dir) =>
+      heavyHitters(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q133
+    // Broder CONTAINMENT near-subsumption (Broder 1997, "On the
+    // resemblance and containment of documents" — the companion measure
+    // to the resemblance/Jaccard the MinHash family estimates):
+    // C(A,B) = |A∩B| / |A| flags a document whose shingle set mostly
+    // lives inside another even when the size gap crushes Jaccard — the
+    // quote/excerpt/template-subsumption case Jaccard-LSH structurally
+    // misses (a 50-shingle doc inside a 5000-shingle doc has J ≤ 0.01
+    // but C = 1.0). Candidates come from the shared-shingle inverted
+    // index with the SAME docfreq cap the LSH family uses ([[BucketCap]]
+    // — a shingle in >cap docs is boilerplate, not evidence; both
+    // engines apply the cap identically so the capped intersection is a
+    // deterministic LOWER bound and the oracle stays bit-exact). Both
+    // orientations reported per unordered pair; threshold: the larger
+    // containment ≥ 0.8. Integer micro-unit fractions, floor division.
+    Q("q133_containment_dedup", Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      hs AS (SELECT doc_id,
+               [ ('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT % $minhashP
+                 for s in ${shingleSetSql(5)} ] AS sh
+             FROM tok),
+      post AS (SELECT doc_id, len(sh) AS n, unnest(sh)::BIGINT AS h
+               FROM hs WHERE len(sh) > 0),
+      capped AS (SELECT doc_id, n, h FROM (
+                   SELECT doc_id, n, h, COUNT(*) OVER (PARTITION BY h) AS df
+                   FROM post)
+                 WHERE df <= $BucketCap),
+      pairs AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+                  a.n AS na, b.n AS nb, COUNT(*) AS i
+                FROM capped a JOIN capped b
+                  ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4)
+      SELECT doc_id1, doc_id2, CAST(na AS BIGINT) AS n_a,
+        CAST(nb AS BIGINT) AS n_b, CAST(i AS BIGINT) AS inter,
+        CAST((i * 1000000) // na AS BIGINT) AS cont_a_in_b_micro,
+        CAST((i * 1000000) // nb AS BIGINT) AS cont_b_in_a_micro
+      FROM pairs WHERE i * 5 >= 4 * LEAST(na, nb)""")) { (s, dir) =>
+      containmentDedup(Tables.t(s, dir, "documents"))
     }
   )
 
@@ -2086,6 +2154,97 @@ object LlmQueries {
         sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_big_hit"),
         sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni_hit"),
         sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  /** q132 kernel — two-pass exact φ-heavy hitters (see the Q entry).
+    *
+    * Pass 1 is ONE aggregation with no grouping key: Spark runs the
+    * [[graft.functions.MisraGries]] insert per partition (map-side, no
+    * exchange of the shingle stream) and merges the ≤ k−1-counter
+    * summaries — the only data that moves is k-sized, at any corpus
+    * size. Pass 2 broadcast-joins the candidate set (bounded by k, so
+    * broadcast-safe at 100 TB by construction, unlike a data-dependent
+    * force-broadcast) back onto a fresh corpus scan and exact-counts the
+    * survivors; the groupBy exchange carries at most k−1 distinct keys.
+    * n comes from the summary itself — every row passed through insert
+    * exactly once, so `summary.n` IS the exact stream length and lands
+    * in the plan as a literal. ε = 1/k = 1/65536 < φ = 1/16384 is the
+    * textbook ε < φ sizing; the candidate set may contain non-hitters
+    * (the audit filters them) but can never miss a hitter, which is the
+    * property SketchSpec pins across adversarial partitionings.
+    */
+  def heavyHitters(docs: DataFrame, phiInv: Long = 16384L,
+      k: Int = 65536): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(0, size(t) - 3),
+          |  i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"""
+          .stripMargin)).as("shingle"))
+    val summary = sh.as[String].select(new MgAgg(k).toColumn).head()
+    val cand = summary.counts.keysIterator.toSeq.toDF("shingle")
+    sh.join(broadcast(cand), "shingle")
+      .groupBy("shingle").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(phiInv) > lit(summary.n))
+      .select(col("shingle"), col("cnt"),
+        expr(s"(cnt * 1000000L) div ${summary.n}").as("freq_micro"))
+  }
+
+  /** q133 kernel — see the Q entry for the measure. Plan shape: the
+    * per-doc TRUE set size `n` is computed map-side (size of the folded
+    * distinct-shingle array, BEFORE the docfreq cap — the containment
+    * denominator must be the real set) and RIDES the posting rows as an
+    * 8-byte column, so no corpus-sized sizes join ever happens. One
+    * exchange on the shingle hash serves both the docfreq window and the
+    * pair self-join (merge hint → ReusedExchange, the q42 idiom); the
+    * pair aggregate keys on (doc_id1, doc_id2, n_a, n_b) — n_a/n_b are
+    * functionally dependent on the ids, so the extra keys change nothing
+    * but spare the join-back. Two exchanges total at any corpus size,
+    * both over capped posting/pair streams.
+    */
+  def containmentDedup(docs: DataFrame, cap: Int = BucketCap): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val post = docs
+      .selectExpr("doc_id", "graft_shingles64(text, 5) AS sh")
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("h"))
+    val capped = post
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= cap)
+      .select("doc_id", "n", "h")
+    val a = capped.select(col("doc_id").as("doc_id1"), col("n").as("n_a"),
+      col("h"))
+    val b = capped.select(col("doc_id").as("doc_id2"), col("n").as("n_b"),
+      col("h").as("hb"))
+    a.hint("merge").join(b,
+        col("h") === col("hb") && col("doc_id1") < col("doc_id2"))
+      .groupBy("doc_id1", "doc_id2", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 5 >= least(col("n_a"), col("n_b")) * 4)
+      .select(col("doc_id1"), col("doc_id2"), col("n_a"), col("n_b"),
+        col("inter"),
+        expr("(inter * 1000000L) div n_a").as("cont_a_in_b_micro"),
+        expr("(inter * 1000000L) div n_b").as("cont_b_in_a_micro"))
+  }
+
+  /** Flat (no-group) MG aggregation: buffer and output are the summary
+    * itself; the driver reads candidates + exact n off the merged result.
+    */
+  private class MgAgg(k: Int)
+      extends Aggregator[String, MisraGries.Summary, MisraGries.Summary] {
+    def zero: MisraGries.Summary = MisraGries.empty
+    def reduce(b: MisraGries.Summary, s: String): MisraGries.Summary =
+      MisraGries.insert(b, s, k)
+    def merge(a: MisraGries.Summary, b: MisraGries.Summary): MisraGries.Summary =
+      MisraGries.merge(a, b, k)
+    def finish(b: MisraGries.Summary): MisraGries.Summary = b
+    def bufferEncoder: Encoder[MisraGries.Summary] =
+      Encoders.javaSerialization[MisraGries.Summary]
+    def outputEncoder: Encoder[MisraGries.Summary] =
+      Encoders.javaSerialization[MisraGries.Summary]
   }
 
   /** q129 query-term set — literal by design: a retrieval query is

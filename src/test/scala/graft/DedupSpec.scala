@@ -436,4 +436,26 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(1) == 6L)  // n2
     assert(r.getLong(2) == 2L)  // top2 = "u v" twice
   }
+
+  test("q133 containment flags subsumption Jaccard misses; the docfreq cap kills boilerplate pairs") {
+    import spark.implicits._
+    // doc 2 (24 tokens) is a verbatim prefix of doc 1 (200 tokens):
+    // containment 1.0 but Jaccard 20/196 ≈ 0.10 — invisible to the
+    // near-dup family. 60 boilerplate docs share a 9-token template whose
+    // 5 common shingles have docfreq 60 > BucketCap; WITHOUT the cap they
+    // would emit C(60,2)=1770 pairs passing the threshold (inter=5 ≥
+    // 0.8·6), so got.length==1 proves the cap, not the threshold, drops them.
+    val big = (1 to 200).map(i => s"w$i").mkString(" ")
+    val small = (1 to 24).map(i => s"w$i").mkString(" ")
+    val boiler = (1 to 60).map(i =>
+      (100L + i, (1 to 9).map(j => s"c$j").mkString(" ") + s" z$i"))
+    val docs = (Seq((1L, big), (2L, small)) ++ boiler).toDF("doc_id", "text")
+    val got = operators.LlmQueries.containmentDedup(docs).collect()
+    assert(got.length == 1, s"expected only the subsumption pair, got ${got.length}")
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((196L, 20L, 20L)))
+    assert(r.getLong(5) == 102040L)   // 20/196 of the big doc — sub-near-dup
+    assert(r.getLong(6) == 1000000L)  // the small doc is fully contained
+  }
 }

@@ -390,6 +390,41 @@ class PlanAuditSpec extends SparkSpec {
       s"expected only the doc-id agg exchange, got ${shuffles.size}")
   }
 
+  test("q132 heavy hitters: audit pass broadcasts the k-bounded candidates, one agg exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val all = executed("q132_heavy_hitters")
+    // the MG pass ran at construction (summaries only); the registered
+    // plan is the audit: corpus scan → broadcast semi on ≤ k−1 candidates
+    // → candidate-bounded groupBy. The corpus must never shuffle.
+    assert(all.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "candidate join must broadcast the bounded MG candidate set")
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")) &&
+      !all.exists(_.nodeName.contains("ShuffledHashJoin")),
+      "the shingle stream must stream through the broadcast join")
+    val shuffles = all.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1,
+      s"expected only the candidate-bounded agg exchange, got ${shuffles.size}")
+  }
+
+  test("q133 containment: one reused posting exchange, no sizes join-back") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val all = executed("q133_containment_dedup")
+    // both self-join sides must plan on the SAME posting shuffle — the
+    // shingle kernel runs once per doc, not once per side
+    val reused = all.collect { case r: ReusedExchangeExec => r }
+    assert(reused.nonEmpty,
+      "no ReusedExchange: the posting self-join is computing shingles twice")
+    // set sizes ride the posting rows; a sizes join-back would show as a
+    // third join / extra exchange (identity-dedup: flatten descends
+    // ReusedExchange into the SAME shared exchange instance)
+    val shuffles = all.collect { case e: ShuffleExchangeLike => e }
+      .map(System.identityHashCode).distinct
+    assert(shuffles.size <= 2,
+      s"expected posting + pair-agg exchanges only, got ${shuffles.size}")
+    assert(!all.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "no sizes join-back should exist — n_a/n_b ride the posting rows")
+  }
+
   test("q130 source overlap: matrix assembly is checkpoint-fed, no corpus join") {
     val all = executed("q130_source_overlap")
     // downstream of the localCheckpoint'd mask histogram nothing big
