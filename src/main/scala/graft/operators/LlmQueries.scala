@@ -1857,12 +1857,12 @@ object LlmQueries {
     // source) counts); bigram and unigram counts come from rollups of it
     // plus per-doc last-bigram/last-token correction rows (doc-count-
     // sized, the q111 rollup lesson), never a second occurrence-stream
-    // shuffle. All five count lookups pre-join at DISTINCT-TRIGRAM scale
-    // into one enriched table with per-source maps, checkpointed so the
-    // corpus-sized occurrence stream meets a single pinned broadcast
-    // join. At open-web vocabulary the exact count tables stop fitting
-    // and q112's CMS substitution is the scale path; this exact form is
-    // its oracle anchor, the q111→q112 split.
+    // shuffle. The backoff term depends only on (trigram, source), so it
+    // is precomputed in a flat term table at count-table scale and the
+    // occurrence stream pays ONE hash-join probe per trigram plus the
+    // doc aggregate. At open-web vocabulary the exact count tables stop
+    // fitting and q112's CMS substitution is the scale path; this exact
+    // form is its oracle anchor, the q111→q112 split.
     Q("q131_stupid_backoff", Some("""
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
                     FROM documents),
@@ -2067,17 +2067,23 @@ object LlmQueries {
     * same tables.
     *
     * The five lookups a scoring row needs — c123, c12, c23, c2, c3, each
-    * as (total, own-source) — pre-join at DISTINCT-TRIGRAM scale into one
-    * enriched table `e` carrying per-source maps
-    * (map_from_entries(collect_list(...)) — key lookup is insertion-order
-    * independent and sources are unique per group). `e` is checkpointed
-    * so AQE sees its exact size, and the occurrence-stream join pins
-    * BuildRight via broadcast() — the q111 lesson, where an estimated
-    * join side got the CORPUS broadcast at sf1/sf2. Inner joins are safe:
-    * every trigram's context bigram/unigrams occur at least once (its own
-    * occurrence), and each backoff guard implies its denominator is
-    * positive (a trigram seen outside the source puts its (w1,w2) bigram
-    * outside the source too).
+    * as (total, own-source) — resolve entirely at count-table scale: the
+    * backoff term depends only on (trigram, source), so a flat TERM
+    * TABLE keyed by the tcs keys precomputes (term, level) once per
+    * distinct (trigram, source) and the corpus-sized occurrence stream
+    * pays one hash-join probe per occurrence. The term table is
+    * checkpointed so AQE decides that join from its EXACT size (the q111
+    * lesson inverted: never force-broadcast a vocabulary-sized side — at
+    * sf5 a forced broadcast OOM'd the 8 GB driver). While the trigram
+    * vocab fits the threshold the corpus streams through a broadcast
+    * probe (plan-pinned at fixture scale); past it AQE degrades to a
+    * hash-partitioned join on the trigram key — the transition point
+    * where q112's CMS substitution becomes the scale path for
+    * count-based LMs. Inner joins are safe: every trigram's context
+    * bigram/unigrams occur at least once in any source holding the
+    * trigram, and each backoff guard implies its denominator is positive
+    * (a trigram seen outside the source puts its (w1,w2) bigram outside
+    * the source too).
     */
   def stupidBackoff(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("source"),
@@ -2112,41 +2118,69 @@ object LlmQueries {
     val ns = ucs.groupBy("source").agg(sum(col("c")).as("n_src"))
       .localCheckpoint(true)
     val nTot = ns.agg(sum(col("n_src")).as("n_tot")).localCheckpoint(true)
-    def withMap(df: DataFrame, keys: Seq[String], tot: String, m: String) =
-      df.groupBy(keys.map(col): _*)
-        .agg(sum(col("c")).as(tot),
-          map_from_entries(collect_list(struct(col("source"), col("c"))))
-            .as(m))
-    val tE = withMap(tcs, Seq("w1", "w2", "w3"), "c123_tot", "c123_m")
-    val bE = withMap(bcs, Seq("b1", "b2"), "cb_tot", "cb_m")
-    val uE = withMap(ucs, Seq("u"), "cu_tot", "cu_m")
-    val e = tE
-      .join(bE.select(col("b1").as("w1"), col("b2").as("w2"),
-        col("cb_tot").as("c12_tot"), col("cb_m").as("c12_m")), Seq("w1", "w2"))
-      .join(bE.select(col("b1").as("w2"), col("b2").as("w3"),
-        col("cb_tot").as("c23_tot"), col("cb_m").as("c23_m")), Seq("w2", "w3"))
-      .join(uE.select(col("u").as("w2"),
-        col("cu_tot").as("c2_tot"), col("cu_m").as("c2_m")), Seq("w2"))
-      .join(uE.select(col("u").as("w3"),
-        col("cu_tot").as("c3_tot"), col("cu_m").as("c3_m")), Seq("w3"))
+    // TERM TABLE: the backoff score depends only on (trigram, source),
+    // and every scored occurrence's (trigram, source) pair is a tcs key
+    // (the occurrence itself was counted there) — so term and level are
+    // computed ONCE per distinct (trigram, source) here, at count-table
+    // scale, instead of once per corpus occurrence (the r14 first cut
+    // carried per-source MAPS to the occurrence stream and paid 5 linear
+    // map probes per occurrence — 24.7 s at sf5). Totals attach as
+    // WINDOW sums over the per-source tables — one exchange each, where
+    // a groupBy-rollup-plus-join-back pays the rollup exchange AND a
+    // re-shuffle of the big side — and each bigram/unigram enrichment
+    // arrives (own, tot) merged in a single join. The unigram table is
+    // vocabulary-sized (not vocab×source beyond a small factor), so AQE
+    // broadcasts it and both unigram joins stay map-side. Inner joins
+    // are safe: a source that has the trigram has its context
+    // bigrams/unigrams too.
+    val bcs2 = bcs.withColumn("cb_tot",
+      sum(col("c")).over(Window.partitionBy(col("b1"), col("b2"))))
+    val ucs2 = ucs.withColumn("cu_tot",
+      sum(col("c")).over(Window.partitionBy(col("u"))))
       .localCheckpoint(true)
-    tg.join(broadcast(e), Seq("w1", "w2", "w3"))
-      .join(broadcast(ns), Seq("source"))
-      .crossJoin(broadcast(nTot))
-      .selectExpr("doc_id",
-        "c123_tot - coalesce(element_at(c123_m, source), 0L) AS c123x",
-        "c12_tot - coalesce(element_at(c12_m, source), 0L) AS c12x",
-        "c23_tot - coalesce(element_at(c23_m, source), 0L) AS c23x",
-        "c2_tot - coalesce(element_at(c2_m, source), 0L) AS c2x",
-        "c3_tot - coalesce(element_at(c3_m, source), 0L) AS c3x",
+    val term = tcs
+      .withColumn("c123_tot", sum(col("c"))
+        .over(Window.partitionBy(col("w1"), col("w2"), col("w3"))))
+      .join(bcs2.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("source"), col("c").as("c12_own"), col("cb_tot").as("c12_tot"))
+        .hint("shuffle_hash"),
+        Seq("w1", "w2", "source"))
+      .join(bcs2.select(col("b1").as("w2"), col("b2").as("w3"),
+        col("source"), col("c").as("c23_own"), col("cb_tot").as("c23_tot"))
+        .hint("shuffle_hash"),
+        Seq("w2", "w3", "source"))
+      .join(ucs2.select(col("u").as("w2"), col("source"),
+        col("c").as("c2_own"), col("cu_tot").as("c2_tot")),
+        Seq("w2", "source"))
+      .join(ucs2.select(col("u").as("w3"), col("source"),
+        col("c").as("c3_own"), col("cu_tot").as("c3_tot")),
+        Seq("w3", "source"))
+      .join(ns, Seq("source"))
+      .crossJoin(nTot)
+      .selectExpr("w1", "w2", "w3", "source",
+        "c123_tot - c AS c123x",
+        "c12_tot - c12_own AS c12x",
+        "c23_tot - c23_own AS c23x",
+        "c2_tot - c2_own AS c2x",
+        "c3_tot - c3_own AS c3x",
         "n_tot - n_src AS nx")
-      .selectExpr("doc_id",
+      .selectExpr("w1", "w2", "w3", "source",
         """CASE WHEN c123x > 0 THEN (c123x * 1000000L) div c12x
           |     WHEN c23x > 0 THEN (c23x * 400000L) div c2x
           |     WHEN c3x > 0 THEN (c3x * 160000L) div nx
           |     ELSE 0L END AS term""".stripMargin,
         """CASE WHEN c123x > 0 THEN 3 WHEN c23x > 0 THEN 2
           |     WHEN c3x > 0 THEN 1 ELSE 0 END AS lvl""".stripMargin)
+      .localCheckpoint(true)
+    // shuffle_hash, not sort-merge: the probe side is the CORPUS
+    // occurrence stream — sort-merge sorts all of it by four string
+    // columns (A/B at sf5: 24.0 s vs 3.5 s for the same join), while the
+    // hash build is the vocab-scale term table whose per-partition slice
+    // is bounded by vocab/shuffle-partitions. Same rationale on the two
+    // bigram enrichment joins above (build = the smaller bcs2 side).
+    // When the vocab outgrows per-partition memory, the exact form has
+    // already handed off to q112's CMS path.
+    tg.join(term.hint("shuffle_hash"), Seq("w1", "w2", "w3", "source"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
         expr("sum(term) div count(1)").as("sb_score_micro"),

@@ -373,21 +373,27 @@ class PlanAuditSpec extends SparkSpec {
       s"expected only the stats-agg exchange, got ${shuffles.size}")
   }
 
-  test("q131 stupid backoff: occurrence stream meets ONE pinned broadcast, one doc agg") {
+  test("q131 stupid backoff: hash-joined scoring, corpus never sorted") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val all = executed("q131_stupid_backoff")
-    // the count tables pre-join at distinct-trigram scale behind eager
-    // checkpoints; the corpus-sized occurrence stream must meet the
-    // enriched table as the broadcast PROBE side, never shuffle for it
-    assert(!all.exists(_.nodeName.contains("SortMergeJoin")) &&
-      !all.exists(_.nodeName.contains("ShuffledHashJoin")),
-      "the trigram occurrence stream must stream through broadcast joins")
-    assert(all.exists(_.nodeName.contains("BroadcastHashJoin")),
-      "enriched-count join must be a broadcast hash join")
-    // the only shuffle in the scoring plan: the final per-doc aggregate
+    // the count tables build behind eager checkpoints; the registered
+    // scoring plan joins the occurrence stream with the vocab-scale term
+    // table HASH-wise (shuffle_hash pin — sort-merge sorts the corpus by
+    // four string keys, A/B'd 24 s vs 3.5 s at sf5) and aggregates per
+    // doc. No sort of the occurrence stream may ever appear.
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
+      "the scoring join must be hash-based, never sort-merge")
+    assert(!all.exists(_.nodeName.contains("Sort ")) &&
+      !all.exists(_.nodeName == "Sort"),
+      "no sort of the occurrence stream")
+    assert(all.exists(p => p.nodeName.contains("ShuffledHashJoin") ||
+      p.nodeName.contains("BroadcastHashJoin")),
+      "term join must be a hash join")
+    // at most: occurrence-side exchange, term-side exchange, doc agg
     val shuffles = all.collect { case e: ShuffleExchangeLike => e }
-    assert(shuffles.size <= 1,
-      s"expected only the doc-id agg exchange, got ${shuffles.size}")
+      .map(System.identityHashCode).distinct
+    assert(shuffles.size <= 3,
+      s"expected occurrence + term + doc-agg exchanges at most, got ${shuffles.size}")
   }
 
   test("q132 heavy hitters: audit pass broadcasts the k-bounded candidates, one agg exchange") {
