@@ -3296,9 +3296,23 @@ object LlmQueries {
     val fracThreshold = math.max(2L, math.ceil(0.001 * nDocs).toLong)
     val q115FrequentFrac = shingleDf.filter(col("df") >= fracThreshold).count()
     shingleDf.unpersist()
+    // q133: distinct doc pairs sharing a below-cap 5-shingle — the
+    // containment generator's fan-out (same cap rule as the LSH family)
+    val post133 = docs
+      .selectExpr("doc_id", "graft_shingles64(text, 5) AS sh")
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= BucketCap)
+      .select("doc_id", "h")
+    val q133 = post133.select(col("doc_id").as("doc_id1"), col("h"))
+      .hint("merge")
+      .join(post133.select(col("doc_id").as("doc_id2"), col("h").as("hb")),
+        col("h") === col("hb") && col("doc_id1") < col("doc_id2"))
+      .select("doc_id1", "doc_id2").distinct().count()
     Seq("docs" -> nDocs,
       "q42_pairs" -> q42, "q83_neighbor_rows" -> q83, "q87_edges" -> q87,
-      "q96_pairs" -> q96, "q97_pairs" -> q97,
+      "q96_pairs" -> q96, "q97_pairs" -> q97, "q133_pairs" -> q133,
       "q113_shingle_rows" -> q113Total, "q113_bloom_kept" -> q113Kept,
       "q115_frequent_shingles" -> q115Frequent,
       "q115_frequent_frac_threshold" -> fracThreshold,
