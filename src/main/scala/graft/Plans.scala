@@ -33,7 +33,10 @@ object Plans {
     "q119_kmeans_step" -> "one exact Lloyd step: assignment is MAP-ONLY — one argmin kernel call per row over the driver-collected primitive centroid matrix (the per-seed expression form paid k+1 array conversions per row); only the k×64-group centroid update exchanges",
     "q123_kmeans_semdedup" -> "SemDeDup's published shape: map-only k-means assignment (corpus-derived sqrt-balanced k) as the candidate generator, ONE cluster-id shuffle into a per-cell dense pairwise kernel, sparse-delta CC, single-argmax quality keep",
     "q129_bm25_topk" -> "BM25 retrieval with ZERO corpus exchanges: per-doc tf in one graft_token_tf kernel call, corpus stats as a 1-row broadcast aggregate, global top-k via TakeOrderedAndProject",
-    "q130_source_overlap" -> "exact cross-source Jaccard matrix: md5-folded 8-byte shingle keys into ONE vocab-sized exchange aggregating a codegen'd bit_or source bitmask, vocab collapsed to distinct co-occurrence patterns, checkpoint-fed |sources|-squared expansion")
+    "q130_source_overlap" -> "exact cross-source Jaccard matrix: md5-folded 8-byte shingle keys into ONE vocab-sized exchange aggregating a codegen'd bit_or source bitmask, vocab collapsed to distinct co-occurrence patterns, checkpoint-fed |sources|-squared expansion",
+    "q131_stupid_backoff" -> "leave-one-source-out trigram LM: backoff terms precomputed per distinct (trigram, source) behind checkpoints; the occurrence stream meets the term table as a SHUFFLE-HASH probe (sort-merge would sort the corpus by four string keys — A/B'd 24 vs 3.5 s at sf5) and aggregates per doc",
+    "q132_heavy_hitters" -> "two-pass exact phi-heavy hitters: the Misra-Gries pass moved only k-bounded summaries (already run eagerly); the emitted plan is the audit — corpus scan through a broadcast semi on the guaranteed-superset candidates, one candidate-bounded agg exchange",
+    "q133_containment_dedup" -> "Broder containment: one reused posting exchange serves the docfreq-cap window AND the pair self-join; true set sizes ride the posting rows so no sizes join-back exists")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
