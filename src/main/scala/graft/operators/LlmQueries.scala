@@ -1993,6 +1993,61 @@ object LlmQueries {
         CAST((i * 1000000) // nb AS BIGINT) AS cont_b_in_a_micro
       FROM pairs WHERE i * 5 >= 4 * LEAST(na, nb)""")) { (s, dir) =>
       containmentDedup(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q134
+    // Duplication-hub PageRank: 3 exact power-iteration passes of
+    // PageRank (Page et al. 1998) over the UNDIRECTED LSH candidate
+    // graph (q42's capped band edges) — the dedup-graph triage view:
+    // high-rank docs sit at the center of large/linked duplication
+    // families (template hubs worth human review), rank ≈ 0.15 marks
+    // isolated docs. Completes the engine's distributed-iteration
+    // triptych: CC moves min-labels, k-means moves centroids, PageRank
+    // moves rank mass — in all three the BIG table (edges / corpus)
+    // stays put and only the per-node state exchanges each round. All
+    // arithmetic is integer micro-units with floor division (damping
+    // 0.85 = ×850000 div 10⁶), so both engines iterate bit-identically —
+    // no convergence-epsilon ambiguity, a FIXED 3 passes, the q120
+    // iterated-k-means oracle idiom on a graph.
+    Q("q134_dup_pagerank", Some(s"""
+      WITH bands AS (${bandTableSql(nearCorpusSql)}),
+      capped AS (${cappedSql("bands")}),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+               FROM capped a JOIN capped b
+                 ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+      corpus AS ($nearCorpusSql),
+      edges AS (SELECT doc_id1 AS src, doc_id2 AS dst FROM cand
+                UNION ALL
+                SELECT doc_id2 AS src, doc_id1 AS dst FROM cand),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+      pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM corpus),
+      it1 AS (SELECT c.doc_id, CAST(150000 + (850000 * COALESCE(s.contrib, 0))
+                // 1000000 AS BIGINT) AS pr
+              FROM corpus c LEFT JOIN (
+                SELECT e.dst AS doc_id, SUM(p.pr // d.deg) AS contrib
+                FROM edges e JOIN pr0 p ON p.doc_id = e.src
+                JOIN deg d ON d.src = e.src GROUP BY 1) s
+              ON s.doc_id = c.doc_id),
+      it2 AS (SELECT c.doc_id, CAST(150000 + (850000 * COALESCE(s.contrib, 0))
+                // 1000000 AS BIGINT) AS pr
+              FROM corpus c LEFT JOIN (
+                SELECT e.dst AS doc_id, SUM(p.pr // d.deg) AS contrib
+                FROM edges e JOIN it1 p ON p.doc_id = e.src
+                JOIN deg d ON d.src = e.src GROUP BY 1) s
+              ON s.doc_id = c.doc_id),
+      it3 AS (SELECT c.doc_id, CAST(150000 + (850000 * COALESCE(s.contrib, 0))
+                // 1000000 AS BIGINT) AS pr
+              FROM corpus c LEFT JOIN (
+                SELECT e.dst AS doc_id, SUM(p.pr // d.deg) AS contrib
+                FROM edges e JOIN it2 p ON p.doc_id = e.src
+                JOIN deg d ON d.src = e.src GROUP BY 1) s
+              ON s.doc_id = c.doc_id)
+      SELECT c.doc_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+        i.pr AS pr_micro
+      FROM corpus c LEFT JOIN deg d ON d.src = c.doc_id
+      JOIN it3 i ON i.doc_id = c.doc_id""")) { (s, dir) =>
+      dupPagerank(nearCorpus(s, dir))
     }
   )
 
@@ -2262,6 +2317,57 @@ object LlmQueries {
         col("inter"),
         expr("(inter * 1000000L) div n_a").as("cont_a_in_b_micro"),
         expr("(inter * 1000000L) div n_b").as("cont_b_in_a_micro"))
+  }
+
+  /** q134 kernel — 3 exact PageRank passes over the undirected LSH
+    * candidate graph (see the Q entry). The scale shape mirrors the CC
+    * kernel: the symmetric edge table builds ONCE (checkpointed — at
+    * production scale it would be a bucketed table on src) and each
+    * round exchanges only NODE-sized state: the rank table joins the
+    * edges, contributions partial-aggregate on dst (map-side combine
+    * collapses edge-count rows to node-count before the exchange), and
+    * the new rank table checkpoints to keep the iteration's lineage a
+    * constant-depth tree (the labelPropagation lesson — an uncheckpointed
+    * loop's plan grows geometrically). Isolated docs never enter the
+    * contribution join and keep the 0.15 damping base.
+    */
+  def dupPagerank(corpus: DataFrame, iters: Int = 3): DataFrame = {
+    val cand = candidatePairs(corpus)
+    pagerank(corpus.select(col("doc_id")), cand, iters)
+  }
+
+  /** The iteration core of [[dupPagerank]], public so DedupSpec can pin
+    * the exact micro-unit arithmetic on a hand-computed graph: `pairs`
+    * is an undirected edge list (doc_id1, doc_id2), `nodes` one doc_id
+    * per vertex.
+    */
+  def pagerank(nodes: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs
+      .select(col("doc_id1").as("src"), col("doc_id2").as("dst"))
+      .union(pairs.select(col("doc_id2").as("src"), col("doc_id1").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // node table with static degree, built once — every round's output
+    // is (doc_id, deg, pr) so the loop body never re-touches the corpus
+    val base = nodes
+      .join(deg, col("doc_id") === col("src"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint(true)
+    var pr = base.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.filter(col("deg") > 0)
+          .select(col("doc_id").as("u"), expr("pr div deg").as("contrib")),
+          col("src") === col("u"))
+        .groupBy("dst").agg(sum(col("contrib")).as("s"))
+      pr = base
+        .join(contrib, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), col("deg"),
+          expr("150000L + (850000L * coalesce(s, 0L)) div 1000000L").as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("doc_id"), col("deg"), col("pr").as("pr_micro"))
   }
 
   /** Flat (no-group) MG aggregation: buffer and output are the summary

@@ -458,4 +458,20 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(5) == 102040L)   // 20/196 of the big doc — sub-near-dup
     assert(r.getLong(6) == 1000000L)  // the small doc is fully contained
   }
+
+  test("q134 pagerank: exact micro-unit arithmetic on a hand-computed path graph") {
+    import spark.implicits._
+    // path 1—2—3 plus isolated 4. Hand-iterated (floor division at every
+    // step): pr1 = (575000, 1850000, 575000, 150000),
+    // pr2 = (936250, 1127500, 936250, 150000),
+    // pr3 = (629187, 1741625, 629187, 150000). The hub (node 2) ranks
+    // highest; the isolated node stays at the 0.15 damping base.
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_id1", "doc_id2")
+    val got = operators.LlmQueries.pagerank(nodes, pairs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 1L, 629187L), (2L, 2L, 1741625L),
+      (3L, 1L, 629187L), (4L, 0L, 150000L)))
+  }
 }
