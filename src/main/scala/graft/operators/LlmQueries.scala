@@ -2048,8 +2048,119 @@ object LlmQueries {
       FROM corpus c LEFT JOIN deg d ON d.src = c.doc_id
       JOIN it3 i ON i.doc_id = c.doc_id""")) { (s, dir) =>
       dupPagerank(nearCorpus(s, dir))
+    },
+
+    // --------------------------------------------------------------- Q136
+    // Triangle count / local clustering coefficient over the LSH
+    // candidate graph — the third dedup-graph analytic after q87's
+    // components and q134's PageRank: a doc whose neighbours are ALSO
+    // pairwise near-dups (high clustering coefficient) sits inside a
+    // dense template clique, while a high-degree low-coefficient doc is
+    // a hub stitching unrelated families — exactly the triage split a
+    // reviewer wants. Exact enumeration via the ordered wedge join
+    // (doc_id1 < doc_id2 throughout, so triangle {x<y<z} is found ONCE
+    // as e(x,y)⋈e(y,z) closed by e(x,z)); every join runs at CANDIDATE
+    // scale, never corpus scale, and the wedge fan-out is bounded by the
+    // BucketCap'd degree (≤ 4 bands × (cap−1)). Coefficient as integer
+    // micro-units with floor division: 2T·10⁶ div deg(deg−1).
+    Q("q136_dup_triangles", Some(s"""
+      WITH bands AS (${bandTableSql(nearCorpusSql)}),
+      capped AS (${cappedSql("bands")}),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+               FROM capped a JOIN capped b
+                 ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+      corpus AS ($nearCorpusSql),
+      tri AS (SELECT e1.doc_id1 AS a, e1.doc_id2 AS b, e2.doc_id2 AS c
+              FROM cand e1 JOIN cand e2 ON e2.doc_id1 = e1.doc_id2
+              JOIN cand e3 ON e3.doc_id1 = e1.doc_id1
+                          AND e3.doc_id2 = e2.doc_id2),
+      tn AS (SELECT node, COUNT(*) AS t FROM (
+               SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri) u GROUP BY 1),
+      deg AS (SELECT node, COUNT(*) AS deg FROM (
+                SELECT doc_id1 AS node FROM cand
+                UNION ALL SELECT doc_id2 FROM cand) u GROUP BY 1)
+      SELECT c.doc_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+        CAST(COALESCE(tn.t, 0) AS BIGINT) AS n_triangles,
+        CASE WHEN COALESCE(d.deg, 0) >= 2
+             THEN CAST((2 * COALESCE(tn.t, 0) * 1000000)
+                       // (d.deg * (d.deg - 1)) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS cc_micro
+      FROM corpus c LEFT JOIN deg d ON d.node = c.doc_id
+      LEFT JOIN tn ON tn.node = c.doc_id""")) { (s, dir) =>
+      dupTriangles(nearCorpus(s, dir))
+    },
+
+    // --------------------------------------------------------------- Q137
+    // BPE-style merge learning (Sennrich et al. 2016's byte-pair-encoding
+    // vocabulary induction, run at TOKEN granularity — i.e. Mikolov-style
+    // collocation/phrase induction with BPE's iterate-count-merge loop):
+    // 3 rounds of count-every-adjacent-pair → pick the most frequent
+    // (count DESC, then lexicographic — deterministic) → merge every
+    // occurrence corpus-wide into one token. The fourth member of the
+    // distributed-iteration family: CC moves labels, k-means moves
+    // centroids, PageRank moves rank mass — here the corpus stays put
+    // and only the VOCAB-sized pair-count table plus ONE argmax row move
+    // per round; the rewrite is a map-only literal string replace.
+    // Exactness contract (both engines by construction): pair counting
+    // is overlapping adjacent positions (the canonical BPE count); the
+    // merge rewrites the DOUBLE-SPACED rendering ('  '-joined tokens, so
+    // each token owns a flanking space on each side and matches can
+    // never share boundary characters) via plain left-to-right
+    // non-overlapping replace(' w1  w2 ' → ' w1_w2 ') — which on that
+    // rendering IS canonical greedy left-to-right BPE merge order, and
+    // Spark's replace and DuckDB's replace share it exactly. Each
+    // replacement shortens the text by exactly 1 char, so the applied
+    // count is Σ(len before − len after) — a map-side subtraction, no
+    // second match pass.
+    Q("q137_bpe_merges", Some(s"""
+      WITH d0 AS (SELECT '  ' || replace(text, ' ', '  ') || '  ' AS t
+                  FROM documents),
+      ${bpePairSql("d0", "p1")},
+      ${bpeBestSql("p1", "b1")},
+      ${bpeMergeSql("d0", "b1", "d1")},
+      ${bpePairSql("d1", "p2")},
+      ${bpeBestSql("p2", "b2")},
+      ${bpeMergeSql("d1", "b2", "d2")},
+      ${bpePairSql("d2", "p3")},
+      ${bpeBestSql("p3", "b3")},
+      ${bpeMergeSql("d2", "b3", "d3")}
+      SELECT CAST(1 AS INT) AS merge_rank, b1.w1, b1.w2,
+        CAST(b1.c AS BIGINT) AS pair_count,
+        (SELECT CAST(SUM(delta) AS BIGINT) FROM d1) AS n_applied FROM b1
+      UNION ALL SELECT CAST(2 AS INT), b2.w1, b2.w2, CAST(b2.c AS BIGINT),
+        (SELECT CAST(SUM(delta) AS BIGINT) FROM d2) FROM b2
+      UNION ALL SELECT CAST(3 AS INT), b3.w1, b3.w2, CAST(b3.c AS BIGINT),
+        (SELECT CAST(SUM(delta) AS BIGINT) FROM d3) FROM b3""")) { (s, dir) =>
+      bpeMerges(Tables.t(s, dir, "documents"))
     }
   )
+
+  /** One oracle-side BPE pair count: overlapping adjacent pairs of the
+    * double-space tokenization of `d`.t. */
+  private def bpePairSql(d: String, p: String): String = s"""
+      $p AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c FROM (
+        SELECT unnest([ struct_pack(w1 := tk[i], w2 := tk[i + 1])
+                        for i in range(1, len(tk)) ]) AS b
+        FROM (SELECT list_filter(string_split(t, '  '), x -> x <> '') AS tk
+              FROM $d) q
+        WHERE len(tk) >= 2) u GROUP BY 1, 2)"""
+
+  /** One oracle-side BPE argmax: most frequent pair, lexicographic
+    * tie-break. */
+  private def bpeBestSql(p: String, b: String): String = s"""
+      $b AS (SELECT w1, w2, c FROM $p ORDER BY c DESC, w1, w2 LIMIT 1)"""
+
+  /** One oracle-side BPE merge rewrite + per-doc applied-count delta. */
+  private def bpeMergeSql(d: String, b: String, out: String): String = s"""
+      $out AS (SELECT
+        replace(t, ' ' || w1 || '  ' || w2 || ' ',
+                   ' ' || w1 || '_' || w2 || ' ') AS t,
+        length(t) - length(replace(t, ' ' || w1 || '  ' || w2 || ' ',
+                                      ' ' || w1 || '_' || w2 || ' ')) AS delta
+        FROM $d, $b)"""
 
   /** q130 kernel — see the Q entry for the shuffle-budget argument. The
     * per-shingle source set is a BIT MASK (sources map to ≤64 bit ids
@@ -2368,6 +2479,104 @@ object LlmQueries {
         .localCheckpoint(true)
     }
     pr.select(col("doc_id"), col("deg"), col("pr").as("pr_micro"))
+  }
+
+  /** q136 kernel — exact triangle enumeration + local clustering
+    * coefficient over the LSH candidate graph (see the Q entry). The
+    * ordered edge list (doc_id1 < doc_id2) is built ONCE and
+    * checkpointed; the wedge join e(x,y)⋈e(y,z) shuffles on the shared
+    * middle node and the closing join on the (x,z) pair — both at
+    * candidate scale with BucketCap-bounded fan-out. Per-node triangle
+    * counts come from unpivoting each triangle's three corners (map-side
+    * combine collapses to node count before the exchange); degree from
+    * the symmetric edge list. The corpus-sized tail is two left joins of
+    * node-sized tables back onto the doc spine.
+    */
+  def dupTriangles(corpus: DataFrame): DataFrame =
+    triangleStats(corpus.select(col("doc_id")), candidatePairs(corpus))
+
+  /** The enumeration core of [[dupTriangles]], public so DedupSpec can
+    * pin the exact counts/coefficients on a hand-computed graph: `pairs`
+    * is an ordered edge list (doc_id1 < doc_id2, distinct), `nodes` one
+    * doc_id per vertex.
+    */
+  def triangleStats(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val cand = pairs.localCheckpoint(true)
+    val deg = cand.select(col("doc_id1").as("node"))
+      .union(cand.select(col("doc_id2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val e2 = cand.select(col("doc_id1").as("b2"), col("doc_id2").as("c2"))
+    val e3 = cand.select(col("doc_id1").as("a3"), col("doc_id2").as("c3"))
+    val tri = cand
+      .join(e2, col("doc_id2") === col("b2"))
+      .join(e3, col("doc_id1") === col("a3") && col("c2") === col("c3"))
+      .select(col("doc_id1").as("ta"), col("doc_id2").as("tb"),
+        col("c2").as("tc"))
+    val tn = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    nodes
+      .join(deg, col("doc_id") === deg("node"), "left").drop(deg("node"))
+      .join(tn, col("doc_id") === tn("node"), "left").drop(tn("node"))
+      .selectExpr("doc_id",
+        "CAST(coalesce(deg, 0L) AS BIGINT) AS deg",
+        "CAST(coalesce(t, 0L) AS BIGINT) AS n_triangles",
+        """CASE WHEN coalesce(deg, 0L) >= 2
+          |     THEN CAST((2 * coalesce(t, 0L) * 1000000L)
+          |               div (deg * (deg - 1)) AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END AS cc_micro""".stripMargin)
+  }
+
+  /** q137 kernel — 3 rounds of distributed BPE-style merge learning (see
+    * the Q entry for the double-space rendering contract). Per round:
+    * ONE vocab-exchanged pair-count aggregate over the exploded adjacent
+    * pairs (partial map-side combine), a TakeOrdered-1 argmax to the
+    * driver (count DESC, w1, w2), then a map-only literal `replace`
+    * rewrite whose per-doc length delta IS the applied count (each
+    * replacement shortens the text by exactly 1). The rewritten corpus
+    * localCheckpoints each round so the next round's count, the delta
+    * aggregate, and the next rewrite share one materialization and the
+    * loop's lineage stays constant-depth (the pagerank lesson). Only the
+    * pair-count table and one argmax row ever move; the corpus itself is
+    * never shuffled.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var cur = docs
+      .select(concat(lit("  "),
+        expr("replace(text, ' ', '  ')"), lit("  ")).as("t"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long)]
+    for (rank <- 1 to nMerges) {
+      val best = cur
+        .select(expr("filter(split(t, '  '), x -> x != '')").as("tk"))
+        .filter(expr("size(tk) >= 2"))
+        .select(explode(expr(
+          """transform(sequence(0, size(tk) - 2),
+            |  j -> struct(tk[j] AS w1, tk[j + 1] AS w2))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(1).collect()(0)
+      val (w1, w2, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      val pat = lit(s" $w1  $w2 ")
+      val rep = lit(s" ${w1}_$w2 ")
+      val next = cur
+        .select(expr("t").as("t0"))
+        .select(call_function("replace", col("t0"), pat, rep).as("t"),
+          (length(col("t0"))
+            - length(call_function("replace", col("t0"), pat, rep)))
+            .cast("long").as("delta"))
+        .localCheckpoint(true)
+      val applied = next.agg(coalesce(sum(col("delta")), lit(0L)))
+        .collect()(0).getLong(0)
+      out += ((rank, w1, w2, c, applied))
+      cur = next.select("t")
+    }
+    out.toSeq.toDF("merge_rank", "w1", "w2", "pair_count", "n_applied")
   }
 
   /** Flat (no-group) MG aggregation: buffer and output are the summary

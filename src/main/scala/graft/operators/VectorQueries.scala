@@ -479,6 +479,52 @@ object VectorQueries {
       hardTriplets(Tables.t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS double))").as("v")))
+    },
+
+    // --------------------------------------------------------------- Q135
+    // Centroid-silhouette audit of the q120 k-means clustering — see
+    // [[kmeansSilhouette]] for the method, ambiguity semantics, and the
+    // map-only 100 TB shape. The oracle replays the identical 3 Lloyd
+    // passes (q120's chained-CTE helpers), then scores every vector
+    // against the FINAL centroid table with the same rounded-d² /
+    // (d², c_id) ranking: rk=1 is the assignment (a), rk=2 the runner-up
+    // (b), s = (b − a) / max(a, b) rounded at 6 dp, means decimal-routed.
+    Q("q135_kmeans_silhouette", Some(s"""
+      WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      seeds AS (SELECT vec_id AS c_id, v AS cv FROM base
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      ${kmAsgSql("base", "seeds", "asg1")},
+      ${kmCentSql("asg1", "cent1")},
+      ${kmListSql("cent1", "cl1")},
+      ${kmAsgSql("base", "cl1", "asg2")},
+      ${kmCentSql("asg2", "cent2")},
+      ${kmListSql("cent2", "cl2")},
+      d AS (SELECT b.vec_id, s.c_id,
+              round(list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, s.cv)
+                    + list_dot_product(s.cv, s.cv), 6) AS d2
+            FROM base b CROSS JOIN cl2 s),
+      r AS (SELECT vec_id, c_id, d2,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rk
+            FROM d),
+      ab AS (SELECT vec_id,
+               MAX(CASE WHEN rk = 1 THEN c_id END) AS cluster,
+               MAX(CASE WHEN rk = 1 THEN d2 END) AS a,
+               MAX(CASE WHEN rk = 2 THEN d2 END) AS b
+             FROM r WHERE rk <= 2 GROUP BY vec_id),
+      sil AS (SELECT cluster,
+                CASE WHEN greatest(a, b) <= CAST(0 AS DOUBLE)
+                     THEN CAST(0 AS DOUBLE)
+                     ELSE round((b - a) / greatest(a, b), 6) END AS s
+              FROM ab)
+      SELECT cluster, COUNT(*) AS n_vectors,
+        round(CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+          AS mean_sil,
+        round(MIN(s), 6) AS min_sil,
+        CAST(SUM(CASE WHEN s < CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_boundary
+      FROM sil GROUP BY cluster""")) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      kmeansSilhouette(Tables.t(s, dir, "embeddings"))
     }
   )
 
@@ -652,45 +698,115 @@ object VectorQueries {
     * pipeline. Same arithmetic contract as the scaladoc above
     * ([[kmeansIterate]] = kmMeans of this).
     */
-  def kmeansAssign(base: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    val s = base.sparkSession
-    graft.plans.GraftExtensions.register(s)
+  def kmeansAssign(base: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+    argminAssign(base, kmeansCentroids(base, k, iters))
+
+  /** Literal double-array SQL rendering — Double.toString round-trips
+    * exactly, so a driver-collected centroid re-enters the plan with the
+    * identical bit pattern. */
+  private def dArr(xs: Seq[Double]): String =
+    "array(" + xs.map(x => s"${x}D").mkString(",") + ")"
+
+  /** The driver-side Lloyd centroid loop of [[kmeansAssign]]: seeds = the
+    * k corpus vectors with the smallest md5(vec_id) (vec_id tie-break),
+    * then `iters − 1` mean updates, each a k×64-group aggregate whose
+    * 6-dp-rounded means round-trip the driver (the q120 bit-stability
+    * contract). Returns the FINAL (c_id, centroid) table the last
+    * assignment pass uses — exposed so silhouette/diagnostic passes can
+    * score against exactly the centroids the assignment saw.
+    */
+  private[graft] def kmeansCentroids(base: DataFrame, k: Int,
+      iters: Int): Seq[(Long, Seq[Double])] = {
     var centroids: Seq[(Long, Seq[Double])] = kmProf(s"seed collect k=$k")(base
       .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("mk"))
       .orderBy(col("mk"), col("vec_id")).limit(k)
       .collect()).map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
-      // ONE native argmin call per row ([[graft.plans.CentroidArgmin]],
-      // codegen'd) instead of k separate graft_vector_dot(v, literal)
-      // expressions: the per-centroid form converted BOTH arrays to
-      // double[] on every call — k+1 array copies per row, which at
-      // q123's corpus-derived k ≈ sqrt(n) dwarfed the k·d useful flops
-      // (measured 4–7 s per assignment pass at sf5, k=134; this form
-      // runs it in ~1 s). The centroid matrix, ids, and c·c terms enter
-      // the plan as FOLDABLE array literals (the kernel converts them
-      // to primitive tables once per task); c·c is precomputed with the
-      // same [[graft.plans.VectorDot.dot]] fold the oracle's
-      // list_dot_product(cv, cv) computes, the literals round-trip
-      // Double.toString exactly, and the (d², c_id) tie-break matches
-      // the old array_min-over-structs — arithmetic is bit-identical to
-      // both the old plan and the oracle.
-      val ccs = cents.map { case (_, cv) =>
-        val a = cv.toArray; graft.plans.VectorDot.dot(a, a)
-      }
-      def dArr(xs: Seq[Double]): String =
-        "array(" + xs.map(x => s"${x}D").mkString(",") + ")"
-      val idsSql = "array(" + cents.map(c => s"${c._1}L").mkString(",") + ")"
-      base.withColumn("cluster", expr(
-        s"graft_centroid_argmin(v, ${dArr(cents.flatMap(_._2))}, $idsSql, ${dArr(ccs)})"))
-    }
     for (it <- 1 until iters)
-      centroids = kmProf(s"mean collect pass $it")(kmMeans(assign(centroids)).collect())
+      centroids = kmProf(s"mean collect pass $it")(
+        kmMeans(argminAssign(base, centroids)).collect())
         .groupBy(_.getLong(0)).toSeq
         .map { case (cid, rows) =>
           (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
         }
         .sortBy(_._1)
-    assign(centroids)
+    centroids
+  }
+
+  /** One map-only Lloyd assignment against literal centroids: ONE native
+    * argmin call per row ([[graft.plans.CentroidArgmin]], codegen'd)
+    * instead of k separate graft_vector_dot(v, literal) expressions: the
+    * per-centroid form converted BOTH arrays to double[] on every call —
+    * k+1 array copies per row, which at q123's corpus-derived
+    * k ≈ sqrt(n) dwarfed the k·d useful flops (measured 4–7 s per
+    * assignment pass at sf5, k=134; this form runs it in ~1 s). The
+    * centroid matrix, ids, and c·c terms enter the plan as FOLDABLE
+    * array literals (the kernel converts them to primitive tables once
+    * per task); c·c is precomputed with the same
+    * [[graft.plans.VectorDot.dot]] fold the oracle's
+    * list_dot_product(cv, cv) computes, the literals round-trip
+    * Double.toString exactly, and the (d², c_id) tie-break matches the
+    * old array_min-over-structs — arithmetic is bit-identical to both
+    * the old plan and the oracle.
+    */
+  private def argminAssign(base: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    graft.plans.GraftExtensions.register(base.sparkSession)
+    val ccs = cents.map { case (_, cv) =>
+      val a = cv.toArray; graft.plans.VectorDot.dot(a, a)
+    }
+    val idsSql = "array(" + cents.map(c => s"${c._1}L").mkString(",") + ")"
+    base.withColumn("cluster", expr(
+      s"graft_centroid_argmin(v, ${dArr(cents.flatMap(_._2))}, $idsSql, ${dArr(ccs)})"))
+  }
+
+  /** q135 kernel — centroid-based (simplified) silhouette audit of the
+    * q120 clustering (Rousseeuw 1987's silhouette with the cluster-mean
+    * distance standing in for mean member distance — the O(n·k) form
+    * that scales where the O(n²) pairwise definition cannot): per
+    * vector, `a` = rounded d² to its OWN (nearest) centroid, `b` = d²
+    * to the second-nearest, s = (b − a) / max(a, b) ∈ [0, 1] (own is
+    * nearest by construction, so the classic negative branch collapses;
+    * what remains measures assignment AMBIGUITY). s < 0.5 ⇔ the runner-up
+    * centroid sits within 2× the own distance — the boundary points that
+    * flip under perturbation and the natural review set before trusting
+    * q123's within-cluster dedup. 100 TB posture: the centroid loop is
+    * [[kmeansCentroids]] (data never shuffles, k×64 means move); the
+    * silhouette pass is ONE map-only scan against k literal centroid
+    * arrays (per-centroid rounded d² structs, array_sort for the
+    * (d², c_id) argmin + runner-up — k = 8 keeps the per-row array
+    * conversions the argmin kernel exists to avoid in the noise), and
+    * the only exchange is the k-group aggregate. Means are decimal-routed
+    * (the q122 moment idiom); every distance and s rounds to 6 dp with
+    * identical expression text in both engines.
+    */
+  def kmeansSilhouette(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS double))").as("v"))
+    val cents = kmeansCentroids(base, k, iters)
+    require(cents.length >= 2,
+      s"silhouette needs >= 2 surviving clusters, got ${cents.length}")
+    val structs = cents.map { case (cid, cv) =>
+      val a = cv.toArray
+      val cc = graft.plans.VectorDot.dot(a, a)
+      s"""struct(round(graft_vector_dot(v, v)
+         | - 2 * graft_vector_dot(v, ${dArr(cv)}) + ${cc}D, 6) AS d2,
+         | ${cid}L AS cid)""".stripMargin
+    }
+    base
+      .selectExpr("vec_id", s"array_sort(array(${structs.mkString(",")})) AS ds")
+      .selectExpr("vec_id", "ds[0].cid AS cluster", "ds[0].d2 AS a",
+        "ds[1].d2 AS b")
+      .selectExpr("cluster",
+        """CASE WHEN greatest(a, b) <= CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+          |     ELSE round((b - a) / greatest(a, b), 6) END AS s""".stripMargin)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("s").cast(DecimalType(18, 9))).cast("double")
+          / count(lit(1)), 6).as("mean_sil"),
+        round(min(col("s")), 6).as("min_sil"),
+        sum(when(col("s") < lit(0.5).cast("double"), 1L).otherwise(0L))
+          .as("n_boundary"))
   }
 
   /** Planted-variant id offset: the smallest power of 10 strictly above

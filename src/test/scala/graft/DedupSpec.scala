@@ -474,4 +474,25 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, 629187L), (2L, 2L, 1741625L),
       (3L, 1L, 629187L), (4L, 0L, 150000L)))
   }
+
+  test("q136 triangles: hand-computed counts and clustering coefficients " +
+    "on a two-triangle graph with an isolated node") {
+    import spark.implicits._
+    // edges (1,2)(1,3)(2,3)(2,4)(3,4): triangles {1,2,3} and {2,3,4};
+    // node 5 isolated. deg = (2,3,3,2,0); per-node triangle counts
+    // (1,2,2,1,0); cc_micro = 2T·10⁶ div deg(deg−1):
+    //  node1 2e6 div 2 = 1000000; node2 4e6 div 6 = 666666 (floor);
+    //  node4 1000000; node5 deg<2 → 0.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("doc_id1", "doc_id2")
+    val got = operators.LlmQueries.triangleStats(nodes, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 1000000L), (2L, 3L, 2L, 666666L),
+      (3L, 3L, 2L, 666666L), (4L, 2L, 1L, 1000000L),
+      (5L, 0L, 0L, 0L)))
+  }
 }

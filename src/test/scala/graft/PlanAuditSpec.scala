@@ -285,6 +285,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q135 silhouette pass: map-only against literal centroids, one k-group exchange") {
+    val all = executed("q135_kmeans_silhouette")
+    assert(!all.exists(_.nodeName.contains("Join")),
+      "silhouette must score against literal centroid arrays, not a join")
+    val exchanges = all.count(_.nodeName.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"expected only the k-group aggregate exchange, got $exchanges")
+  }
+
+  test("q136 triangles: candidate-scale joins only — no window, no sort, no cartesian") {
+    val p = plan("q136_dup_triangles")
+    assert(!p.contains("Window"), s"degree/counts must be aggregates, not windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"wedge join must be keyed:\n$p")
+    assert(!p.contains("SortExec") && !p.contains("GlobalSort"),
+      s"no sort may appear in the triangle pipeline:\n$p")
+  }
+
   test("q123 candidate stage: map-only assignment, ONE cluster-id exchange reused across the pair self-join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     graft.plans.GraftExtensions.register(spark)

@@ -146,4 +146,26 @@ class TextPipelineSpec extends SparkSpec {
     }
     assert(hs == expect, "fold must match u64(md5[0:16]) mod 2^61-1")
   }
+
+  test("q137 BPE merges: hand-traced 3 rounds — overlapping counts, " +
+    "lexicographic tie-break, greedy merge incl. back-to-back pairs") {
+    import spark.implicits._
+    // round 1: pairs (a,b)=3 (b,a)=1 (b,c)=2 (c,c)=1 → merge (a,b);
+    //   doc1 'a b a b c' has BACK-TO-BACK (a,b) occurrences — both must
+    //   merge (the double-space rendering makes replace() token-greedy)
+    //   → 'a_b a_b c'; doc2 'a b c c' → 'a_b c c'; applied = 3.
+    // round 2: (a_b,a_b)=1 (a_b,c)=2 (c,c)=1 → merge (a_b,c), applied 2.
+    // round 3: (a_b,a_b_c)=1 (a_b_c,c)=1 — tie on count, lexicographic
+    //   (w1,w2) picks (a_b, a_b_c); applied 1.
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c c")).toDF("doc_id", "text")
+    val got = operators.LlmQueries.bpeMerges(docs)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, "a", "b", 3L, 3L),
+      (2, "a_b", "c", 2L, 2L),
+      (3, "a_b", "a_b_c", 1L, 1L)))
+  }
 }

@@ -426,4 +426,54 @@ class VectorSpec extends SparkSpec {
     assert(r.getLong(3) == 12L && r.getDouble(4) == 1.0,
       s"hard negative must be max-sim with min-id tie-break: $r")
   }
+
+  test("q135 silhouette: hand-computed a/b/s on two tight clusters, " +
+    "boundary threshold and decimal-routed means") {
+    import spark.implicits._
+    // md5 seed order of ids 1..4 is (4, 1, 2, 3), so k = 2 seeds are
+    // id 4 (group B) and id 1 (group A) — one per group. After 2 mean
+    // updates the centroids are exactly (10.1, 0) for cluster 1 and
+    // (0, 0.1) for cluster 4 (6-dp rounding absorbs the float noise).
+    // Hand-rounded distances/silhouettes:
+    //  id1 (10,0):    a=0.01  b=100.01    s=100.0/100.01      → 0.9999
+    //  id2 (10.2,0):  a=0.01  b=104.049996 s=104.039996/104.049996 → 0.999904
+    //  id3 (0,0):     a=0.01  b=102.01    s=102.0/102.01      → 0.999902
+    //  id4 (0,0.2):   a=0.01  b=102.05    s=102.04/102.05     → 0.999902
+    val emb = Seq(
+      (1L, Seq(10.0f, 0.0f)),
+      (2L, Seq(10.2f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val got = operators.VectorQueries.kmeansSilhouette(emb, k = 2, iters = 3)
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 4L), s"cluster ids must be seed ids: $got")
+    assert(got(1L) == ((2L, 0.999902, 0.9999, 0L)), s"cluster 1: ${got(1L)}")
+    assert(got(4L) == ((2L, 0.999902, 0.999902, 0L)), s"cluster 4: ${got(4L)}")
+  }
+
+  test("q135 silhouette: an equidistant point scores s = 0 and counts as boundary") {
+    import spark.implicits._
+    // k = 2, iters = 1 → centroids stay the two md5-first seeds. Seeds
+    // of ids (1, 2, 3) are ids 1 and 2 (md5 order 1 < 2 < 3): (0,0) and
+    // (4,0). id 3 at (2,0) is equidistant (a = b = 4.0 → s = 0, tied
+    // assignment breaks to the smaller c_id 1); the seeds themselves
+    // have a = 0 → s = 1. Cluster 1 holds ids {1, 3}: mean = 0.5,
+    // min = 0.0, one boundary point. Cluster 2 holds id 2 alone.
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq(4.0f, 0.0f)),
+      (3L, Seq(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = operators.VectorQueries.kmeansSilhouette(emb, k = 2, iters = 1)
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((2L, 0.5, 0.0, 1L)), s"cluster 1: ${got(1L)}")
+    assert(got(2L) == ((1L, 1.0, 1.0, 0L)), s"cluster 2: ${got(2L)}")
+  }
 }
