@@ -2135,6 +2135,98 @@ object LlmQueries {
       UNION ALL SELECT CAST(3 AS INT), b3.w1, b3.w2, CAST(b3.c AS BIGINT),
         (SELECT CAST(SUM(delta) AS BIGINT) FROM d3) FROM b3""")) { (s, dir) =>
       bpeMerges(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q138
+    // Paragraph-level (chunk-hash) dedup audit — CCNet's dedup
+    // granularity: documents rarely repeat verbatim end-to-end at web
+    // scale, but PARAGRAPHS do (boilerplate, quotes, syndication), so
+    // production pipelines hash fixed chunks and measure per-document
+    // duplicated-chunk mass before deciding whether to drop docs or
+    // scrub spans. Chunks here are the q126 kernel run non-overlapping
+    // (window = stride = 32 tokens); the audit buckets every document by
+    // its duplicated-chunk fraction (11 buckets: floor(10·dup/chunks),
+    // so all-dup docs land in bucket 10). Shuffle budget at 100 TB: one
+    // map-side-combined exchange for the chunk-hash frequency table, the
+    // chunk→freq join co-partitioned on the same hash key (the first
+    // aggregate's exchange is REUSED on the probe side — both sides hash
+    // by h), a map-side-combined doc rollup, and an 11-row final
+    // aggregate. No window, no corpus sort. The corpus is q40's
+    // planted-exact-dup fixture, so the dup mass is non-vacuous at every
+    // scale (VERDICT r13's q115 lesson: never ship an audit knob
+    // measured only against an empty set).
+    Q("q138_chunk_dedup", Some(s"""
+      WITH corpus AS ($dupCorpusSql),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      st AS (SELECT doc_id, toks, len(toks) AS n,
+                    unnest(range(0, len(toks), 32)) AS start
+             FROM tok),
+      ch AS (SELECT doc_id,
+               md5(array_to_string(
+                 list_slice(toks, start + 1, least(start + 32, n)), ' ')) AS h
+             FROM st),
+      fr AS (SELECT h, COUNT(*) AS freq FROM ch GROUP BY h),
+      pd AS (SELECT ch.doc_id, COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN fr.freq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup
+             FROM ch JOIN fr USING (h) GROUP BY ch.doc_id)
+      SELECT CAST((n_dup * 10) // n_chunks AS INT) AS dup_decile,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_chunks) AS BIGINT) AS sum_chunks,
+        CAST(SUM(n_dup) AS BIGINT) AS sum_dup_chunks
+      FROM pd GROUP BY 1""")) { (s, dir) =>
+      chunkDedupAudit(dupCorpus(s, dir))
+    },
+
+    // --------------------------------------------------------------- Q139
+    // MinHash calibration audit: how well does the 16-lane signature
+    // estimate TRUE shingle Jaccard on the candidate pairs it generates?
+    // The per-sketch-family accuracy contract the q74/q88 sketches
+    // already carry, applied to the LSH family after the r14
+    // single-hash + linear-permutation swap: for every q42 candidate
+    // pair, the estimator is matches/16 and the truth is |∩|/|∪| of the
+    // exact 3-token shingle sets; pairs group by matching-lane count
+    // (17 rows out) with exact-integer error bounds — within = 20·|m·u −
+    // 16·i| ≤ 112·u, i.e. |m/16 − i/u| ≤ 0.35 cross-multiplied so no
+    // engine ever divides. Shuffle budget: the candidate generator is
+    // q42's (capped, hashed band keys); signatures and shingle sets ride
+    // ONE per-doc projection (one kernel scan, no sig⋈shingle join), the
+    // two pair-side joins run at candidate scale, and the final exchange
+    // is 17 rows. At 100 TB this is the cheap periodic health check that
+    // tells you when boilerplate drift has degraded banding recall.
+    Q("q139_minhash_calibration", Some(s"""
+      WITH bands AS (${bandTableSql(nearCorpusSql)}),
+      capped AS (${cappedSql("bands")}),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+               FROM capped a JOIN capped b
+                 ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+      corpus AS ($nearCorpusSql),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      shg AS (SELECT doc_id, $shinglesSql AS sh FROM tok),
+      hsh AS (SELECT doc_id, sh, $hashListSql AS hs FROM shg),
+      feat AS (SELECT doc_id, list_distinct(sh) AS shd, $sigSql AS sig
+               FROM hsh),
+      pp AS (SELECT doc_id1, doc_id2,
+               CAST(list_sum([ CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END
+                               for i in range(1, 17) ]) AS BIGINT) AS m,
+               CAST(len(list_intersect(x.shd, y.shd)) AS BIGINT) AS inter_n,
+               CAST(len(x.shd) + len(y.shd)
+                    - len(list_intersect(x.shd, y.shd)) AS BIGINT) AS union_n
+             FROM cand JOIN feat x ON doc_id1 = x.doc_id
+                       JOIN feat y ON doc_id2 = y.doc_id)
+      SELECT CAST(m AS INT) AS sig_matches, COUNT(*) AS n_pairs,
+        CAST(SUM(CASE WHEN 20 * abs(m * union_n - 16 * inter_n)
+                        <= 112 * union_n THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_within,
+        CAST(MIN((inter_n * 1000000) // union_n) AS BIGINT)
+          AS min_exact_micro,
+        CAST(MAX((inter_n * 1000000) // union_n) AS BIGINT)
+          AS max_exact_micro,
+        CAST(SUM((inter_n * 1000000) // union_n) // COUNT(*) AS BIGINT)
+          AS mean_exact_micro
+      FROM pp GROUP BY m""")) { (s, dir) =>
+      minhashCalibration(nearCorpus(s, dir))
     }
   )
 
@@ -3632,5 +3724,69 @@ object LlmQueries {
       "q115_frequent_shingles" -> q115Frequent,
       "q115_frequent_frac_threshold" -> fracThreshold,
       "q115_frequent_shingles_frac" -> q115FrequentFrac)
+  }
+
+  /** q138 kernel — CCNet-style paragraph-hash dedup audit. Chunks are the
+    * [[tokenChunks]] kernel run non-overlapping (window = stride = 32);
+    * each chunk's md5 is the dedup identity. Two-exchange shape: the
+    * chunk-hash frequency aggregate (map-side combined) and the
+    * freq→chunk hash join — both keyed on the same `h`, so the probe
+    * side's shuffle is the one the aggregate already planned (AQE keeps
+    * them co-partitioned; at tiny SF it may broadcast the freq table
+    * instead, which is strictly cheaper). The per-doc rollup map-side
+    * combines on doc_id and the decile histogram is an 11-row aggregate.
+    * No window, no sort, no corpus-sized driver traffic.
+    */
+  def chunkDedupAudit(docs: DataFrame): DataFrame = {
+    val ch = tokenChunks(docs, window = 32, stride = 32)
+      .select(col("doc_id"), md5(col("chunk_text").cast("binary")).as("h"))
+    val fr = ch.groupBy("h").agg(count(lit(1)).as("freq"))
+    val pd = ch.join(fr, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("freq") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    pd.groupBy(expr("(n_dup * 10) div n_chunks").cast("int").as("dup_decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("sum_chunks"),
+        sum(col("n_dup")).as("sum_dup_chunks"))
+  }
+
+  /** q139 kernel — signature-vs-truth calibration over q42's candidate
+    * pairs. One per-doc projection computes BOTH features in one scan
+    * (`graft_minhash16` + `graft_shingles` share the row — no sig⋈shingle
+    * join); the candidate pairs join against it twice at candidate scale;
+    * matching-lane count and the exact-integer error terms stay in
+    * whole-stage codegen; the output exchange is ≤17 rows. All arithmetic
+    * is integer (bounds cross-multiplied, micro-units floor-divided), so
+    * the oracle comparison is exact by construction.
+    */
+  def minhashCalibration(corpus: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val cand = candidatePairs(corpus)
+    val feat = corpus.selectExpr("doc_id",
+      "graft_minhash16(text) AS sig", "graft_shingles(text, 3) AS shd")
+    val x = feat.select(col("doc_id").as("xid"), col("sig").as("xsig"),
+      col("shd").as("xsh"))
+    val y = feat.select(col("doc_id").as("yid"), col("sig").as("ysig"),
+      col("shd").as("ysh"))
+    cand.join(x, col("doc_id1") === col("xid"))
+      .join(y, col("doc_id2") === col("yid"))
+      .selectExpr(
+        """CAST(aggregate(zip_with(xsig, ysig,
+             (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END),
+             0, (acc, v) -> acc + v) AS BIGINT) AS m""",
+        "CAST(size(array_intersect(xsh, ysh)) AS BIGINT) AS inter_n",
+        """CAST(size(xsh) + size(ysh)
+           - size(array_intersect(xsh, ysh)) AS BIGINT) AS union_n""")
+      .groupBy(col("m").cast("int").as("sig_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(expr("20 * abs(m * union_n - 16 * inter_n)")
+          <= expr("112 * union_n"), 1L).otherwise(0L)).as("n_within"),
+        min(expr("(inter_n * 1000000) div union_n")).as("min_exact_micro"),
+        max(expr("(inter_n * 1000000) div union_n")).as("max_exact_micro"),
+        sum(expr("(inter_n * 1000000) div union_n")).as("sum_exact_micro"))
+      .selectExpr("sig_matches", "n_pairs", "n_within", "min_exact_micro",
+        "max_exact_micro",
+        "CAST(sum_exact_micro div n_pairs AS BIGINT) AS mean_exact_micro")
   }
 }

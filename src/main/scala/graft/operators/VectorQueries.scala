@@ -525,6 +525,30 @@ object VectorQueries {
       FROM sil GROUP BY cluster""")) { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       kmeansSilhouette(Tables.t(s, dir, "embeddings"))
+    },
+
+    // --------------------------------------------------------------- Q140
+    // Johnson–Lindenstrauss random projection + distance-preservation
+    // audit: project the 64-d corpus to 16-d with a deterministic ±1
+    // (Rademacher) matrix — the Achlioptas (2001) database-friendly JL
+    // construction — and audit how well squared distances to 4 fixed
+    // anchor points survive (E[d²_proj] = k·d²_orig for a ±1 matrix, so
+    // the audit checks |d²_proj − 16·d²_orig| ≤ ½·16·d²_orig,
+    // cross-multiplied in integers). This is the dimensionality-reduction
+    // step that makes 100 TB ANN/clustering affordable (4× fewer floats
+    // per vector BEFORE quantization), and the audit is the go/no-go
+    // signal for how aggressively k can shrink. Exactness: vectors
+    // quantize to integer micro-units (floor(x·10⁶), exact in IEEE), the
+    // sign matrix and anchors are Scala-derived LITERALS interpolated
+    // into both plans, and every sum/square/bound is 64-bit integer
+    // arithmetic — no cross-engine float channel except the final ratio,
+    // a single identical double-division sequence (the q127 idiom).
+    // Plan shape: ONE map-only scan (quantize → 16 zip_with folds →
+    // 4 inline anchor structs), then a ≤(labels×4)-row aggregate. No
+    // join, no window, nothing corpus-sized moves (PlanAuditSpec pins
+    // it).
+    Q("q140_jl_projection", Some(jlOracleSql)) { (s, dir) =>
+      jlProjectionAudit(Tables.t(s, dir, "embeddings"))
     }
   )
 
@@ -1345,5 +1369,123 @@ object VectorQueries {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     ivfCandidates(s, dir, probes)
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  // ------------------------------------------------------------- q140 JL
+  /** Output dimensionality of the JL projection. */
+  private final val JlK = 16
+  /** Input dimensionality (the fixture's embedding width). */
+  private final val JlD = 64
+  private final val JlAnchors = 4
+
+  /** Deterministic ±1 Rademacher matrix, row j = output dim, col i =
+    * input dim: the low bit of md5("j:i")'s first byte. Derived ONCE in
+    * Scala and interpolated as literals into both the Spark plan and the
+    * DuckDB oracle — no runtime hash function has to agree cross-engine.
+    */
+  private lazy val jlSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until JlK).map { j =>
+      (0 until JlD).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+
+  /** Fixed anchor points in QUANTIZED space (integer micro-units in
+    * [−10⁶, 10⁶], the same scale as floor(x·10⁶) of a [−1,1] embedding),
+    * from a Weyl-style integer recurrence — deterministic, literal-
+    * embedded, and exactly representable in both engines.
+    */
+  private lazy val jlAnchorQ: IndexedSeq[IndexedSeq[Long]] =
+    (0 until JlAnchors).map { a =>
+      (0 until JlD).map { i =>
+        ((a.toLong * 1000003L + i.toLong * 7919L + 12345L) * 2654435761L)
+          .abs % 2000001L - 1000000L
+      }
+    }
+
+  /** The anchors' own projections — Σ_i sign(j)(i)·anchor(a)(i), plain
+    * Scala longs baked into the plans. */
+  private lazy val jlAnchorProj: IndexedSeq[IndexedSeq[Long]] =
+    jlAnchorQ.map(aq => jlSigns.map(row =>
+      row.zip(aq).map { case (s, v) => s * v }.sum))
+
+  private def jlRatioSql(d2p: String, d2o: String): String = s"""
+    CASE WHEN $d2o = 0 THEN CAST(1000000 AS BIGINT)
+         ELSE CAST(floor(CAST($d2p AS DOUBLE) / CAST($d2o AS DOUBLE)
+                         / 16.0 * 1000000.0) AS BIGINT) END"""
+
+  private def jlWithinSql(d2p: String, d2o: String): String = s"""
+    CASE WHEN $d2o = 0 THEN 1
+         WHEN 2 * abs($d2p - 16 * $d2o) <= 16 * $d2o THEN 1 ELSE 0 END"""
+
+  /** DuckDB twin of [[jlProjectionAudit]]: same literal sign matrix and
+    * anchors, same integer quantization and fold order. The oracle pays
+    * one UNION ALL pass per anchor — a DuckDB-side simplification only;
+    * the Spark plan inlines all four anchors into the single scan.
+    */
+  private lazy val jlOracleSql: String = {
+    val projCols = (0 until JlK).map { j =>
+      s"""CAST(list_sum([ q[i] * ([${jlSigns(j).mkString(", ")}])[i]
+            for i in range(1, ${JlD + 1}) ]) AS BIGINT)"""
+    }.mkString("[ ", ",\n        ", " ]")
+    val anchorSelects = (0 until JlAnchors).map { a =>
+      val d2o = s"""CAST(list_sum([ (q[i] - ([${jlAnchorQ(a).mkString(", ")}])[i])
+              * (q[i] - ([${jlAnchorQ(a).mkString(", ")}])[i])
+            for i in range(1, ${JlD + 1}) ]) AS BIGINT)"""
+      val d2p = s"""CAST(list_sum([ (p[j] - ([${jlAnchorProj(a).mkString(", ")}])[j])
+              * (p[j] - ([${jlAnchorProj(a).mkString(", ")}])[j])
+            for j in range(1, ${JlK + 1}) ]) AS BIGINT)"""
+      s"""SELECT label, CAST($a AS INT) AS anchor_id,
+            $d2o AS d2o, $d2p AS d2p FROM proj"""
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH base AS (SELECT label,
+        [ CAST(floor(x * 1000000.0) AS BIGINT)
+          for x in embedding::DOUBLE[] ] AS q
+        FROM embeddings),
+      proj AS (SELECT label, q, $projCols AS p FROM base),
+      dist AS ($anchorSelects)
+      SELECT label, anchor_id, COUNT(*) AS n_vecs,
+        CAST(SUM(${jlWithinSql("d2p", "d2o")}) AS BIGINT) AS n_within,
+        MIN(${jlRatioSql("d2p", "d2o")}) AS min_ratio_micro,
+        MAX(${jlRatioSql("d2p", "d2o")}) AS max_ratio_micro
+      FROM dist GROUP BY label, anchor_id"""
+  }
+
+  /** q140 kernel — see the Q entry. One map-only projection: quantize to
+    * integer micro-units, fold the 16 output lanes as zip_with/aggregate
+    * over the LITERAL sign rows (whole-stage codegen keeps the folds in
+    * the generated loop — no join against a projection-matrix table at
+    * any scale), inline the 4 anchor distance structs, and aggregate to
+    * ≤ labels×4 rows. The corpus never shuffles.
+    */
+  def jlProjectionAudit(emb: DataFrame): DataFrame = {
+    val projExprs = (0 until JlK).map { j =>
+      s"""aggregate(zip_with(q, array(${jlSigns(j).mkString(", ")}),
+            (x, s) -> x * CAST(s AS BIGINT)),
+            CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+    }.mkString("array(", ", ", ")")
+    val anchorStructs = (0 until JlAnchors).map { a =>
+      val d2o = s"""aggregate(zip_with(q, array(${jlAnchorQ(a).mkString(", ")}),
+            (x, v) -> (x - v) * (x - v)),
+            CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+      val d2p = s"""aggregate(zip_with(p, array(${jlAnchorProj(a).mkString(", ")}),
+            (x, v) -> (x - v) * (x - v)),
+            CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+      s"struct(CAST($a AS INT) AS anchor_id, $d2o AS d2o, $d2p AS d2p)"
+    }.mkString("array(", ", ", ")")
+    emb
+      .selectExpr("label",
+        """transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q""")
+      .selectExpr("label", "q", s"$projExprs AS p")
+      .selectExpr("label", s"inline($anchorStructs)")
+      .groupBy("label", "anchor_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr(jlWithinSql("d2p", "d2o"))).cast("long").as("n_within"),
+        min(expr(jlRatioSql("d2p", "d2o"))).as("min_ratio_micro"),
+        max(expr(jlRatioSql("d2p", "d2o"))).as("max_ratio_micro"))
   }
 }

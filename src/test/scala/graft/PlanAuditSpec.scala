@@ -457,4 +457,38 @@ class PlanAuditSpec extends SparkSpec {
       "tiny matrix assembly must broadcast")
     assert(!all.exists(_.nodeName.contains("Window")))
   }
+
+  test("q138 chunk dedup: aggregate-shaped — no window, no sort, no cartesian") {
+    val p = plan("q138_chunk_dedup")
+    assert(!p.contains("Window"),
+      s"chunk frequency must be an aggregate, not a window:\n$p")
+    assert(!p.contains("SortExec") && !p.contains("CartesianProduct"),
+      s"no sort / cartesian in the chunk pipeline:\n$p")
+  }
+
+  test("q139 calibration computes both features in ONE per-doc projection") {
+    val p = plan("q139_minhash_calibration")
+    assert(p.contains("graft_minhash16") && p.contains("graft_shingles"),
+      s"both kernels must appear (no UDF fallback):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair joins must stay keyed on doc ids:\n$p")
+    // the signature and the shingle set share a row, so exactly three
+    // joins may exist: the bucket self-join and the two pair⋈feature
+    // joins — a fourth would be a per-doc sig⋈shingle join creeping back
+    val joins = executed("q139_minhash_calibration")
+      .filter(_.nodeName.contains("Join")).map(System.identityHashCode)
+      .distinct
+    assert(joins.size <= 3,
+      s"features must ride one projection, not a per-doc self-join (${joins.size} joins)")
+  }
+
+  test("q140 JL audit is map-only: literal matrix folds, no join, one group exchange") {
+    val all = executed("q140_jl_projection")
+    assert(!all.exists(_.nodeName.contains("Join")),
+      "projection must fold literal sign rows, never join a matrix table")
+    assert(!all.exists(_.nodeName.contains("Window")))
+    val exchanges = all.count(_.nodeName.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"only the labels x anchors aggregate may exchange, got $exchanges")
+  }
 }

@@ -168,4 +168,75 @@ class TextPipelineSpec extends SparkSpec {
       (2, "a_b", "c", 2L, 2L),
       (3, "a_b", "a_b_c", 1L, 1L)))
   }
+
+  test("q138 chunk dedup audit: hand-computed decile histogram over planted " +
+    "whole-doc and single-chunk duplicates") {
+    import spark.implicits._
+    def words(prefix: String, n: Int, from: Int = 1): String =
+      (from until from + n).map(i => s"$prefix$i").mkString(" ")
+    // docs 1/2: identical 64-token texts → both 32-token chunks duplicated
+    // (decile 10). docs 3/4: share ONLY the first chunk (doc 3's tail is 8
+    // b-tokens, doc 4's is 32 c-tokens) → 1 of 2 chunks dup (decile 5).
+    val shared = words("b", 32)
+    val docs = Seq(
+      (1L, words("a", 64)),
+      (2L, words("a", 64)),
+      (3L, shared + " " + words("b", 8, from = 33)),
+      (4L, shared + " " + words("c", 32))
+    ).toDF("doc_id", "text")
+    val got = operators.LlmQueries.chunkDedupAudit(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      10 -> ((2L, 4L, 4L)), // docs 1, 2: 2 chunks each, all dup
+      5 -> ((2L, 4L, 2L))), // docs 3, 4: first chunk shared, tails unique
+      s"unexpected histogram: $got")
+  }
+
+  test("q139 MinHash calibration: identical pair lands in the m=16 group " +
+    "with exact-micro 1000000 and zero estimator error") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    // two identical 40-token docs (same signature → every band collides →
+    // guaranteed candidate; shingle sets equal → true Jaccard 1) plus one
+    // unrelated doc that must produce no candidate pair with them
+    val docs = Seq(
+      (1L, words("x", 40)),
+      (2L, words("x", 40)),
+      (3L, words("z", 40))
+    ).toDF("doc_id", "text")
+    val rows = operators.LlmQueries.minhashCalibration(docs).collect()
+    assert(rows.length == 1, s"only the identical pair may survive: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getInt(0) == 16 && r.getLong(1) == 1L, s"m=16 group of 1: $r")
+    assert(r.getLong(2) == 1L, s"a zero-error pair is within any bound: $r")
+    assert(r.getLong(3) == 1000000L && r.getLong(4) == 1000000L &&
+      r.getLong(5) == 1000000L, s"exact Jaccard of identical docs is 1: $r")
+  }
+
+  test("q139 calibration bound is the exact cross-multiplied 0.35 band") {
+    import spark.implicits._
+    // doc 5 appends 3 tokens to doc 4's 40 → shingle sets 38 vs 41,
+    // intersection 38: exact Jaccard 38/41 (926829 micro). The estimator
+    // for a pair this similar stays within 0.35 of the truth whenever at
+    // least 10 of 16 lanes match — and band-collision (needed for the
+    // pair to be a candidate at all) implies at least 4 matching lanes,
+    // with the true-positive rate at J≈0.93 making <10 matches
+    // astronomically unlikely for a FIXED text (deterministic here; the
+    // assertion documents the expectation, the oracle pins exactness).
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (4L, base),
+      (5L, base + " xtr tok end")
+    ).toDF("doc_id", "text")
+    val rows = operators.LlmQueries.minhashCalibration(docs).collect()
+    assert(rows.length == 1, s"one near pair expected: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(3) == 926829L && r.getLong(4) == 926829L,
+      s"exact Jaccard 38/41 in micro-units: $r")
+    val m = r.getInt(0)
+    assert(m >= 10 && m <= 16, s"estimator lanes for J=0.927: $r")
+    assert(r.getLong(2) == r.getLong(1), s"pair must sit within the band: $r")
+  }
 }

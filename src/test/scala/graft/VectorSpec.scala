@@ -476,4 +476,58 @@ class VectorSpec extends SparkSpec {
     assert(got(1L) == ((2L, 0.5, 0.0, 1L)), s"cluster 1: ${got(1L)}")
     assert(got(2L) == ((1L, 1.0, 1.0, 0L)), s"cluster 2: ${got(2L)}")
   }
+
+  test("q140 JL audit matches an independent reimplementation of the " +
+    "documented sign-matrix / anchor / bound contract") {
+    import spark.implicits._
+    val (d, k, nAnchors) = (64, 16, 4)
+    // the documented contracts, re-derived independently of the engine:
+    // sign(j)(i) = low bit of md5("j:i")[0]; anchors from the Weyl-style
+    // integer recurrence; everything else plain Long arithmetic
+    def sign(j: Int, i: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1L else -1L
+    }
+    def anchorQ(a: Int, i: Int): Long =
+      ((a.toLong * 1000003L + i.toLong * 7919L + 12345L) * 2654435761L)
+        .abs % 2000001L - 1000000L
+    def ratio(d2p: Long, d2o: Long): Long =
+      if (d2o == 0) 1000000L
+      else math.floor(d2p.toDouble / d2o.toDouble / 16.0 * 1000000.0).toLong
+    def within(d2p: Long, d2o: Long): Long =
+      if (d2o == 0 || 2 * math.abs(d2p - 16 * d2o) <= 16 * d2o) 1L else 0L
+    def audit(v: Seq[Float]): Seq[(Int, Long, Long)] = {
+      val q = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      val p = (0 until k).map(j => (0 until d).map(i => q(i) * sign(j, i)).sum)
+      (0 until nAnchors).map { a =>
+        val d2o = (0 until d).map { i => val t = q(i) - anchorQ(a, i); t * t }.sum
+        val pa = (0 until k).map(j =>
+          (0 until d).map(i => anchorQ(a, i) * sign(j, i)).sum)
+        val d2p = (0 until k).map { j => val t = p(j) - pa(j); t * t }.sum
+        (a, d2o, d2p)
+      }
+    }
+    val vecs = Seq(
+      (7L, (0 until d).map(i => ((i * 37 % 201) - 100) / 100.0f), 1),
+      (8L, (0 until d).map(i => ((i * 53 % 201) - 100) / 100.0f), 1),
+      (9L, (0 until d).map(_ => 0.0f), 2))
+    val expected = vecs.groupBy(_._3).flatMap { case (label, vs) =>
+      val per = vs.map(v => audit(v._2))
+      (0 until nAnchors).map { a =>
+        val rows = per.map(_(a))
+        (label, a) -> ((rows.size.toLong,
+          rows.map(r => within(r._3, r._2)).sum,
+          rows.map(r => ratio(r._3, r._2)).min,
+          rows.map(r => ratio(r._3, r._2)).max))
+      }
+    }
+    val got = operators.VectorQueries.jlProjectionAudit(
+        vecs.toDF("vec_id", "embedding", "label"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
 }
