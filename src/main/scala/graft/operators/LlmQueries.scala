@@ -2227,6 +2227,47 @@ object LlmQueries {
           AS mean_exact_micro
       FROM pp GROUP BY m""")) { (s, dir) =>
       minhashCalibration(nearCorpus(s, dir))
+    },
+
+    // --------------------------------------------------------------- Q141
+    // BPE encode: APPLY the q137-learned merge table and report the
+    // per-source compression it buys — the second half of the tokenizer
+    // story (q137 learns the vocabulary, this measures what shipping it
+    // saves per corpus slice, the number that decides whether a bigger
+    // merge table is worth the inference-time cost). Same loop shape as
+    // q137 — per round one vocab-sized pair-count exchange + a 1-row
+    // argmax + a map-only literal replace; source and the pre-encode
+    // token count just ride the rewrite columns — then ONE ≤|sources|
+    // aggregate. The corpus never shuffles. Compression is exact integer
+    // micro-units on the summed token counts ((Σafter·10⁶) div Σbefore
+    // — Long math holds to ~9·10¹² tokens ≈ 40 TB of text per source;
+    // past that the sums would route through DECIMAL like the money
+    // aggregates).
+    Q("q141_bpe_encode", Some(s"""
+      WITH d0 AS (SELECT source,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before,
+                    '  ' || replace(text, ' ', '  ') || '  ' AS t
+                  FROM documents),
+      ${bpePairSql("d0", "p1")},
+      ${bpeBestSql("p1", "b1")},
+      ${bpeEncodeStepSql("d0", "b1", "e1")},
+      ${bpePairSql("e1", "p2")},
+      ${bpeBestSql("p2", "b2")},
+      ${bpeEncodeStepSql("e1", "b2", "e2")},
+      ${bpePairSql("e2", "p3")},
+      ${bpeBestSql("p3", "b3")},
+      ${bpeEncodeStepSql("e2", "b3", "e3")},
+      fin AS (SELECT source, n_before,
+                CAST(len(list_filter(string_split(t, '  '), x -> x <> ''))
+                  AS BIGINT) AS n_after
+              FROM e3)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_before) AS BIGINT) AS tokens_before,
+        CAST(SUM(n_after) AS BIGINT) AS tokens_after,
+        CAST((SUM(n_after) * 1000000) // SUM(n_before) AS BIGINT)
+          AS compression_micro
+      FROM fin GROUP BY source""")) { (s, dir) =>
+      bpeEncode(Tables.t(s, dir, "documents"))
     }
   )
 
@@ -2252,6 +2293,14 @@ object LlmQueries {
                    ' ' || w1 || '_' || w2 || ' ') AS t,
         length(t) - length(replace(t, ' ' || w1 || '  ' || w2 || ' ',
                                       ' ' || w1 || '_' || w2 || ' ')) AS delta
+        FROM $d, $b)"""
+
+  /** q141's oracle-side merge step: [[bpeMergeSql]] minus the delta,
+    * carrying the encode outputs (source, n_before) through the rewrite. */
+  private def bpeEncodeStepSql(d: String, b: String, out: String): String = s"""
+      $out AS (SELECT source, n_before,
+        replace(t, ' ' || w1 || '  ' || w2 || ' ',
+                   ' ' || w1 || '_' || w2 || ' ') AS t
         FROM $d, $b)"""
 
   /** q130 kernel — see the Q entry for the shuffle-budget argument. The
@@ -3724,6 +3773,54 @@ object LlmQueries {
       "q115_frequent_shingles" -> q115Frequent,
       "q115_frequent_frac_threshold" -> fracThreshold,
       "q115_frequent_shingles_frac" -> q115FrequentFrac)
+  }
+
+  /** q141 kernel — q137's learn loop re-run with the rewrite carrying the
+    * encode outputs (source, pre-encode token count) instead of the
+    * per-round delta, then one ≤|sources| aggregate of exact token sums.
+    * Per round the same budget as [[bpeMerges]]: one vocab-sized
+    * pair-count exchange, a 1-row argmax collect, a map-only replace;
+    * the corpus localCheckpoints so each round's count and rewrite share
+    * one materialization. The final token count re-tokenizes the
+    * double-spaced rendering ONCE (map-side) — merged pairs count as a
+    * single token, exactly how the inference tokenizer would see them.
+    */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    var cur = docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_before"),
+        concat(lit("  "), expr("replace(text, ' ', '  ')"), lit("  ")).as("t"))
+      .localCheckpoint(true)
+    for (_ <- 1 to nMerges) {
+      val best = cur
+        .select(expr("filter(split(t, '  '), x -> x != '')").as("tk"))
+        .filter(expr("size(tk) >= 2"))
+        .select(explode(expr(
+          """transform(sequence(0, size(tk) - 2),
+            |  j -> struct(tk[j] AS w1, tk[j + 1] AS w2))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(1).collect()(0)
+      val (w1, w2) = (best.getString(0), best.getString(1))
+      cur = cur
+        .select(col("source"), col("n_before"),
+          call_function("replace", col("t"),
+            lit(s" $w1  $w2 "), lit(s" ${w1}_$w2 ")).as("t"))
+        .localCheckpoint(true)
+    }
+    cur
+      .select(col("source"), col("n_before"),
+        expr("CAST(size(filter(split(t, '  '), x -> x != '')) AS BIGINT)")
+          .as("n_after"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_before")).as("tokens_before"),
+        sum(col("n_after")).as("tokens_after"))
+      .selectExpr("source", "n_docs", "tokens_before", "tokens_after",
+        """CAST((tokens_after * 1000000) div tokens_before AS BIGINT)
+           AS compression_micro""")
   }
 
   /** q138 kernel — CCNet-style paragraph-hash dedup audit. Chunks are the

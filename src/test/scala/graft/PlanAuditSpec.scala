@@ -482,6 +482,13 @@ class PlanAuditSpec extends SparkSpec {
       s"features must ride one projection, not a per-doc self-join (${joins.size} joins)")
   }
 
+  test("q141 BPE encode: the corpus never joins or windows — merges ride literal replaces") {
+    val p = plan("q141_bpe_encode")
+    assert(!p.contains("Join"),
+      s"merge table must be literals from the argmax, never a join:\n$p")
+    assert(!p.contains("Window"), s"no window in the encode pipeline:\n$p")
+  }
+
   test("q140 JL audit is map-only: literal matrix folds, no join, one group exchange") {
     val all = executed("q140_jl_projection")
     assert(!all.exists(_.nodeName.contains("Join")),

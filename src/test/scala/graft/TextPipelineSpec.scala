@@ -169,6 +169,24 @@ class TextPipelineSpec extends SparkSpec {
       (3, "a_b", "a_b_c", 1L, 1L)))
   }
 
+  test("q141 BPE encode: the q137 trace applied — per-source token sums " +
+    "and exact compression micro-units") {
+    import spark.implicits._
+    // same corpus and merge trace as the q137 test: merges (a,b) →
+    // (a_b,c) → (a_b,a_b_c). Doc 1 'a b a b c' (5 tokens) encodes to the
+    // single token a_b_a_b_c; doc 2 'a b c c' (4 tokens) to 'a_b_c c'.
+    val docs = Seq((1L, "a b a b c", "srcA"), (2L, "a b c c", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = operators.LlmQueries.bpeEncode(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      "srcA" -> ((1L, 5L, 1L, 200000L)), // 5 → 1 token: 10⁶·1/5
+      "srcB" -> ((1L, 4L, 2L, 500000L))), // 4 → 2 tokens: 10⁶·2/4
+      s"unexpected encode stats: $got")
+  }
+
   test("q138 chunk dedup audit: hand-computed decile histogram over planted " +
     "whole-doc and single-chunk duplicates") {
     import spark.implicits._
