@@ -36,7 +36,11 @@ object Plans {
     "q130_source_overlap" -> "exact cross-source Jaccard matrix: md5-folded 8-byte shingle keys into ONE vocab-sized exchange aggregating a codegen'd bit_or source bitmask, vocab collapsed to distinct co-occurrence patterns, checkpoint-fed |sources|-squared expansion",
     "q131_stupid_backoff" -> "leave-one-source-out trigram LM: backoff terms precomputed per distinct (trigram, source) behind checkpoints; the occurrence stream meets the term table as a SHUFFLE-HASH probe (sort-merge would sort the corpus by four string keys — A/B'd 24 vs 3.5 s at sf5) and aggregates per doc",
     "q132_heavy_hitters" -> "two-pass exact phi-heavy hitters: the Misra-Gries pass moved only k-bounded summaries (already run eagerly); the emitted plan is the audit — corpus scan through a broadcast semi on the guaranteed-superset candidates, one candidate-bounded agg exchange",
-    "q133_containment_dedup" -> "Broder containment: one reused posting exchange serves the docfreq-cap window AND the pair self-join; true set sizes ride the posting rows so no sizes join-back exists")
+    "q133_containment_dedup" -> "Broder containment: one reused posting exchange serves the docfreq-cap window AND the pair self-join; true set sizes ride the posting rows so no sizes join-back exists",
+    "q138_chunk_dedup" -> "CCNet-style paragraph dedup audit: non-overlapping 32-token chunk md5s, one map-side-combined chunk-frequency exchange, the join-back co-partitioned on the same hash, 11-row decile histogram — no window, no sort",
+    "q139_minhash_calibration" -> "sketch-vs-truth calibration: signature AND shingle set computed in ONE per-doc projection (no sig-shingle join), q42's capped candidate join, exact-integer error bounds, 17-row output exchange",
+    "q140_jl_projection" -> "Johnson-Lindenstrauss audit: literal +-1 sign matrix folded per row in whole-stage codegen — no matrix-table join, no window; the labels x anchors aggregate is the only exchange",
+    "q141_bpe_encode" -> "BPE encode: per learned merge one vocab-sized pair-count exchange + a 1-row argmax + a map-only literal replace; the emitted plan is the per-source token-sum epilogue (merge learning ran eagerly) — the corpus never shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
