@@ -2268,6 +2268,50 @@ object LlmQueries {
           AS compression_micro
       FROM fin GROUP BY source""")) { (s, dir) =>
       bpeEncode(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q142
+    // Chunk scrub — the TRANSFORM the q138 audit gates: remove every
+    // corpus-duplicated 32-token chunk except its first occurrence
+    // (lowest (doc_id, chunk_id)), rebuild each document from its kept
+    // chunks, and report the per-doc removal mass. This is paragraph-
+    // level dedup as RefinedWeb/CCNet actually apply it — docs shrink
+    // instead of dying, and a FULLY-duplicated doc (every chunk kept
+    // elsewhere) drops out entirely, which IS its exact-dedup. Keeper
+    // selection is a single argmin aggregate on the chunk hash (key =
+    // doc_id·10⁵ + chunk_id — exact while chunks/doc < 10⁵, i.e. docs
+    // under 3.2 M tokens); the join-back is co-partitioned on the same
+    // hash; the rebuild sorts only WITHIN a doc (array_sort of a
+    // per-doc-bounded list — no corpus sort, no window). Corpus is
+    // q40's planted-exact-dup fixture so the scrub mass is non-vacuous
+    // at every scale.
+    Q("q142_chunk_scrub", Some(s"""
+      WITH corpus AS ($dupCorpusSql),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      st AS (SELECT doc_id, toks, len(toks) AS n,
+                    unnest(range(0, len(toks), 32)) AS start
+             FROM tok),
+      ch AS (SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_id,
+               CAST(least(start + 32, n) - start AS BIGINT) AS n_tokens,
+               array_to_string(
+                 list_slice(toks, start + 1, least(start + 32, n)), ' ')
+                 AS chunk_text
+             FROM st),
+      keep AS (SELECT md5(chunk_text) AS h,
+                 MIN(doc_id * 100000 + chunk_id) AS keeper
+               FROM ch GROUP BY md5(chunk_text)),
+      fl AS (SELECT ch.doc_id, ch.chunk_id, ch.n_tokens, ch.chunk_text,
+               CASE WHEN ch.doc_id * 100000 + ch.chunk_id = keep.keeper
+                    THEN 1 ELSE 0 END AS kept
+             FROM ch JOIN keep ON md5(ch.chunk_text) = keep.h)
+      SELECT doc_id, COUNT(*) AS n_chunks,
+        CAST(SUM(kept) AS BIGINT) AS n_kept,
+        CAST(SUM(n_tokens) AS BIGINT) AS tok_before,
+        CAST(SUM(n_tokens * kept) AS BIGINT) AS tok_after,
+        string_agg(CASE WHEN kept = 1 THEN chunk_text END,
+                   ' ' ORDER BY chunk_id) AS scrubbed_text
+      FROM fl GROUP BY doc_id""")) { (s, dir) =>
+      chunkScrub(dupCorpus(s, dir))
     }
   )
 
@@ -3766,13 +3810,20 @@ object LlmQueries {
       .join(post133.select(col("doc_id").as("doc_id2"), col("h").as("hb")),
         col("h") === col("hb") && col("doc_id1") < col("doc_id2"))
       .select("doc_id1", "doc_id2").distinct().count()
+    // q138: duplicated 32-token chunks in the planted-exact-dup corpus —
+    // the paragraph-dedup audit's working mass (must be non-zero and
+    // scale-stable; a vacuous-0 audit knob is the q115-fraction lesson)
+    val q138 = tokenChunks(dupCorpus(s, dir), window = 32, stride = 32)
+      .groupBy(md5(col("chunk_text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("freq")).filter(col("freq") >= 2).count()
     Seq("docs" -> nDocs,
       "q42_pairs" -> q42, "q83_neighbor_rows" -> q83, "q87_edges" -> q87,
       "q96_pairs" -> q96, "q97_pairs" -> q97, "q133_pairs" -> q133,
       "q113_shingle_rows" -> q113Total, "q113_bloom_kept" -> q113Kept,
       "q115_frequent_shingles" -> q115Frequent,
       "q115_frequent_frac_threshold" -> fracThreshold,
-      "q115_frequent_shingles_frac" -> q115FrequentFrac)
+      "q115_frequent_shingles_frac" -> q115FrequentFrac,
+      "q138_dup_chunks" -> q138)
   }
 
   /** q141 kernel — q137's learn loop re-run with the rewrite carrying the
@@ -3821,6 +3872,41 @@ object LlmQueries {
       .selectExpr("source", "n_docs", "tokens_before", "tokens_after",
         """CAST((tokens_after * 1000000) div tokens_before AS BIGINT)
            AS compression_micro""")
+  }
+
+  /** q142 kernel — paragraph-level dedup as a TRANSFORM: every chunk hash
+    * keeps exactly its first occurrence (argmin of doc_id·10⁵ + chunk_id,
+    * one aggregate on the hash), the join-back rides the same hash
+    * partitioning, and the per-doc rebuild is ONE aggregate whose
+    * array_sort is bounded by a document's own chunk count — no corpus
+    * sort, no window, no second doc-level join. A fully-duplicated doc
+    * keeps zero chunks and reports scrubbed_text = NULL (both engines by
+    * the same CASE), which is this operator's exact-dedup drop signal.
+    */
+  def chunkScrub(docs: DataFrame): DataFrame = {
+    val ch = tokenChunks(docs, window = 32, stride = 32)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("n_tokens").cast("long").as("n_tokens"), col("chunk_text"),
+        md5(col("chunk_text").cast("binary")).as("h"))
+    val keep = ch.groupBy("h")
+      .agg(min(col("doc_id") * 100000L + col("chunk_id")).as("keeper"))
+    ch.join(keep, "h")
+      .withColumn("kept",
+        when(col("doc_id") * 100000L + col("chunk_id") === col("keeper"), 1L)
+          .otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("n_tokens")).as("tok_before"),
+        sum(col("n_tokens") * col("kept")).as("tok_after"),
+        expr("""array_join(transform(
+                  array_sort(collect_list(CASE WHEN kept = 1
+                    THEN struct(chunk_id, chunk_text) END)),
+                  s -> s.chunk_text), ' ')""").as("joined"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        col("tok_before"), col("tok_after"),
+        when(col("n_kept") === 0L, lit(null).cast("string"))
+          .otherwise(col("joined")).as("scrubbed_text"))
   }
 
   /** q138 kernel — CCNet-style paragraph-hash dedup audit. Chunks are the

@@ -489,6 +489,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window in the encode pipeline:\n$p")
   }
 
+  test("q142 chunk scrub: keeper argmin + co-partitioned join-back — no window, no cartesian") {
+    val p = plan("q142_chunk_scrub")
+    assert(!p.contains("Window"),
+      s"keeper selection must be an aggregate, not a window rank:\n$p")
+    assert(!p.contains("CartesianProduct"), s"join must stay hash-keyed:\n$p")
+  }
+
   test("q140 JL audit is map-only: literal matrix folds, no join, one group exchange") {
     val all = executed("q140_jl_projection")
     assert(!all.exists(_.nodeName.contains("Join")),

@@ -211,6 +211,28 @@ class TextPipelineSpec extends SparkSpec {
       s"unexpected histogram: $got")
   }
 
+  test("q142 chunk scrub: first occurrence kept, copies stripped, " +
+    "fully-duplicated doc reports NULL text") {
+    import spark.implicits._
+    def words(prefix: String, n: Int, from: Int = 1): String =
+      (from until from + n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("b", 32)
+    val docs = Seq(
+      (1L, words("a", 64)),                       // keeper of both a-chunks
+      (2L, words("a", 64)),                       // full copy → fully scrubbed
+      (3L, shared + " " + words("b", 8, from = 33)), // keeper of the b-chunk
+      (4L, shared + " " + words("c", 32))         // loses chunk 0, keeps tail
+    ).toDF("doc_id", "text")
+    val got = operators.LlmQueries.chunkScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.getString(5))))).toMap
+    assert(got(1L) == ((2L, 2L, 64L, 64L, Some(words("a", 64)))), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, 0L, 64L, 0L, None)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((2L, 2L, 40L, 40L,
+      Some(shared + " " + words("b", 8, from = 33)))), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((2L, 1L, 64L, 32L, Some(words("c", 32)))), s"doc4: ${got(4L)}")
+  }
+
   test("q139 MinHash calibration: identical pair lands in the m=16 group " +
     "with exact-micro 1000000 and zero estimator error") {
     import spark.implicits._
