@@ -2312,6 +2312,52 @@ object LlmQueries {
                    ' ' ORDER BY chunk_id) AS scrubbed_text
       FROM fl GROUP BY doc_id""")) { (s, dir) =>
       chunkScrub(dupCorpus(s, dir))
+    },
+
+    // --------------------------------------------------------------- Q143
+    // Language-consistency audit (code-switching / mixed-language
+    // detection): run the q48 stopword language-ID on every
+    // non-overlapping 32-token chunk and measure how often a document's
+    // chunks agree with its whole-document prediction — the per-doc
+    // signal multilingual pipelines use to route mixed documents to
+    // splitting instead of a single-language bucket. Both engines build
+    // the scores and the argmax from ONE shared stopword table
+    // ([[langStops]]) with q48's round-at-6dp idiom, so the comparison
+    // stays bit-exact. The corpus is [[mixedCorpus]] — documents plus
+    // planted cross-language concatenations — because on the fixture
+    // alone every chunk votes its document's language and the audit
+    // would measure a vacuous all-1.0 (the q115-fraction lesson: an
+    // audit knob is only shipped against data that exercises it).
+    // Plan: map-only scoring (doc-level pred rides the row through the
+    // chunk explode; no join, no window beyond the fixture derivation)
+    // plus one doc-group aggregate. Agreement is exact integer
+    // micro-units; the `mixed` flag is the cross-multiplied
+    // consistency < 0.8 bound.
+    Q("q143_lang_consistency", Some(s"""
+      WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                 FROM ($mixedCorpusSql) mc),
+      dsc AS (SELECT doc_id, lang, toks,
+                ${langScoresSql("toks")} FROM t),
+      dp AS (SELECT doc_id, lang, toks, $langPredSql AS doc_pred FROM dsc),
+      ck AS (SELECT doc_id, lang, doc_pred,
+               list_slice(toks, start + 1, least(start + 32, len(toks)))
+                 AS ctoks
+             FROM (SELECT doc_id, lang, doc_pred, toks,
+                     unnest(range(0, len(toks), 32)) AS start FROM dp) u),
+      csc AS (SELECT doc_id, lang, doc_pred,
+                ${langScoresSql("ctoks")} FROM ck),
+      cp AS (SELECT doc_id, lang, doc_pred, $langPredSql AS chunk_pred
+             FROM csc)
+      SELECT doc_id, lang, doc_pred, COUNT(*) AS n_chunks,
+        CAST(SUM(CASE WHEN chunk_pred = doc_pred THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_agree,
+        CAST((SUM(CASE WHEN chunk_pred = doc_pred THEN 1 ELSE 0 END)
+              * 1000000) // COUNT(*) AS BIGINT) AS consistency_micro,
+        CAST(CASE WHEN 10 * SUM(CASE WHEN chunk_pred = doc_pred
+                                     THEN 1 ELSE 0 END) < 8 * COUNT(*)
+                  THEN 1 ELSE 0 END AS INT) AS mixed
+      FROM cp GROUP BY doc_id, lang, doc_pred""")) { (s, dir) =>
+      langConsistency(mixedCorpus(s, dir))
     }
   )
 
@@ -3872,6 +3918,94 @@ object LlmQueries {
       .selectExpr("source", "n_docs", "tokens_before", "tokens_after",
         """CAST((tokens_after * 1000000) div tokens_before AS BIGINT)
            AS compression_micro""")
+  }
+
+  /** documents + planted CODE-SWITCHED docs for q143. The fixture's text
+    * generator is English-flavored for EVERY `lang` label (zero de/es/fr
+    * stopword hits corpus-wide — measured), so no concatenation of
+    * fixture docs can ever produce chunk disagreement; instead every 5th
+    * doc gains a +100000-keyed variant with a 32-token GERMAN tail built
+    * from [[langStops]]'s own de row — the tail chunk votes 'de'
+    * deterministically while the original chunks keep voting 'en', and
+    * usually flips the whole-doc argmax too (32 de hits vs ~3 en hits),
+    * which is exactly what a mislabeled mixed document looks like. The
+    * plant is map-only (no derivation join) and keyed on the ORIGINAL
+    * doc_id, so it is stable under ScaleData replication.
+    */
+  private lazy val mixedTail: String =
+    Iterator.continually(langStops.find(_._1 == "de").get._2)
+      .flatten.take(32).mkString(" ")
+  private def mixedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("lang"),
+        concat(col("text"), lit(" " + mixedTail)).as("text")))
+  }
+  private lazy val mixedCorpusSql =
+    s"""SELECT doc_id, lang, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000, lang, text || ' $mixedTail'
+       FROM documents WHERE doc_id % 5 = 0"""
+
+  /** One stopword table drives q48 AND q143 in both engines — scores and
+    * argmax are generated from this seq, so the heuristic can't drift
+    * between the doc-level and chunk-level (or Spark and DuckDB) forms.
+    */
+  private lazy val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** DuckDB-side `s_<lang>` score columns over token list `c`. */
+  private def langScoresSql(c: String): String =
+    langStops.map { case (l, ws) =>
+      s"""round(len(list_filter($c, t -> list_contains([${
+        ws.map("'" + _ + "'").mkString(", ")}], t))) / len($c), 6) AS s_$l"""
+    }.mkString(",\n                ")
+
+  /** Spark-side `s_<lang>` score expressions over token column `c`. */
+  private def langScoresSpark(c: String): Seq[String] =
+    langStops.map { case (l, ws) =>
+      s"""round(size(filter($c, t -> array_contains(array(${
+        ws.map("'" + _ + "'").mkString(", ")}), t))) / size($c), 6) AS s_$l"""
+    }
+
+  /** The q48 argmax (ties break toward the earlier language) — identical
+    * text in both engines over the `s_<lang>` columns. */
+  private lazy val langPredSql: String =
+    """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END"""
+
+  /** q143 kernel — chunk-level language-ID consistency. The doc-level
+    * prediction is computed once and rides the row through the chunk
+    * explode (no join back); chunk scoring is the same generated
+    * expression over the 32-token slice; one doc-group aggregate ends
+    * the plan. Map-only before the final exchange at any corpus size.
+    */
+  def langConsistency(docs: DataFrame): DataFrame = {
+    val dsc = docs
+      .selectExpr("doc_id", "lang", "split(text, ' ') AS toks")
+      .selectExpr(Seq("doc_id", "lang", "toks") ++ langScoresSpark("toks"): _*)
+      .selectExpr("doc_id", "lang", "toks", s"$langPredSql AS doc_pred")
+    val cp = dsc
+      .selectExpr("doc_id", "lang", "doc_pred",
+        """explode(transform(sequence(0, size(toks) - 1, 32),
+           st -> slice(toks, st + 1, 32))) AS ctoks""")
+      .selectExpr(Seq("doc_id", "lang", "doc_pred") ++
+        langScoresSpark("ctoks"): _*)
+      .selectExpr("doc_id", "lang", "doc_pred", s"$langPredSql AS chunk_pred")
+    cp.groupBy("doc_id", "lang", "doc_pred")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_pred") === col("doc_pred"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .selectExpr("doc_id", "lang", "doc_pred", "n_chunks", "n_agree",
+        "CAST((n_agree * 1000000) div n_chunks AS BIGINT) AS consistency_micro",
+        """CAST(CASE WHEN 10 * n_agree < 8 * n_chunks THEN 1 ELSE 0 END
+           AS INT) AS mixed""")
   }
 
   /** q142 kernel — paragraph-level dedup as a TRANSFORM: every chunk hash

@@ -496,6 +496,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"join must stay hash-keyed:\n$p")
   }
 
+  test("q143 lang consistency: doc pred rides the explode — no join, no window") {
+    val all = executed("q143_lang_consistency")
+    assert(!all.exists(_.nodeName.contains("Join")),
+      "doc-level prediction must ride the chunk explode, not join back")
+    assert(!all.exists(_.nodeName.contains("Window")))
+  }
+
   test("q140 JL audit is map-only: literal matrix folds, no join, one group exchange") {
     val all = executed("q140_jl_projection")
     assert(!all.exists(_.nodeName.contains("Join")),

@@ -211,6 +211,27 @@ class TextPipelineSpec extends SparkSpec {
       s"unexpected histogram: $got")
   }
 
+  test("q143 lang consistency: a code-switched doc's tail chunk dissents, " +
+    "flipping the doc argmax and tripping the mixed flag") {
+    import spark.implicits._
+    // doc 1: 32 English-flavored tokens (5 stopword hits) + 32 German
+    // stopword tokens → doc-level argmax 'de' (32/64 > 5/64), chunk 1
+    // votes 'en', chunk 2 'de' → consistency 1/2, mixed (10·1 < 8·2).
+    // doc 2: one all-English chunk → fully consistent, not mixed.
+    val en32 = ("the a of and to" + " filler" * 27).trim // 5 + 27 = 32 tokens
+    val de32 = Seq.fill(7)("der die und das ist").mkString(" ")
+      .split(" ").take(32).mkString(" ")
+    val docs = Seq(
+      (1L, "en", en32 + " " + de32),
+      (2L, "en", en32)
+    ).toDF("doc_id", "lang", "text")
+    val got = operators.LlmQueries.langConsistency(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getInt(6)))).toMap
+    assert(got(1L) == (("de", 2L, 1L, 500000L, 1)), s"mixed doc: ${got(1L)}")
+    assert(got(2L) == (("en", 1L, 1L, 1000000L, 0)), s"pure doc: ${got(2L)}")
+  }
+
   test("q142 chunk scrub: first occurrence kept, copies stripped, " +
     "fully-duplicated doc reports NULL text") {
     import spark.implicits._
