@@ -2358,6 +2358,85 @@ object LlmQueries {
                   THEN 1 ELSE 0 END AS INT) AS mixed
       FROM cp GROUP BY doc_id, lang, doc_pred""")) { (s, dir) =>
       langConsistency(mixedCorpus(s, dir))
+    },
+
+    // --------------------------------------------------------------- Q144
+    // Training-shard preparation FUNNEL — the capstone composition: the
+    // end-to-end pipeline a data team actually runs before cutting a
+    // training shard, as ONE query emitting the per-stage survivor
+    // funnel (docs + tokens after each stage): s0 raw corpus → s1 exact
+    // dedup (md5 keep-min) → s2 near-dup resolution (LSH CC + quality
+    // argmax, the q103 policy) → s3 decontamination (drop any doc
+    // sharing a 5-shingle with the eval set — eval members drop by
+    // self-overlap) → s4 Gopher quality rules (q91's keep). The corpus
+    // is [[funnelCorpusSql]]: documents plus all four plant families
+    // (exact dups, near-dups, leaked eval copies, repetitive spam) so
+    // EVERY stage removes real mass at every scale. Shuffle budget =
+    // the sum of its stages' budgets, nothing extra: each stage's
+    // survivor set localCheckpoints (constant-depth lineage, the CC
+    // lesson), membership flows by doc_id semi-joins, eval shingles
+    // broadcast, and the funnel itself is five count/sum aggregates
+    // unioned driver-side.
+    Q("q144_training_funnel", Some(s"""
+      WITH RECURSIVE s0 AS (SELECT doc_id, text FROM ($funnelCorpusSql) fc),
+      k1 AS (SELECT MIN(doc_id) AS doc_id FROM s0 GROUP BY md5(text)),
+      s1 AS (SELECT s0.doc_id, s0.text FROM s0 JOIN k1 USING (doc_id)),
+      bands AS (${bandTableSql("SELECT doc_id, text FROM s1")}),
+      capped AS (${cappedSql("bands")}),
+      edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+                FROM capped a JOIN capped b
+                  ON a.band = b.band AND a.band_key = b.band_key),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM s1
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cc AS (SELECT src AS doc_id, MIN(dst) AS canonical FROM reach GROUP BY src),
+      qual AS (SELECT doc_id, $qualityDuckSql AS quality
+               FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                     FROM s1) t),
+      m AS (SELECT cc.doc_id, cc.canonical, qual.quality
+            FROM cc JOIN qual ON cc.doc_id = qual.doc_id),
+      mx AS (SELECT canonical, MAX(quality) AS max_quality FROM m
+             GROUP BY canonical),
+      k2 AS (SELECT MIN(m.doc_id) AS doc_id FROM m
+             JOIN mx ON m.canonical = mx.canonical
+                    AND m.quality = mx.max_quality
+             GROUP BY m.canonical),
+      s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN k2 USING (doc_id)),
+      ev AS (SELECT DISTINCT unnest(${shingleSetSql(5)}) AS sh
+             FROM (SELECT string_split(text, ' ') AS toks FROM documents
+                   WHERE doc_id % 50 = 0) e),
+      hit AS (SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(${shingleSetSql(5)}) AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM s2) u) sh2
+              JOIN ev USING (sh)),
+      s3 AS (SELECT s2.doc_id, s2.text FROM s2
+             WHERE s2.doc_id NOT IN (SELECT doc_id FROM hit)),
+      r4 AS (SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(
+                 [ string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                   for i in range(1, len(string_split(text, ' '))) ])) AS d2
+             FROM s3),
+      s4 AS (SELECT doc_id, text FROM (
+               SELECT doc_id, text, n_tok,
+                 round(1.0 - d2 / (n_tok - 1), 6) AS dup2,
+                 round((length(text) - (n_tok - 1)) / n_tok, 6) AS mwl
+               FROM r4) q
+             WHERE dup2 <= 0.3 AND mwl BETWEEN 2.0 AND 12.0 AND n_tok >= 10)
+      SELECT stage, n_docs, n_tokens FROM (
+        SELECT 's0_corpus' AS stage, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM s0
+        UNION ALL SELECT 's1_exact', COUNT(*),
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s1
+        UNION ALL SELECT 's2_neardup', COUNT(*),
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s2
+        UNION ALL SELECT 's3_decontam', COUNT(*),
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s3
+        UNION ALL SELECT 's4_quality', COUNT(*),
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s4) f""")) {
+      (s, dir) => trainingFunnel(s, dir)
     }
   )
 
@@ -3947,6 +4026,80 @@ object LlmQueries {
        UNION ALL
        SELECT doc_id + 100000, lang, text || ' $mixedTail'
        FROM documents WHERE doc_id % 5 = 0"""
+
+  /** q144's corpus: documents plus ALL FOUR plant families, in disjoint
+    * id blocks (base < 10000 per replica; ScaleData's 10⁶ doc stride
+    * keeps every block inside its replica): exact dups (+10000, %7 —
+    * q40's plant), near-dups (+20000, %10 — q42's), leaked eval copies
+    * (+30001, %50 — q92's), repetitive spam (+40000, %25 — q91's). Each
+    * funnel stage removes the family planted for it, so no stage is
+    * measured against an empty set.
+    */
+  private lazy val funnelCorpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0
+       UNION ALL SELECT doc_id + 20000, text || ' xtr tok end'
+       FROM documents WHERE doc_id % 10 = 0
+       UNION ALL SELECT doc_id + 30001, 'leak ctx pre ' || text || ' post trail'
+       FROM documents WHERE doc_id % 50 = 0
+       UNION ALL SELECT doc_id + 40000,
+         rtrim(repeat('buy now ', 20)) || ' id' || CAST(doc_id AS VARCHAR)
+       FROM documents WHERE doc_id % 25 = 0"""
+
+  private def funnelCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" xtr tok end")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 30001).as("doc_id"),
+          concat(lit("leak ctx pre "), col("text"), lit(" post trail")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          expr("concat(rtrim(repeat('buy now ', 20)), ' id', CAST(doc_id AS STRING))")
+            .as("text")))
+  }
+
+  /** q144 kernel — the staged funnel. Every stage's survivor set
+    * localCheckpoints before feeding the next (constant-depth lineage;
+    * CC inside [[qualityKeep]] checkpoints its own loop), membership
+    * propagates via doc_id semi-/anti-joins, the eval shingle set
+    * broadcasts, and the emitted plan is five stage aggregates unioned —
+    * the heavy lifting ran eagerly, stage by stage, exactly like the
+    * production pipeline it models.
+    */
+  def trainingFunnel(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val s0 = funnelCorpus(s, dir).localCheckpoint(true)
+    val k1 = s0.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s1 = s0.join(k1, Seq("doc_id"), "leftsemi").localCheckpoint(true)
+    val k2 = qualityKeep(s1).select(col("keep_id").as("doc_id"))
+    val s2 = s1.join(k2, Seq("doc_id"), "leftsemi").localCheckpoint(true)
+    val ev = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 50 === 0)
+      .selectExpr("explode(graft_shingles(text, 5)) AS sh").distinct()
+    val hit = s2.selectExpr("doc_id", "explode(graft_shingles(text, 5)) AS sh")
+      .join(broadcast(ev), "sh").select("doc_id").distinct()
+    val s3 = s2.join(hit, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val s4 = s3
+      .selectExpr("doc_id", "text", "size(split(text, ' ')) AS n_tok",
+        "size(graft_shingles(text, 2)) AS d2")
+      .selectExpr("doc_id", "text", "n_tok",
+        "round(1.0 - d2 / (n_tok - 1), 6) AS dup2",
+        "round((length(text) - (n_tok - 1)) / n_tok, 6) AS mwl")
+      .filter(expr("dup2 <= 0.3 AND mwl BETWEEN 2.0 AND 12.0 AND n_tok >= 10"))
+      .select("doc_id", "text")
+    def row(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(split(col("text"), " "))), lit(0L)).cast("long")
+            .as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    Seq(row("s0_corpus", s0), row("s1_exact", s1), row("s2_neardup", s2),
+      row("s3_decontam", s3), row("s4_quality", s4)).reduce(_ unionByName _)
+  }
 
   /** One stopword table drives q48 AND q143 in both engines — scores and
     * argmax are generated from this seq, so the heuristic can't drift

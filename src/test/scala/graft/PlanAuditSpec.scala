@@ -503,6 +503,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!all.exists(_.nodeName.contains("Window")))
   }
 
+  test("q144 funnel: emitted plan is the five checkpoint-fed stage aggregates — no window, no cartesian") {
+    val p = plan("q144_training_funnel")
+    assert(!p.contains("Window"), s"stage rollups must be aggregates:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the funnel:\n$p")
+    // the heavy stages ran eagerly behind localCheckpoints; the emitted
+    // plan must read checkpointed RDDs, not recompute the pipeline
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"stage aggregates must read the checkpointed survivors:\n$p")
+  }
+
   test("q140 JL audit is map-only: literal matrix folds, no join, one group exchange") {
     val all = executed("q140_jl_projection")
     assert(!all.exists(_.nodeName.contains("Join")),

@@ -211,6 +211,24 @@ class TextPipelineSpec extends SparkSpec {
       s"unexpected histogram: $got")
   }
 
+  test("q144 funnel: every stage strictly removes its planted family and " +
+    "token mass tracks doc mass") {
+    val rows = operators.LlmQueries.trainingFunnel(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val order = Seq("s0_corpus", "s1_exact", "s2_neardup", "s3_decontam",
+      "s4_quality")
+    assert(rows.keySet == order.toSet, s"five stages expected: $rows")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b)._1 < rows(a)._1,
+        s"$b must strictly remove docs after $a: $rows")
+      assert(rows(b)._2 < rows(a)._2,
+        s"$b must strictly remove tokens after $a: $rows")
+    }
+    // the plants are sized: exact dups ~1/7, near-dups ~1/10 of the base,
+    // eval leak+members ~2/50, spam ~1/25 — the funnel keeps the majority
+    assert(rows("s4_quality")._1 > rows("s0_corpus")._1 / 2, s"over-scrub: $rows")
+  }
+
   test("q143 lang consistency: a code-switched doc's tail chunk dissents, " +
     "flipping the doc argmax and tripping the mixed flag") {
     import spark.implicits._
