@@ -2437,6 +2437,46 @@ object LlmQueries {
         UNION ALL SELECT 's4_quality', COUNT(*),
           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s4) f""")) {
       (s, dir) => trainingFunnel(s, dir)
+    },
+
+    // --------------------------------------------------------------- Q145
+    // Quality-threshold sweep — the operating curve behind q94's fixed
+    // quantile cut: for each candidate threshold, how many docs/tokens
+    // per source survive a `quality >= t` filter? This is the dial a
+    // data team actually turns (choose the cut, read off the token
+    // budget), in the operating-curve family of q124's vocab-coverage
+    // and q121's deciles. ONE corpus scan: the q47 score per doc, a
+    // 5-literal threshold explode (inline array — rows grow 5×
+    // pre-aggregation but partial aggregation collapses them map-side),
+    // one |sources|×5 exchange. Token shares in exact integer
+    // micro-units; the rounded-at-6dp score compares to exact decimal
+    // literals identically in both engines (the q91 idiom). The five
+    // thresholds sit ON the fixture's measured score distribution
+    // (p10≈0.673, p90≈0.765) so the curve is strictly decreasing —
+    // an operating curve whose points all land at 0% or 100% would be
+    // the q115-vacuous-knob mistake.
+    Q("q145_quality_sweep", Some(s"""
+      WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+                 FROM documents),
+      sc AS (SELECT doc_id, source, len(toks) AS n_tok,
+               $qualityDuckSql AS quality FROM t),
+      tot AS (SELECT source, COUNT(*) AS src_docs,
+                CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+              FROM sc GROUP BY source),
+      sw AS (SELECT source, thr_micro, quality, n_tok FROM sc,
+               (SELECT unnest([650000, 690000, 710000, 730000, 760000])
+                  AS thr_micro) th)
+      SELECT sw.source, CAST(sw.thr_micro AS BIGINT) AS thr_micro,
+        CAST(SUM(CASE WHEN quality * 1000000 >= thr_micro
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN quality * 1000000 >= thr_micro
+                      THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept,
+        CAST((SUM(CASE WHEN quality * 1000000 >= thr_micro
+                       THEN n_tok ELSE 0 END) * 1000000)
+             // MAX(tot.src_tokens) AS BIGINT) AS tok_share_micro
+      FROM sw JOIN tot ON sw.source = tot.source
+      GROUP BY sw.source, sw.thr_micro""")) { (s, dir) =>
+      qualitySweep(Tables.t(s, dir, "documents"))
     }
   )
 
@@ -4026,6 +4066,33 @@ object LlmQueries {
        UNION ALL
        SELECT doc_id + 100000, lang, text || ' $mixedTail'
        FROM documents WHERE doc_id % 5 = 0"""
+
+  /** q145 kernel — the quality operating curve. One scoring scan, a
+    * 5-literal threshold explode collapsed map-side by the partial
+    * aggregate, per-source totals as a second |sources|-row aggregate
+    * broadcast back for the share division. Nothing corpus-sized
+    * shuffles; the output is |sources|×5 rows.
+    */
+  def qualitySweep(docs: DataFrame): DataFrame = {
+    val sc = docs
+      .selectExpr("doc_id", "source", "text", "split(text, ' ') AS toks")
+      .selectExpr("source", "size(toks) AS n_tok",
+        s"$qualitySparkSql AS quality")
+    val tot = sc.groupBy("source")
+      .agg(sum(col("n_tok")).cast("long").as("src_tokens"))
+    sc.selectExpr("source", "n_tok", "quality",
+        "explode(array(650000, 690000, 710000, 730000, 760000)) AS thr_micro")
+      .groupBy("source", "thr_micro")
+      .agg(
+        sum(when(col("quality") * 1000000 >= col("thr_micro"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("quality") * 1000000 >= col("thr_micro"), col("n_tok"))
+          .otherwise(0L)).cast("long").as("tok_kept"))
+      .join(broadcast(tot), "source")
+      .selectExpr("source", "CAST(thr_micro AS BIGINT) AS thr_micro",
+        "n_kept", "tok_kept",
+        "CAST((tok_kept * 1000000) div src_tokens AS BIGINT) AS tok_share_micro")
+  }
 
   /** q144's corpus: documents plus ALL FOUR plant families, in disjoint
     * id blocks (base < 10000 per replica; ScaleData's 10⁶ doc stride

@@ -513,6 +513,13 @@ class PlanAuditSpec extends SparkSpec {
       s"stage aggregates must read the checkpointed survivors:\n$p")
   }
 
+  test("q145 quality sweep: one scoring scan, broadcast totals, no window") {
+    val all = executed("q145_quality_sweep")
+    assert(!all.exists(_.nodeName.contains("Window")))
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
+      "the |sources|-row totals must broadcast back")
+  }
+
   test("q140 JL audit is map-only: literal matrix folds, no join, one group exchange") {
     val all = executed("q140_jl_projection")
     assert(!all.exists(_.nodeName.contains("Join")),

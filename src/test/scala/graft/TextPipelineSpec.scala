@@ -211,6 +211,27 @@ class TextPipelineSpec extends SparkSpec {
       s"unexpected histogram: $got")
   }
 
+  test("q145 quality sweep: monotone non-increasing curve per source, " +
+    "shares bounded, totals consistent") {
+    val rows = SparkEntry.queries("q145_quality_sweep")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val sources = rows.keys.map(_._1).toSet
+    val thrs = Seq(650000L, 690000L, 710000L, 730000L, 760000L)
+    assert(rows.size == sources.size * 5, s"|sources|x5 rows: ${rows.size}")
+    for (src <- sources; Seq(a, b) <- thrs.sliding(2)) {
+      assert(rows((src, b))._1 <= rows((src, a))._1,
+        s"$src: kept docs must not grow with the threshold")
+      assert(rows((src, b))._2 <= rows((src, a))._2,
+        s"$src: kept tokens must not grow with the threshold")
+    }
+    assert(rows.values.forall(v => v._3 >= 0 && v._3 <= 1000000),
+      "token share is a micro-unit fraction")
+    // the curve must actually bend somewhere (non-vacuous thresholds)
+    assert(rows.values.map(_._1).toSet.size > 1, s"flat curve: $rows")
+  }
+
   test("q144 funnel: every stage strictly removes its planted family and " +
     "token mass tracks doc mass") {
     val rows = operators.LlmQueries.trainingFunnel(spark, "/root/testdata/sf0.001")
