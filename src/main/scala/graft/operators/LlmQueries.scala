@@ -2477,6 +2477,72 @@ object LlmQueries {
       FROM sw JOIN tot ON sw.source = tot.source
       GROUP BY sw.source, sw.thr_micro""")) { (s, dir) =>
       qualitySweep(Tables.t(s, dir, "documents"))
+    },
+
+    // --------------------------------------------------------------- Q146
+    // Decontamination n-gram sensitivity sweep: q92's eval-overlap check
+    // re-run at shingle sizes 5 / 8 / 13 (the public pipelines' span:
+    // GPT-3 used 13-gram removal, Gopher-family audits 8, q92's
+    // production cut is 5) — the curve that tells you how much training
+    // mass each definition of "contaminated" costs. Per n: ONE corpus
+    // shingle explode, the (tiny) eval shingle set broadcast, flagged
+    // docs counted with their token mass. The corpus is q92's planted
+    // leaked-copy fixture so every n has true positives; flagged counts
+    // shrink monotonically with n (a 13-gram match implies an 8-gram
+    // match implies a 5-gram match on the same span).
+    Q("q146_decontam_sweep", Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 30001, 'leak ctx pre ' || text || ' post trail'
+        FROM documents WHERE doc_id % 50 = 0),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      ${Seq(5, 8, 13).map { n => s"""
+      sh$n AS (SELECT doc_id, unnest(${shingleSetSql(n)}) AS sh FROM tok),
+      ev$n AS (SELECT DISTINCT sh FROM sh$n WHERE doc_id % 50 = 0),
+      hit$n AS (SELECT DISTINCT s.doc_id FROM sh$n s JOIN ev$n USING (sh)
+                WHERE s.doc_id % 50 <> 0),
+      f$n AS (SELECT CAST($n AS INT) AS ngram_n,
+                COUNT(*) AS n_flagged,
+                CAST(SUM(len(string_split(c.text, ' '))) AS BIGINT)
+                  AS tok_flagged
+              FROM hit$n h JOIN corpus c ON h.doc_id = c.doc_id)"""
+        }.mkString(",")}
+      SELECT * FROM f5 UNION ALL SELECT * FROM f8
+      UNION ALL SELECT * FROM f13""")) { (s, dir) =>
+      decontamSweep(s, dir)
+    },
+
+    // --------------------------------------------------------------- Q147
+    // Near-dup threshold sweep: the q42 pipeline's OPERATING CURVE —
+    // candidate pairs are generated ONCE (capped LSH buckets), true
+    // Jaccard verified once, and the pair/doc counts read off at cuts
+    // 0.5 / 0.7 / 0.9 in the same aggregate (integer cross-multiplied:
+    // 10·i ≥ t·u). Choosing the dedup threshold trades recall against
+    // false merges; this is the one-scan audit that prices each choice.
+    Q("q147_neardup_threshold_sweep", Some(s"""
+      WITH bands AS (${bandTableSql(nearCorpusSql)}),
+      capped AS (${cappedSql("bands")}),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+               FROM capped a JOIN capped b
+                 ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+      corpus AS ($nearCorpusSql),
+      tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      shs AS (SELECT doc_id, list_distinct($shinglesSql) AS sh FROM tok),
+      pp AS (SELECT doc_id1, doc_id2,
+               CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS i,
+               CAST(len(x.sh) + len(y.sh)
+                    - len(list_intersect(x.sh, y.sh)) AS BIGINT) AS u
+             FROM cand JOIN shs x ON doc_id1 = x.doc_id
+                       JOIN shs y ON doc_id2 = y.doc_id),
+      th AS (SELECT unnest([5, 7, 9]) AS t10)
+      SELECT CAST(t10 * 100000 AS BIGINT) AS thr_micro,
+        CAST(SUM(CASE WHEN 10 * i >= t10 * u THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_pairs,
+        CAST(COUNT(DISTINCT CASE WHEN 10 * i >= t10 * u THEN doc_id2 END)
+          AS BIGINT) AS n_dup_docs
+      FROM pp, th GROUP BY t10""")) { (s, dir) =>
+      neardupThresholdSweep(nearCorpus(s, dir))
     }
   )
 
@@ -4092,6 +4158,64 @@ object LlmQueries {
       .selectExpr("source", "CAST(thr_micro AS BIGINT) AS thr_micro",
         "n_kept", "tok_kept",
         "CAST((tok_kept * 1000000) div src_tokens AS BIGINT) AS tok_share_micro")
+  }
+
+  /** q146 kernel — q92 re-run at n = 5/8/13. Per n one corpus shingle
+    * explode with the eval set broadcast; the three flagged sets union
+    * into a 3-row table with token mass joined from the (checkpointed)
+    * corpus. Monotone by construction: an n-gram hit contains an m-gram
+    * hit for every m < n.
+    */
+  def decontamSweep(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 30001).as("doc_id"),
+          concat(lit("leak ctx pre "), col("text"), lit(" post trail"))
+            .as("text")))
+      .localCheckpoint(true)
+    val toks = corpus.selectExpr("doc_id",
+      "size(split(text, ' ')) AS n_tok")
+    Seq(5, 8, 13).map { n =>
+      val sh = corpus.selectExpr("doc_id",
+        s"explode(graft_shingles(text, $n)) AS sh")
+      val ev = sh.filter(col("doc_id") % 50 === 0).select("sh").distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(ev), "sh").select("doc_id").distinct()
+        .join(toks, "doc_id")
+        .agg(count(lit(1)).as("n_flagged"),
+          sum(col("n_tok")).cast("long").as("tok_flagged"))
+        .select(lit(n).cast("int").as("ngram_n"), col("n_flagged"),
+          col("tok_flagged"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** q147 kernel — one candidate generation + one Jaccard verification,
+    * three integer-cross-multiplied cuts read out of the same aggregate.
+    * The threshold explode multiplies CANDIDATE-scale rows only.
+    */
+  def neardupThresholdSweep(corpus: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val cand = candidatePairs(corpus)
+    val shs = corpus.selectExpr("doc_id", "graft_shingles(text, 3) AS sh")
+    val x = shs.select(col("doc_id").as("xid"), col("sh").as("xsh"))
+    val y = shs.select(col("doc_id").as("yid"), col("sh").as("ysh"))
+    cand.join(x, col("doc_id1") === col("xid"))
+      .join(y, col("doc_id2") === col("yid"))
+      .selectExpr(
+        "doc_id2",
+        "CAST(size(array_intersect(xsh, ysh)) AS BIGINT) AS i",
+        """CAST(size(xsh) + size(ysh)
+           - size(array_intersect(xsh, ysh)) AS BIGINT) AS u""")
+      .selectExpr("doc_id2", "i", "u", "explode(array(5, 7, 9)) AS t10")
+      .groupBy(col("t10"))
+      .agg(
+        sum(when(expr("10 * i") >= expr("t10 * u"), 1L).otherwise(0L))
+          .as("n_pairs"),
+        countDistinct(when(expr("10 * i") >= expr("t10 * u"),
+          col("doc_id2"))).as("n_dup_docs"))
+      .selectExpr("CAST(t10 * 100000 AS BIGINT) AS thr_micro",
+        "n_pairs", "CAST(n_dup_docs AS BIGINT) AS n_dup_docs")
   }
 
   /** q144's corpus: documents plus ALL FOUR plant families, in disjoint

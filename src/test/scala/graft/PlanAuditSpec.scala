@@ -513,6 +513,23 @@ class PlanAuditSpec extends SparkSpec {
       s"stage aggregates must read the checkpointed survivors:\n$p")
   }
 
+  test("q146 decontam sweep: eval shingles broadcast at every n — corpus side never shuffles for the probe") {
+    val all = executed("q146_decontam_sweep")
+    assert(!all.exists(_.nodeName.contains("Window")))
+    assert(all.count(_.nodeName.contains("BroadcastHashJoin")) >= 3,
+      "each n's eval-set probe must be a broadcast join")
+  }
+
+  test("q147 threshold sweep: thresholds explode AFTER verification, at candidate scale — no window, no cartesian") {
+    val p = plan("q147_neardup_threshold_sweep")
+    assert(!p.contains("CartesianProduct"), s"keyed joins only:\n$p")
+    // shingle sets ride kernel calls, never a per-shingle explode: the
+    // plan's only Generates are the 4-band struct explode (x2 sides,
+    // usually fused by ReusedExchange) and the 3-literal threshold array
+    assert("Generate explode".r.findAllIn(p).size <= 3,
+      s"unexpected explode in the sweep:\n$p")
+  }
+
   test("q145 quality sweep: one scoring scan, broadcast totals, no window") {
     val all = executed("q145_quality_sweep")
     assert(!all.exists(_.nodeName.contains("Window")))

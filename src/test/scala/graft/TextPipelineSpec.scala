@@ -211,6 +211,31 @@ class TextPipelineSpec extends SparkSpec {
       s"unexpected histogram: $got")
   }
 
+  test("q146 decontam sweep: flagged mass shrinks with n and every n " +
+    "catches the planted leaks") {
+    val rows = operators.LlmQueries.decontamSweep(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set(5, 8, 13), s"three n points: $rows")
+    assert(rows(13)._1 <= rows(8)._1 && rows(8)._1 <= rows(5)._1,
+      s"an n-gram hit contains every shorter-gram hit: $rows")
+    assert(rows(13)._1 > 0,
+      s"planted full-text leaks must surface even at 13-gram: $rows")
+  }
+
+  test("q147 threshold sweep: pair and doc counts shrink with the cut, " +
+    "planted near-dups survive 0.9") {
+    val rows = SparkEntry.queries("q147_neardup_threshold_sweep")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set(500000L, 700000L, 900000L), s"cuts: $rows")
+    assert(rows(900000L)._1 <= rows(700000L)._1 &&
+      rows(700000L)._1 <= rows(500000L)._1, s"monotone pairs: $rows")
+    assert(rows(900000L)._2 <= rows(700000L)._2 &&
+      rows(700000L)._2 <= rows(500000L)._2, s"monotone docs: $rows")
+    assert(rows(900000L)._1 > 0,
+      s"the planted (n-2)/(n+1) family sits above 0.9 for n > 29: $rows")
+  }
+
   test("q145 quality sweep: monotone non-increasing curve per source, " +
     "shares bounded, totals consistent") {
     val rows = SparkEntry.queries("q145_quality_sweep")(
