@@ -549,6 +549,23 @@ object VectorQueries {
     // it).
     Q("q140_jl_projection", Some(jlOracleSql)) { (s, dir) =>
       jlProjectionAudit(Tables.t(s, dir, "embeddings"))
+    },
+
+    // --------------------------------------------------------------- Q148
+    // IVF recall curve — the ANN operating dial: exact top-5 per anchor
+    // (brute force, the ground truth) vs the q66/q89 IVF pipeline at
+    // probes 1 / 2 / 3, reported as matched-neighbor counts and exact
+    // micro-unit recall per probe count. This is the measurement that
+    // decides how many cells a production index must probe for its
+    // recall SLO — the curve is monotone by construction (probe sets
+    // nest). Shuffle budget: the anchor set broadcasts everywhere, the
+    // corpus streams once per probe arm plus once for the truth, all
+    // rank windows partition by the 10 anchors (bounded), and the
+    // output is 3 rows. Similarities round at 6 dp before ranking on
+    // BOTH sides (the q45 idiom), so ranks — and therefore recall — are
+    // bit-stable cross-engine.
+    Q("q148_ivf_recall_curve", Some(ivfRecallOracleSql)) { (s, dir) =>
+      ivfRecallCurve(s, dir)
     }
   )
 
@@ -1369,6 +1386,120 @@ object VectorQueries {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     ivfCandidates(s, dir, probes)
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  // ----------------------------------------------------------- q148 IVF
+  /** Oracle for the recall curve: ONE shared header (vectors, centroids,
+    * anchors, exact top-5) plus a generated probe arm per probe count —
+    * each arm is exactly the q89 CTE chain with `cell_rk <= p-1` (p = 1
+    * degenerates to the home cell alone). Recall counts are integer.
+    */
+  private lazy val ivfRecallOracleSql: String = {
+    val k = 5
+    val arms = Seq(1, 2, 3).map { p =>
+      s"""pr$p AS (
+        SELECT query_id, qv, qn, qlabel AS label FROM q
+        UNION ALL
+        SELECT query_id, qv, qn, label FROM (
+          SELECT q.query_id, q.qv, q.qn, c.label,
+            CAST(row_number() OVER (PARTITION BY q.query_id
+              ORDER BY round(list_dot_product(q.qv, q.qv)
+                           - 2 * list_dot_product(q.qv, c.cv)
+                           + list_dot_product(c.cv, c.cv), 6), c.label)
+              AS INT) AS cell_rk
+          FROM q JOIN cvec c ON c.label <> q.qlabel) t
+        WHERE cell_rk <= ${p - 1}),
+      iv$p AS (SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+          CAST(row_number() OVER (PARTITION BY p.query_id
+            ORDER BY round(list_dot_product(p.qv, c.v) / (p.qn * c.nrm), 6)
+              DESC, c.vec_id) AS INT) AS rk
+        FROM pr$p p JOIN n c ON c.label = p.label
+          AND c.vec_id <> p.query_id) t
+        WHERE rk <= $k),
+      hit$p AS (SELECT q.query_id,
+          CAST(COUNT(iv$p.neighbor_id) AS BIGINT) AS hits
+        FROM q LEFT JOIN (SELECT iv$p.* FROM iv$p
+          JOIN ex ON iv$p.query_id = ex.query_id
+                 AND iv$p.neighbor_id = ex.neighbor_id) iv$p
+          ON q.query_id = iv$p.query_id
+        GROUP BY q.query_id),
+      f$p AS (SELECT CAST($p AS INT) AS probes,
+        COUNT(*) AS n_queries,
+        CAST(SUM(hits) AS BIGINT) AS sum_hits,
+        CAST(MIN(hits) AS BIGINT) AS min_hits,
+        CAST((SUM(hits) * 1000000) // (COUNT(*) * $k) AS BIGINT)
+          AS recall_micro
+        FROM hit$p)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            AS nrm
+        FROM embeddings),
+      cent AS (
+        SELECT label, i AS dim,
+          round(CAST(SUM(CAST(v[i + 1] AS DECIMAL(18,9))) AS DOUBLE)
+            / COUNT(*), 6) AS c
+        FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+          range(0, 64) t(i)
+        GROUP BY label, i),
+      cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent
+               GROUP BY label),
+      q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+            FROM n WHERE vec_id < 10),
+      ex AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          CAST(row_number() OVER (PARTITION BY q.query_id
+            ORDER BY round(list_dot_product(q.qv, c.v) / (q.qn * c.nrm), 6)
+              DESC, c.vec_id) AS INT) AS rk
+        FROM q JOIN n c ON c.vec_id <> q.query_id) t
+        WHERE rk <= $k),
+      $arms
+      SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      UNION ALL SELECT * FROM f3"""
+  }
+
+  /** q148 kernel — ground truth once (brute force over the broadcast
+    * anchor set, anchor-partitioned rank), then one [[ivfTopK]] arm per
+    * probe count; per-probe recall assembles on the 10-row anchor frame
+    * (left join + coalesce so a zero-recall anchor still counts). All
+    * joins carry a broadcast side; output is 3 rows.
+    */
+  def ivfRecallCurve(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val n = Tables.t(s, dir, "embeddings")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .withColumn("nrm", sqrt(expr("graft_vector_dot(v, v)")))
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val ex = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(expr("graft_vector_dot(qv, v)") / (col("qn") * col("nrm")), 6)
+          .as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true)
+    val anchors = q.select("query_id")
+    Seq(1, 2, 3).map { p =>
+      val iv = ivfTopK(s, dir, probes = p, k = k)
+        .select("query_id", "neighbor_id")
+      val hits = iv.join(ex, Seq("query_id", "neighbor_id"), "leftsemi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      anchors.join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("h"), lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("hits")).cast("long").as("sum_hits"),
+          min(col("hits")).cast("long").as("min_hits"))
+        .selectExpr(s"CAST($p AS INT) AS probes", "n_queries", "sum_hits",
+          "min_hits",
+          s"CAST((sum_hits * 1000000) div (n_queries * $k) AS BIGINT)" +
+            " AS recall_micro")
+    }.reduce(_ unionByName _)
   }
 
   // ------------------------------------------------------------- q140 JL

@@ -537,6 +537,13 @@ class PlanAuditSpec extends SparkSpec {
       "the |sources|-row totals must broadcast back")
   }
 
+  test("q148 recall curve: every join carries a broadcast side — the corpus never shuffles for a probe arm") {
+    val all = executed("q148_ivf_recall_curve")
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
+      "anchor/centroid/truth sides are bounded and must broadcast")
+    assert(!all.exists(_.nodeName.contains("CartesianProduct")))
+  }
+
   test("q140 JL audit is map-only: literal matrix folds, no join, one group exchange") {
     val all = executed("q140_jl_projection")
     assert(!all.exists(_.nodeName.contains("Join")),

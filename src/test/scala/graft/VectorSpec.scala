@@ -477,6 +477,22 @@ class VectorSpec extends SparkSpec {
     assert(got(2L) == ((1L, 1.0, 1.0, 0L)), s"cluster 2: ${got(2L)}")
   }
 
+  test("q148 recall curve: monotone in probes, bounded, and probe-3 " +
+    "strictly beats probe-1 on the fixture") {
+    val rows = operators.VectorQueries.ivfRecallCurve(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(rows.keySet == Set(1, 2, 3), s"three probe arms: $rows")
+    // probe sets nest, so matched counts can only grow with probes
+    assert(rows(1)._2 <= rows(2)._2 && rows(2)._2 <= rows(3)._2,
+      s"recall must be monotone in probes: $rows")
+    assert(rows(3)._2 > rows(1)._2,
+      s"extra cells must add recall on the fixture: $rows")
+    assert(rows.values.forall(v => v._1 == 10 && v._4 >= 0 && v._4 <= 1000000),
+      s"10 anchors, micro-unit recall: $rows")
+  }
+
   test("q140 JL audit matches an independent reimplementation of the " +
     "documented sign-matrix / anchor / bound contract") {
     import spark.implicits._
