@@ -40,7 +40,11 @@ object Plans {
     "q138_chunk_dedup" -> "CCNet-style paragraph dedup audit: non-overlapping 32-token chunk md5s, one map-side-combined chunk-frequency exchange, the join-back co-partitioned on the same hash, 11-row decile histogram — no window, no sort",
     "q139_minhash_calibration" -> "sketch-vs-truth calibration: signature AND shingle set computed in ONE per-doc projection (no sig-shingle join), q42's capped candidate join, exact-integer error bounds, 17-row output exchange",
     "q140_jl_projection" -> "Johnson-Lindenstrauss audit: literal +-1 sign matrix folded per row in whole-stage codegen — no matrix-table join, no window; the labels x anchors aggregate is the only exchange",
-    "q141_bpe_encode" -> "BPE encode: per learned merge one vocab-sized pair-count exchange + a 1-row argmax + a map-only literal replace; the emitted plan is the per-source token-sum epilogue (merge learning ran eagerly) — the corpus never shuffles")
+    "q141_bpe_encode" -> "BPE encode: per learned merge one vocab-sized pair-count exchange + a 1-row argmax + a map-only literal replace; the emitted plan is the per-source token-sum epilogue (merge learning ran eagerly) — the corpus never shuffles",
+    "q142_chunk_scrub" -> "paragraph dedup transform: keeper argmin on the chunk hash, co-partitioned join-back, per-doc rebuild bounded by a document's own chunk count — no window, no corpus sort",
+    "q144_training_funnel" -> "end-to-end shard prep: the emitted plan is five checkpoint-fed stage aggregates; exact dedup, LSH-CC quality keep, broadcast decontamination, and quality rules ran eagerly stage by stage",
+    "q145_quality_sweep" -> "quality operating curve: one scoring scan, a 5-literal threshold explode collapsed map-side, |sources|-row totals broadcast back for exact micro-unit shares",
+    "q148_ivf_recall_curve" -> "ANN recall dial: brute-force truth + three IVF probe arms, every join broadcast-sided, rank windows bounded by the 10-anchor set, 3-row output")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
