@@ -4120,7 +4120,7 @@ object LlmQueries {
   private lazy val mixedTail: String =
     Iterator.continually(langStops.find(_._1 == "de").get._2)
       .flatten.take(32).mkString(" ")
-  private def mixedCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mixedCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
@@ -4237,7 +4237,7 @@ object LlmQueries {
          rtrim(repeat('buy now ', 20)) || ' id' || CAST(doc_id AS VARCHAR)
        FROM documents WHERE doc_id % 25 = 0"""
 
-  private def funnelCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def funnelCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))

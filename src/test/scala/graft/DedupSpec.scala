@@ -367,6 +367,37 @@ class DedupSpec extends SparkSpec {
     assert(boilerDocs(corpus(7)) == 3L, "threshold floor broken")
   }
 
+  test("round-14 planted corpora keep collision-free id blocks under ScaleData replication") {
+    import spark.implicits._
+    // r12's planted-id collision silently corrupted every sf>=1 q116
+    // bench; pin the channel shut for the round-14 plant families
+    // (funnelCorpus: +10000/+20000/+30001/+40000; mixedCorpus: +100000).
+    // ScaleData's doc_id stride is 10^6, so every plant block must stay
+    // inside its replica and never alias another family's block.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plants").toString
+    val langs = Seq("en", "de", "es", "fr")
+    (0 until 100).map { i =>
+      (i.toLong, (0 until 8).map(j => s"t$i-$j").mkString(" "),
+        langs(i % 4), s"src${i % 4}")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val scaledDir = java.nio.file.Files.createTempDirectory("graft-plants-s").toString
+    ScaleData.scaleTable(spark, tmp, "documents", 3)
+      .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
+    // funnel: base 300 + %7 plants 43 (10^6 ≡ 1 mod 7, so replica i
+    // plants ids ≡ -i mod 7: 15+14+14) + %10 30 + %50 6 + %25 12 = 391.
+    val funnel = operators.LlmQueries.funnelCorpus(spark, scaledDir)
+    assert(funnel.count() == 391L, "funnel plant arithmetic drifted")
+    assert(funnel.select("doc_id").distinct().count() == 391L,
+      "funnel plant families collided under replication")
+    // mixed: base 300 + replica-stable %5 plants (20 x 3) = 360.
+    val mixed = operators.LlmQueries.mixedCorpus(spark, scaledDir)
+    assert(mixed.count() == 360L, "mixed plant arithmetic drifted")
+    assert(mixed.select("doc_id").distinct().count() == 360L,
+      "mixed +100000 block collided under replication")
+  }
+
   test("ScaleData plants fraction-level boilerplate that survives the q115 fraction threshold") {
     import spark.implicits._
     // VERDICT r13: the fraction-mode curve measured an EMPTY frequent set
