@@ -2543,6 +2543,31 @@ object LlmQueries {
           AS BIGINT) AS n_dup_docs
       FROM pp, th GROUP BY t10""")) { (s, dir) =>
       neardupThresholdSweep(nearCorpus(s, dir))
+    },
+
+    // --------------------------------------------------------------- Q149
+    // Shard manifest — the release datasheet: assign every document to
+    // one of 16 content-addressed shards (first md5 nibble of the doc
+    // id, the q105 split hash so train/val/test and shard assignment
+    // share one addressing scheme) and emit per-shard docs, tokens,
+    // bytes, source breadth, and an exact micro-unit doc share — the
+    // table a data release ships next to its shards, and the balance
+    // audit that catches a skewed shard before a trainer's data loader
+    // does. ONE scan + a 16-group aggregate; the 1-row total broadcasts
+    // back for the share division.
+    Q("q149_shard_manifest", Some("""
+      WITH d AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   len(string_split(text, ' ')) AS n_tok,
+                   length(text) AS n_bytes, source
+                 FROM documents),
+      tot AS (SELECT COUNT(*) AS n FROM d)
+      SELECT shard, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST((COUNT(*) * 1000000) // MAX(tot.n) AS BIGINT) AS share_micro
+      FROM d, tot GROUP BY shard""")) { (s, dir) =>
+      shardManifest(Tables.t(s, dir, "documents"))
     }
   )
 
@@ -4158,6 +4183,24 @@ object LlmQueries {
       .selectExpr("source", "CAST(thr_micro AS BIGINT) AS thr_micro",
         "n_kept", "tok_kept",
         "CAST((tok_kept * 1000000) div src_tokens AS BIGINT) AS tok_share_micro")
+  }
+
+  /** q149 kernel — one scan, a 16-group aggregate, the 1-row corpus
+    * total broadcast back for the exact share division. */
+  def shardManifest(docs: DataFrame): DataFrame = {
+    val d = docs.selectExpr(
+      "substring(md5(CAST(doc_id AS STRING)), 1, 1) AS shard",
+      "size(split(text, ' ')) AS n_tok", "length(text) AS n_bytes", "source")
+    val tot = d.agg(count(lit(1)).as("n"))
+    d.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(col("n_bytes")).cast("long").as("n_bytes"),
+        countDistinct(col("source")).as("n_sources"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("shard", "n_docs", "n_tokens", "n_bytes",
+        "CAST(n_sources AS BIGINT) AS n_sources",
+        "CAST((n_docs * 1000000) div n AS BIGINT) AS share_micro")
   }
 
   /** q146 kernel — q92 re-run at n = 5/8/13. Per n one corpus shingle

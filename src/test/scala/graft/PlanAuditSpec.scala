@@ -530,6 +530,13 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected explode in the sweep:\n$p")
   }
 
+  test("q149 shard manifest: one scan, 16-group aggregate, broadcast total — no window") {
+    val all = executed("q149_shard_manifest")
+    assert(!all.exists(_.nodeName.contains("Window")))
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
+      "the 1-row total must broadcast")
+  }
+
   test("q145 quality sweep: one scoring scan, broadcast totals, no window") {
     val all = executed("q145_quality_sweep")
     assert(!all.exists(_.nodeName.contains("Window")))

@@ -211,6 +211,32 @@ class TextPipelineSpec extends SparkSpec {
       s"unexpected histogram: $got")
   }
 
+  test("q149 shard manifest: 16 complete shards, shares sum to ~1, " +
+    "assignment matches the q105 hash") {
+    import spark.implicits._
+    val docs = (0 until 160).map(i =>
+      (i.toLong, s"w$i a b c", s"src${i % 3}")).toDF("doc_id", "text", "source")
+    val rows = operators.LlmQueries.shardManifest(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5))))
+      .toMap
+    assert(rows.keySet.subsetOf("0123456789abcdef".map(_.toString).toSet),
+      s"hex-nibble shards only: ${rows.keySet}")
+    assert(rows.values.map(_._1).sum == 160L, "every doc lands in a shard")
+    assert(rows.values.map(_._2).sum == 160L * 4, "token mass conserved")
+    val shareSum = rows.values.map(_._3).sum
+    assert(shareSum > 1000000L - 16 && shareSum <= 1000000L,
+      s"floored shares must sum to just under 1: $shareSum")
+    // assignment is the exact q105 bucket (shared addressing scheme)
+    val q105 = SparkEntry.queries("q105_hash_split")(
+      spark, "/root/testdata/sf0.001")
+    val manifest = operators.LlmQueries.shardManifest(
+      graft.Tables.t(spark, "/root/testdata/sf0.001", "documents"))
+    val buckets = q105.select("bucket").distinct().collect()
+      .map(_.getString(0)).toSet
+    val shards = manifest.select("shard").collect().map(_.getString(0)).toSet
+    assert(buckets == shards, s"q105 buckets $buckets vs shards $shards")
+  }
+
   test("q146 decontam sweep: flagged mass shrinks with n and every n " +
     "catches the planted leaks") {
     val rows = operators.LlmQueries.decontamSweep(spark, "/root/testdata/sf0.001")
