@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as JSON. Four rounds running that parse
+// failed (`parsed: null` in BENCH_r11..r14) because (a) sbt's logger
+// prefixed the metric line with "[info] " and (b) sbt appended
+// "[success] Total time: ..." after it. StdoutOutput passes the forked
+// JVM's stdout through verbatim (no [info] prefix, no log-line buffering),
+// and showSuccess drops the trailing [success] line — the metric line the
+// program prints last IS the last line the driver sees.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

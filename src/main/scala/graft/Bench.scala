@@ -186,7 +186,21 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] details write failed: ${e.getMessage}")
       }
-    println(line)
+    // The summary FILE is the canonical machine-readable artifact (the full
+    // metric line regardless of stdout-budget truncation); the driver's
+    // last-line parse is served by printing the line AFTER spark.stop() —
+    // executor/cleaner shutdown chatter (at ERROR-only by then) can no
+    // longer land between the metric line and process exit, and build.sbt's
+    // StdoutOutput + showSuccess=false keep sbt from appending anything.
+    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")
+    if (summaryPath.nonEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(summaryPath), lineWith(qs) + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] summary write failed: ${e.getMessage}")
+      }
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

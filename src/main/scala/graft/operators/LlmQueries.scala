@@ -1197,7 +1197,11 @@ object LlmQueries {
     // one shuffle on token with map-side partial counts, then the global
     // top-k via orderBy+limit — Spark plans TakeOrderedAndProject
     // (per-partition heads, no full sort), the q13 discipline applied to
-    // an unbounded vocabulary. Rank assigned after the 20-row cut.
+    // an unbounded vocabulary. Rank is assigned DRIVER-side over the 20
+    // fetched rows (Bounded.collect): the previous global row_number
+    // window ran on ≤20 rows — harmless — but WindowExec logged its
+    // single-partition warning into every bench log (VERDICT r14 #7),
+    // and a 20-row rank needs no executor at all.
     Q("q98_vocab_stats", Some("""
       WITH c AS (SELECT token, COUNT(*) AS freq
                  FROM (SELECT unnest(string_split(text, ' ')) AS token
@@ -1207,13 +1211,19 @@ object LlmQueries {
       SELECT token, freq,
         CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rk
       FROM top""")) { (s, dir) =>
-      Tables.t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("token"))
-        .limit(20)
-        .withColumn("rk",
-          row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+      import s.implicits._
+      val top = graft.Bounded.collect(
+        Tables.t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("token"))
+          .limit(20)
+          .as[(String, Long)],
+        cap = 20, what = "q98 top-20 vocabulary")
+      top.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+        .map { case ((t, f), i) => (t, f, i + 1) }.toSeq
+        .toDF("token", "freq", "rk")
+        .withColumn("rk", col("rk").cast("int"))
     },
 
     // ---------------------------------------------------------------- Q87
@@ -2298,10 +2308,10 @@ object LlmQueries {
                  AS chunk_text
              FROM st),
       keep AS (SELECT md5(chunk_text) AS h,
-                 MIN(doc_id * 100000 + chunk_id) AS keeper
+                 MIN(doc_id * 4294967296 + chunk_id) AS keeper
                FROM ch GROUP BY md5(chunk_text)),
       fl AS (SELECT ch.doc_id, ch.chunk_id, ch.n_tokens, ch.chunk_text,
-               CASE WHEN ch.doc_id * 100000 + ch.chunk_id = keep.keeper
+               CASE WHEN ch.doc_id * 4294967296 + ch.chunk_id = keep.keeper
                     THEN 1 ELSE 0 END AS kept
              FROM ch JOIN keep ON md5(ch.chunk_text) = keep.h)
       SELECT doc_id, COUNT(*) AS n_chunks,
@@ -2615,8 +2625,10 @@ object LlmQueries {
     * rounding needed — the q127 idiom). */
   def sourceOverlap(docs: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
-    val srcs = docs.select("source").distinct().orderBy("source")
-      .collect().map(_.getString(0)) // bounded dim — the decile-table idiom
+    val srcs = graft.Bounded.collect(
+      docs.select("source").distinct().orderBy("source"),
+      cap = 64, what = "q130 source dim (bitmask width)")
+      .map(_.getString(0)) // bounded dim — the decile-table idiom
     require(srcs.length <= 64,
       s"source bitmask holds <=64 sources, got ${srcs.length}")
     val sidExpr = srcs.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
@@ -2824,7 +2836,8 @@ object LlmQueries {
         """transform(sequence(0, size(t) - 3),
           |  i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"""
           .stripMargin)).as("shingle"))
-    val summary = sh.as[String].select(new MgAgg(k).toColumn).head()
+    val summary = graft.Bounded.one(
+      sh.as[String].select(new MgAgg(k).toColumn), "q132 merged MG summary")
     val cand = summary.counts.keysIterator.toSeq.toDF("shingle")
     sh.join(broadcast(cand), "shingle")
       .groupBy("shingle").agg(count(lit(1)).as("cnt"))
@@ -3001,8 +3014,9 @@ object LlmQueries {
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w1"), col("w2"))
-        .limit(1).collect()(0)
-      val (w1, w2, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        .limit(1)
+      val bestRow = graft.Bounded.one(best, s"q137 merge-round $rank argmax")
+      val (w1, w2, c) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
       val pat = lit(s" $w1  $w2 ")
       val rep = lit(s" ${w1}_$w2 ")
       val next = cur
@@ -3012,8 +3026,9 @@ object LlmQueries {
             - length(call_function("replace", col("t0"), pat, rep)))
             .cast("long").as("delta"))
         .localCheckpoint(true)
-      val applied = next.agg(coalesce(sum(col("delta")), lit(0L)))
-        .collect()(0).getLong(0)
+      val applied = graft.Bounded.one(
+        next.agg(coalesce(sum(col("delta")), lit(0L))),
+        s"q137 merge-round $rank applied count").getLong(0)
       out += ((rank, w1, w2, c, applied))
       cur = next.select("t")
     }
@@ -3169,8 +3184,10 @@ object LlmQueries {
     val counts = docs.select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq")).persist()
     val total = counts.agg(sum(col("freq"))).head.getLong(0)
-    val top = counts.orderBy(col("freq").desc, col("token")).limit(ks.max)
-      .collect().map(_.getLong(1))
+    val top = graft.Bounded.collect(
+      counts.orderBy(col("freq").desc, col("token")).limit(ks.max),
+      cap = ks.max, what = "q124 top-k token frequencies")
+      .map(_.getLong(1))
     counts.unpersist()
     val cum = top.scanLeft(0L)(_ + _)
     ks.map { k =>
@@ -3194,10 +3211,12 @@ object LlmQueries {
     val s = docs.sparkSession
     import s.implicits._
     val sources = pcts.keys.map(_._1).toSeq.distinct.sorted
-    val bounds = sources.flatMap(src => ps.map(p => (src, p, pcts((src, p)))))
-      .toDF("src", "p", "raw")
-      .select(col("src"), col("p"), round(col("raw"), 6).as("b"))
-      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val bounds = graft.Bounded.collect(
+      sources.flatMap(src => ps.map(p => (src, p, pcts((src, p)))))
+        .toDF("src", "p", "raw")
+        .select(col("src"), col("p"), round(col("raw"), 6).as("b")),
+      cap = sources.length * ps.length, what = "q121 decile boundary table")
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
       .groupBy(_._1).map { case (src, rows) =>
         src -> rows.sortBy(_._2).map(_._3).toSeq
       }
@@ -3460,10 +3479,12 @@ object LlmQueries {
     // partial-buffer merge is counter addition (commutative), so with
     // the fixed seed the sketches are bit-identical whatever the
     // partitioning/order.
-    val bytes = counts
-      .select(concat_ws(" ", col("w1"), col("w2")), col("w1"), col("c12"))
-      .as[(String, String, Long)]
-      .select(new TwoCmsAgg(eps, confidence, seed).toColumn).head()
+    val bytes = graft.Bounded.one(
+      counts
+        .select(concat_ws(" ", col("w1"), col("w2")), col("w1"), col("c12"))
+        .as[(String, String, Long)]
+        .select(new TwoCmsAgg(eps, confidence, seed).toColumn),
+      "q112 merged CMS pair")
     val in = new java.io.ByteArrayInputStream(bytes)
     val cms12 = CountMinSketch.readFrom(in)
     val cms1 = CountMinSketch.readFrom(in)
@@ -3706,8 +3727,10 @@ object LlmQueries {
     val keyed = docs
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("skey"))
       .withColumn("shard", expr(s"CAST(conv(substring(skey, 1, $p), 16, 10) AS INT)"))
-    val counts = keyed.groupBy("shard").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val counts = graft.Bounded.collect(
+      keyed.groupBy("shard").agg(count(lit(1)).as("cnt")),
+      cap = 1 << (4 * p), what = s"q104 16^$p shard count table")
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._1)
       .zip(counts.scanLeft(0L)(_ + _._2).init).toSeq
     val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
@@ -3919,7 +3942,9 @@ object LlmQueries {
       // left registered by an obs.get that never ran.
       if (checkpointDir.isDefined) {
         val next = ptime(s"round $round truncate")(truncate(chased))
-        val r = next.agg(sum(col("chg").cast("long")), count(lit(1))).head()
+        val r = graft.Bounded.one(
+          next.agg(sum(col("chg").cast("long")), count(lit(1))),
+          s"CC round $round frontier/delta sizes")
         frontierN = if (r.isNullAt(0)) 0L else r.getLong(0)
         deltaN = r.getLong(1)
         merged.unpersist()
@@ -4109,8 +4134,9 @@ object LlmQueries {
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w1"), col("w2"))
-        .limit(1).collect()(0)
-      val (w1, w2) = (best.getString(0), best.getString(1))
+        .limit(1)
+      val bestRow = graft.Bounded.one(best, s"q141 merge-round argmax")
+      val (w1, w2) = (bestRow.getString(0), bestRow.getString(1))
       cur = cur
         .select(col("source"), col("n_before"),
           call_function("replace", col("t"),
@@ -4409,11 +4435,17 @@ object LlmQueries {
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         col("n_tokens").cast("long").as("n_tokens"), col("chunk_text"),
         md5(col("chunk_text").cast("binary")).as("h"))
+    // keep-first = lexicographic min over (doc_id, chunk_id), packed into
+    // one long so the min is a plain LONG aggregate on both engines. The
+    // 2^32 stride aliases only past 2^32 chunks/doc ≈ 137 G tokens — far
+    // beyond any real document; doc_id stays safe to 2^31 (ADVICE r14
+    // widened this from a 10^5 stride that aliased at ~3.2 M tokens/doc).
+    // ChunkSpec pins the packing against an explicit struct-min replay.
     val keep = ch.groupBy("h")
-      .agg(min(col("doc_id") * 100000L + col("chunk_id")).as("keeper"))
+      .agg(min(col("doc_id") * 4294967296L + col("chunk_id")).as("keeper"))
     ch.join(keep, "h")
       .withColumn("kept",
-        when(col("doc_id") * 100000L + col("chunk_id") === col("keeper"), 1L)
+        when(col("doc_id") * 4294967296L + col("chunk_id") === col("keeper"), 1L)
           .otherwise(0L))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),

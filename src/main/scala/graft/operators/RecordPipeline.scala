@@ -55,32 +55,17 @@ object RecordPipeline {
     * as plain payload.
     */
   val inflateZlib = udf { (data: Array[Byte]) =>
-    if (data == null) null
-    else
-      try {
-        val inf = new java.util.zip.Inflater()
-        inf.setInput(data)
-        val out = new java.io.ByteArrayOutputStream(data.length * 4)
-        val buf = new Array[Byte](8192)
-        while (!inf.finished()) {
-          val n = inf.inflate(buf)
-          if (n == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
-          out.write(buf, 0, n)
-        }
-        inf.end()
-        out.toByteArray
-      } catch { case _: Exception => data }
+    if (data == null) null else graft.plans.ZlibOps.inflateOrRaw(data)
   }
 
-  /** zlib deflate — the encode side (test fixture + produce path). */
+  /** zlib deflate — the encode side (test fixture + produce path). Shares
+    * [[graft.plans.ZlibOps]]'s pooled per-thread codec: the old
+    * DeflaterOutputStream form allocated (and never `end()`ed) a native
+    * Deflater PER ROW — q31 deflates every document, so at sf5 that was
+    * ~2.5 M leaked native allocations per bench pass.
+    */
   val deflateZlib = udf { (data: Array[Byte]) =>
-    if (data == null) null
-    else {
-      val buf = new java.io.ByteArrayOutputStream()
-      val dos = new java.util.zip.DeflaterOutputStream(buf)
-      dos.write(data); dos.close()
-      buf.toByteArray
-    }
+    if (data == null) null else graft.plans.ZlibOps.deflate(data)
   }
 
   /** Payload bytes → message string with ONLY a trailing `\n` trimmed —

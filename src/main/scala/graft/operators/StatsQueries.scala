@@ -268,10 +268,12 @@ object StatsQueries {
         // and every normal distribution still never sorts anything.
         active.foreach { bk =>
           val want = bk.ranks.map(_ - bk.base).toSet
-          val got = data.filter(col("g") === bk.g && pathCond(bk))
-            .select(col("x")).sort("x").as[Double].rdd
-            .zipWithIndex().filter { case (_, i) => want.contains(i) }
-            .collect().map { case (v, i) => i -> v }.toMap
+          val got = graft.Bounded.collectRdd(
+            data.filter(col("g") === bk.g && pathCond(bk))
+              .select(col("x")).sort("x").as[Double].rdd
+              .zipWithIndex().filter { case (_, i) => want.contains(i) },
+            cap = want.size, what = s"rankSelect fallback ranks (${bk.g})")
+            .map { case (v, i) => i -> v }.toMap
           bk.ranks.foreach(r => picked += ((bk.g, r) -> got(r - bk.base)))
         }
         active = Nil
@@ -289,10 +291,12 @@ object StatsQueries {
       val aggs = Seq(count(lit(1)).as("c"), min(col("x")).as("mn"),
         max(col("x")).as("mx")) ++ (if (level == 1) extra else Nil)
       val rows = rtime(s"level $level (${active.size} brackets)")(
-        data.withColumn("vg", vgCol).filter(col("vg") >= 0)
-          .withColumn("b", bucketOf(col("x"), perVg(_.lo), perVg(_.hi)))
-          .groupBy("vg", "b").agg(aggs.head, aggs.tail: _*)
-          .collect())
+        graft.Bounded.collect(
+          data.withColumn("vg", vgCol).filter(col("vg") >= 0)
+            .withColumn("b", bucketOf(col("x"), perVg(_.lo), perVg(_.hi)))
+            .groupBy("vg", "b").agg(aggs.head, aggs.tail: _*),
+          cap = active.size * 8192,
+          what = s"rankSelect level-$level bucket counts"))
       if (level == 1 && extra.nonEmpty)
         extras = rows.groupBy(r => active(r.getInt(0)).g).map { case (g, rs) =>
           g -> extra.indices.map(j => rs.map(_.getLong(5 + j)).sum).toSeq
@@ -331,9 +335,12 @@ object StatsQueries {
         when(col("g") === b.g && pathCond(b), lit(i)).otherwise(acc)
       }
       val got = rtime(s"fetch (${fs.size} brackets)")(
-        data.withColumn("vg", vgCol).filter(col("vg") >= 0)
-          .select(col("vg"), col("x")).as[(Int, Double)]
-          .collect()).groupBy(_._1)
+        graft.Bounded.collect(
+          data.withColumn("vg", vgCol).filter(col("vg") >= 0)
+            .select(col("vg"), col("x")).as[(Int, Double)],
+          cap = math.min(fs.map(_.rows).sum, Int.MaxValue - 1L).toInt,
+          what = s"rankSelect collect-sized bracket fetch (${fs.size} brackets)"))
+        .groupBy(_._1)
       fs.zipWithIndex.foreach { case (bk, i) =>
         val ds = got.getOrElse(i, Array.empty[(Int, Double)]).map(_._2).sorted
         require(ds.length == bk.rows,
@@ -378,10 +385,11 @@ object StatsQueries {
         col(valueCol).cast("double").as("x"))
       .persist()
     try {
-      val meta = rtime("pcts meta+cache")(base.groupBy("g")
-        .agg(count(lit(1)).as("n"),
-          min(col("x")).as("mn"), max(col("x")).as("mx"))
-        .collect())
+      val meta = rtime("pcts meta+cache")(graft.Bounded.collect(
+        base.groupBy("g")
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("mn"), max(col("x")).as("mx")),
+        cap = 4096, what = "exactGroupPercentiles per-group meta (bounded class dim)"))
         .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
         .toMap
       val nByG = meta.map { case (g, m) => g -> m._1 }
@@ -428,10 +436,11 @@ object StatsQueries {
         col(valueCol).cast("double").as("v"))
       .persist()
     val dev = try {
-      val meta = rtime("robust meta+cache")(base.groupBy("g")
-        .agg(count(lit(1)).as("n"),
-          min(col("v")).as("mn"), max(col("v")).as("mx"))
-        .collect())
+      val meta = rtime("robust meta+cache")(graft.Bounded.collect(
+        base.groupBy("g")
+          .agg(count(lit(1)).as("n"),
+            min(col("v")).as("mn"), max(col("v")).as("mx")),
+        cap = 4096, what = "robustStats per-group meta (bounded class dim)"))
         .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
         .toMap
       val nByG = meta.map { case (g, m) => g -> m._1 }
@@ -450,11 +459,12 @@ object StatsQueries {
       // median/fences rounded through Spark's own `round` (a local 3-row
       // plan — constant work) so the deviation expression below subtracts
       // doubles bit-identical to the r12 broadcast-join form
-      val fences = groups.map(g => (g, pcts((g, 0.5)), pcts((g, 0.25)), pcts((g, 0.75))))
-        .toDF("g", "m_raw", "p25_raw", "p75_raw")
-        .select(col("g"), round(col("m_raw"), 6).as("med"),
-          round(col("p25_raw"), 6).as("p25"), round(col("p75_raw"), 6).as("p75"))
-        .collect()
+      val fences = graft.Bounded.collect(
+        groups.map(g => (g, pcts((g, 0.5)), pcts((g, 0.25)), pcts((g, 0.75))))
+          .toDF("g", "m_raw", "p25_raw", "p75_raw")
+          .select(col("g"), round(col("m_raw"), 6).as("med"),
+            round(col("p25_raw"), 6).as("p25"), round(col("p75_raw"), 6).as("p75")),
+        cap = groups.size, what = "robustStats rounded fences (local frame)")
         .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
         .toMap
       // per-group CASE chains (groups are driver-bounded, exactly like
@@ -657,11 +667,12 @@ object StatsQueries {
           // the audit's eps = 0.02 (the default 10000 pays ~4× the
           // summary-compress work for margin the audit can't observe)
           expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 2500)").as("aq"))
-        .collect()
+      val skRows2 = graft.Bounded.collect(skRows, cap = 64,
+        what = "q74 per-returnflag sketch row")
         .map(r => (r.getString(0), r.getLong(1),
           r.getSeq[Double](2)(0), r.getSeq[Double](2)(1), r.getSeq[Double](2)(2)))
-      val flags = skRows.map(_._1).toSeq.sorted
-      val aq = skRows.map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+      val flags = skRows2.map(_._1).toSeq.sorted
+      val aq = skRows2.map(r => r._1 -> ((r._3, r._4, r._5))).toMap
       def perF(f: String => Double): Column =
         flags.foldLeft(lit(Double.NaN)) { (acc, g) =>
           when(col("l_returnflag") === g, lit(f(g))).otherwise(acc)
@@ -676,7 +687,7 @@ object StatsQueries {
         .agg(count(lit(1)).as("exact_orders"), sum(col("cnt")).as("n"),
           sum(col("c25p")).as("c25"), sum(col("c50p")).as("c50"),
           sum(col("c75p")).as("c75"))
-      val est = skRows.map(r => (r._1, r._2)).toSeq.toDF("l_returnflag", "est_orders")
+      val est = skRows2.map(r => (r._1, r._2)).toSeq.toDF("l_returnflag", "est_orders")
       fused.join(broadcast(est), "l_returnflag")
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("est_orders") - col("exact_orders")) /

@@ -612,21 +612,23 @@ object VectorQueries {
     import s.implicits._
     val base = emb.select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS double))").as("v"))
-    val cents = base
-      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("label", "i")
-      .agg(round(sum(col("x").cast(DecimalType(18, 9))).cast("double") /
-        count(lit(1)), 6).as("c"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val cents = graft.Bounded.collect(
+      base
+        .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("label", "i")
+        .agg(round(sum(col("x").cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1)), 6).as("c")),
+      cap = 256 * 64, what = "q122 per-label centroid table (≤256 labels × 64 dims)")
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).map { case (l, rows) =>
         l -> rows.sortBy(_._2).map(_._3).toSeq
       }
     val labels = cents.keys.toSeq.sorted
     def arrLit(cv: Seq[Double]): String =
       "array(" + cv.map(x => s"${x}D").mkString(", ") + ")"
-    val ccs = s.range(1).select(labels.map { l =>
+    val ccs = graft.Bounded.one(s.range(1).select(labels.map { l =>
       expr(s"graft_vector_dot(${arrLit(cents(l))}, ${arrLit(cents(l))})").as(s"cc$l")
-    }: _*).head()
+    }: _*), "q122 centroid self-dot row")
     val d2Col = labels.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (l, i)) =>
       when(col("label") === l,
         round(expr("graft_vector_dot(v, v)")
@@ -642,16 +644,18 @@ object VectorQueries {
       .selectExpr("label", "n", "sd_", "sdd",
         """sd_ / n + 2 * sqrt(greatest(sdd / n - (sd_ / n) * (sd_ / n), 0.0))
            AS thr""")
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+    val stats2 = graft.Bounded.collect(stats, cap = 256,
+      what = "q122 per-label fence stats")
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4)))
-    val thrCol = stats.foldLeft(lit(Double.NaN)) { case (acc, (l, _, _, _, thr)) =>
+    val thrCol = stats2.foldLeft(lit(Double.NaN)) { case (acc, (l, _, _, _, thr)) =>
       when(col("label") === l, lit(thr)).otherwise(acc)
     }
     val fences = d
       .groupBy("label")
       .agg(sum(when(col("d2") > thrCol, 1L).otherwise(0L)).as("n_outliers"),
         round(max(col("d2")), 6).as("max_d2"))
-    val statsDf = stats.toSeq.map { case (l, n, sd_, sdd, _) => (l, n, sd_, sdd) }
+    val statsDf = stats2.toSeq.map { case (l, n, sd_, sdd, _) => (l, n, sd_, sdd) }
       .toDF("label", "n", "sd_", "sdd")
       .selectExpr("label", "n AS n_vectors",
         "round(sd_ / n, 6) AS mean_d2",
@@ -758,13 +762,16 @@ object VectorQueries {
     */
   private[graft] def kmeansCentroids(base: DataFrame, k: Int,
       iters: Int): Seq[(Long, Seq[Double])] = {
-    var centroids: Seq[(Long, Seq[Double])] = kmProf(s"seed collect k=$k")(base
-      .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("mk"))
-      .orderBy(col("mk"), col("vec_id")).limit(k)
-      .collect()).map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    var centroids: Seq[(Long, Seq[Double])] = kmProf(s"seed collect k=$k")(
+      graft.Bounded.collect(base
+        .select(col("vec_id"), col("v"), md5(col("vec_id").cast("string")).as("mk"))
+        .orderBy(col("mk"), col("vec_id")).limit(k),
+        cap = k, what = s"k-means seed rows (k=$k)"))
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     for (it <- 1 until iters)
       centroids = kmProf(s"mean collect pass $it")(
-        kmMeans(argminAssign(base, centroids)).collect())
+        graft.Bounded.collect(kmMeans(argminAssign(base, centroids)),
+          cap = k * 64, what = s"k-means centroid means (k=$k x 64 dims)"))
         .groupBy(_.getLong(0)).toSeq
         .map { case (cid, rows) =>
           (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)

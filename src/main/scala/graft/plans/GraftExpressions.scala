@@ -23,12 +23,40 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `graft_is_kpl(X'F3899AC2...')` at plan time.
   */
 object ZlibOps {
+  /** Pooled per-thread codecs (round 15, the q31 sf5 regression): a fresh
+    * `Inflater`/`Deflater` per ROW is a native (zlib C) allocation, and the
+    * old failure path never called `end()` — every raw payload leaked its
+    * native state until finalization, a drag that grows superlinearly with
+    * row count in a shared 8 GB JVM. Spark executor task threads are
+    * pooled, so a ThreadLocal holds exactly one native codec per core for
+    * the life of the executor; `reset()` reuses the native buffer.
+    */
+  private val tlInflater = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue(): java.util.zip.Inflater = new java.util.zip.Inflater()
+  }
+  private val tlDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater = new java.util.zip.Deflater()
+  }
+
+  /** RFC 1950 header check: any stream `Inflater` accepts has CM = 8 and
+    * CMF·256+FLG ≡ 0 (mod 31), so rejecting on the first two bytes is
+    * semantics-preserving — it only short-circuits inputs the full inflate
+    * path would throw on anyway. The win is that the raw-passthrough rows
+    * (the reference's not-actually-compressed case, consumer.go:211-224)
+    * no longer pay a constructed-and-caught exception each.
+    */
+  def looksZlib(data: Array[Byte]): Boolean =
+    data.length >= 2 && (data(0) & 0x0f) == 8 &&
+      ((((data(0) & 0xff) << 8) | (data(1) & 0xff)) % 31 == 0)
+
   /** zlib inflate; ANY failure returns the raw input (consumer.go:211-224).
     * Static so generated code can call it directly.
     */
-  def inflateOrRaw(data: Array[Byte]): Array[Byte] =
+  def inflateOrRaw(data: Array[Byte]): Array[Byte] = {
+    if (!looksZlib(data)) return data
+    val inf = tlInflater.get()
+    inf.reset()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](8192)
@@ -37,9 +65,24 @@ object ZlibOps {
         if (n == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
         out.write(buf, 0, n)
       }
-      inf.end()
       out.toByteArray
     } catch { case _: Exception => data }
+  }
+
+  /** zlib deflate (produce-side encode; the q31 round-trip fixture). */
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = tlDeflater.get()
+    d.reset()
+    d.setInput(data)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    out.toByteArray
+  }
 }
 
 /** `graft_is_kpl(binary) → boolean`: KPL magic-prefix detect (§2 C3). */

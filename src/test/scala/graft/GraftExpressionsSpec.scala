@@ -199,6 +199,39 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(ZlibOps.inflateOrRaw(payload).toSeq == payload.toSeq) // not zlib → raw
   }
 
+  test("ZlibOps pooled kernels: precheck edges, corrupt streams, reuse") {
+    val payload = Array.tabulate(512)(i => (i * 7).toByte)
+    val deflated = ZlibOps.deflate(payload)
+    // pooled deflate round-trips through pooled inflate
+    assert(ZlibOps.inflateOrRaw(deflated).toSeq == payload.toSeq)
+    // the RFC1950 precheck accepts every stream the Inflater accepts
+    assert(ZlibOps.looksZlib(deflated))
+    // empty / 1-byte inputs: raw, no exception
+    assert(ZlibOps.inflateOrRaw(Array.empty[Byte]).isEmpty)
+    assert(ZlibOps.inflateOrRaw(Array[Byte](0x78)).toSeq == Seq[Byte](0x78))
+    // valid header, corrupt body → raw (the try/catch path still runs)
+    val corrupt = deflated.clone()
+    corrupt(4) = (corrupt(4) ^ 0x5a).toByte
+    val back = ZlibOps.inflateOrRaw(corrupt)
+    assert(back.toSeq == corrupt.toSeq || back.toSeq == payload.toSeq) // raw or (unluckily) still-decodable
+    // truncated stream with valid header → raw
+    val trunc = deflated.take(4)
+    assert(ZlibOps.looksZlib(trunc))
+    assert(ZlibOps.inflateOrRaw(trunc).toSeq == trunc.toSeq)
+    // 'P:'-prefixed text (the q31 passthrough column) fails the precheck:
+    // 'P' = 0x50, CM = 0 ≠ 8
+    val pref = ("P:" + "hello world").getBytes("UTF-8")
+    assert(!ZlibOps.looksZlib(pref))
+    assert(ZlibOps.inflateOrRaw(pref).toSeq == pref.toSeq)
+    // a failed inflate must not poison the thread's pooled Inflater
+    assert(ZlibOps.inflateOrRaw(deflated).toSeq == payload.toSeq)
+    // and the pooled Deflater stays reusable after many calls
+    (1 to 100).foreach { i =>
+      val p = Array.tabulate(64 + i)(j => (j * i).toByte)
+      assert(ZlibOps.inflateOrRaw(ZlibOps.deflate(p)).toSeq == p.toSeq)
+    }
+  }
+
   test("graft_gram_stats: one-pass gram statistics, empty-token fidelity, null for short docs") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)

@@ -551,6 +551,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!all.exists(_.nodeName.contains("CartesianProduct")))
   }
 
+  test("driver-fetch discipline: operators/* contains no raw .collect()/.head() — every driver fetch goes through Bounded with a declared cap") {
+    // VERDICT r14 ask #6: until round 15 the "every collect is bounded"
+    // claim was enforced by convention and re-audited by hand each round.
+    // This makes it mechanical: any new `.collect()`/`.head()`/`.first()`
+    // call site in query code fails the suite unless routed through
+    // graft.Bounded (which asserts a row cap via take(cap+1), so an
+    // unbounded frame crashes with a named culprit instead of OOMing the
+    // driver). Bounded's own take() calls live outside operators/.
+    val dir = new java.io.File("src/main/scala/graft/operators")
+    assert(dir.isDirectory, s"expected ${dir.getAbsolutePath}")
+    val offenders = dir.listFiles().filter(_.getName.endsWith(".scala")).flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val lines = try src.getLines().toVector finally src.close()
+      lines.zipWithIndex.collect {
+        case (l, i) if (l.contains(".collect()") || l.contains(".head()") ||
+          l.contains(".first()") || l.contains(".collectAsList()") ||
+          l.contains(".toLocalIterator()")) &&
+          !l.trim.startsWith("*") && !l.trim.startsWith("//") =>
+          s"${f.getName}:${i + 1}: ${l.trim}"
+      }
+    }
+    assert(offenders.isEmpty,
+      "raw driver fetches in operators/* (use graft.Bounded):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("q140 JL audit is map-only: literal matrix folds, no join, one group exchange") {
     val all = executed("q140_jl_projection")
     assert(!all.exists(_.nodeName.contains("Join")),

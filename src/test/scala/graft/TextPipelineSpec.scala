@@ -344,6 +344,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(4L) == ((2L, 1L, 64L, 32L, Some(words("c", 32)))), s"doc4: ${got(4L)}")
   }
 
+  test("q142 keeper packing: 2^32-stride packed min equals the struct min, " +
+    "including pairs that aliased under the old 10^5 stride") {
+    import spark.implicits._
+    // (h, doc_id, chunk_id): under the retired doc_id*100000+chunk_id
+    // packing, (1, 150000) packed to 250000 and LOST to (2, 0)'s 200000 —
+    // the ADVICE r14 aliasing bug. The 2^32 stride keeps packed order =
+    // lexicographic (doc_id, chunk_id) order for any chunk_id < 2^32.
+    val rows = Seq(
+      ("x", 1L, 150000L), ("x", 2L, 0L),
+      ("y", 7L, 99999L), ("y", 7L, 100000L),
+      ("z", 3L, 0L), ("z", 2L, 4294967295L)
+    ).toDF("h", "doc_id", "chunk_id")
+    val got = rows.groupBy("h").agg(
+      org.apache.spark.sql.functions.min(
+        col("doc_id") * 4294967296L + col("chunk_id")).as("packed"),
+      org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.struct(col("doc_id"), col("chunk_id")))
+        .as("s"))
+      .selectExpr("h", "packed", "s.doc_id * 4294967296L + s.chunk_id AS structPacked")
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"alias at $r"))
+  }
+
   test("q139 MinHash calibration: identical pair lands in the m=16 group " +
     "with exact-micro 1000000 and zero estimator error") {
     import spark.implicits._
