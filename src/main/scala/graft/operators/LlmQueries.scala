@@ -938,10 +938,16 @@ object LlmQueries {
       FROM documents d JOIN r USING (lang)
       GROUP BY d.lang, r.rate""")) { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
-      val rates = docs.groupBy("lang")
+      // q95's no-window idiom: checkpointed per-lang aggregate + driver
+      // total as a literal (≤|langs| rows) instead of `SUM(toks) OVER ()`
+      val t100 = docs.groupBy("lang")
         .agg(sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("toks"))
+        .localCheckpoint(true)
+      val total100 = graft.Bounded.collect(t100, cap = 64,
+        what = "q100 per-lang token totals").map(_.getLong(1)).sum
+      val rates = t100
         .selectExpr("lang", "toks",
-          "CAST(SUM(toks) OVER () AS BIGINT) AS total",
+          s"CAST($total100 AS BIGINT) AS total",
           """CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
              ELSE CAST(0.15 AS DOUBLE) END AS target""")
         .selectExpr("lang",
@@ -1038,7 +1044,9 @@ object LlmQueries {
     // at 1.0 (upsampling is done by epochs, not by a rate > 1). Emits the
     // observed share, the rate, and the post-sampling token budget —
     // exactly the table a q85-style stratified sampler consumes as its
-    // per-stratum thresholds. One hash aggregation + a 5-row window total.
+    // per-stratum thresholds. One hash aggregation; the corpus-wide token
+    // denominator is a driver-side sum over the checkpointed ≤|langs|-row
+    // aggregate (no window — see the build's comment).
     // Parity discipline: the target literals are CAST to DOUBLE on BOTH
     // sides (Spark parses bare 0.4 as DECIMAL and DuckDB's decimal/bigint
     // division yields DOUBLE — mixed types put the two engines one ulp
@@ -1059,11 +1067,20 @@ object LlmQueries {
         round(toks / total, 6) AS share, rate,
         CAST(floor(toks * rate) AS BIGINT) AS sampled_tokens
       FROM r""")) { (s, dir) =>
-      Tables.t(s, dir, "documents")
+      // per-lang totals checkpoint ONCE (one corpus aggregation job); the
+      // corpus-wide denominator is a driver-side sum over the ≤|langs|
+      // rows, injected as a BIGINT literal — the previous
+      // `SUM(toks) OVER ()` computed the same value but planned a
+      // single-partition WindowExec whose warning spammed every bench log
+      // (VERDICT r14 #7). Same exact integer, zero window.
+      val t = Tables.t(s, dir, "documents")
         .groupBy("lang")
         .agg(sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("toks"))
-        .selectExpr("lang", "toks",
-          "CAST(SUM(toks) OVER () AS BIGINT) AS total",
+        .localCheckpoint(true)
+      val total = graft.Bounded.collect(t, cap = 64,
+        what = "q95 per-lang token totals").map(_.getLong(1)).sum
+      t.selectExpr("lang", "toks",
+          s"CAST($total AS BIGINT) AS total",
           """CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
              ELSE CAST(0.15 AS DOUBLE) END AS target""")
         .selectExpr("lang", "toks", "total",
