@@ -101,6 +101,17 @@ object Bench {
       val rs = runsBy.getOrElse(n, Nil)
       if (!failedSet(n) && rs.size == 2 && rs.max > 2.0 * rs.min) sample(n, f)
     }
+    // ... and unconditionally for the suite's most expensive queries: their
+    // rows dominate the totals and the cross-round per-query ratios, and
+    // two samples are routinely BOTH slow when a contended stretch spans
+    // them without tripping the 2x disagreement rule (r15: q74's committed
+    // [11.2, 11.8] at loadavg ~20 vs 5.4 s quiet — a 2.1x phantom). One
+    // extra sample of the top 12 costs a bounded ~1/4 of a pass and buys
+    // the gate rows that matter a third, later measurement window.
+    selected.filter { case (n, _) => !failedSet(n) }
+      .sortBy { case (n, _) => -runsBy.getOrElse(n, List(0.0)).min }
+      .take(12)
+      .foreach { case (n, f) => sample(n, f) }
     val results = selected.map { case (name, _) =>
       val runs = runsBy.getOrElse(name, List(-1.0))
       (name, runs.min, startedMs.getOrElse(name, 0L), runs,
