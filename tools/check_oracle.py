@@ -85,6 +85,10 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
 def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # let big oracles (recursive closures at benchdata scales) spill to disk
+    # instead of dying; harmless at the driver's sf0.01
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
