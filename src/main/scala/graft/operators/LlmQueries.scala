@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.{MisraGries, TextHash}
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Observation, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
@@ -32,6 +32,30 @@ import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
   *  - text analysis: codegen'd narrow ops over the scan, no shuffle.
   */
 object LlmQueries {
+
+  /** UTF-8-binary string sort key for DRIVER-side tie-breaks: compares the
+    * UTF-8 bytes unsigned, which is code-point order — exactly how Spark's
+    * UTF8String and DuckDB's VARCHAR collate. `String.compareTo` orders
+    * UTF-16 code units instead, which ranks supplementary-plane characters
+    * (surrogate pairs, 0xD800–0xDFFF units) BELOW some BMP characters that
+    * are code-point-smaller — a driver-side sortBy on raw Strings could
+    * therefore disagree with the engines on equal-frequency ties (ADVICE
+    * r15). Used by q98's 20-row rank assignment.
+    */
+  private[operators] final class Utf8Key(s: String)
+      extends Ordered[Utf8Key] {
+    private val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def compare(that: Utf8Key): Int = {
+      val n = math.min(b.length, that.b.length)
+      var i = 0
+      while (i < n) {
+        val d = (b(i) & 0xff) - (that.b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      b.length - that.b.length
+    }
+  }
 
   /** documents + exact duplicates (doc_id%7==0 re-keyed +10000) — built
     * in-query so the dedup operators have real duplicates to collapse; the
@@ -943,8 +967,11 @@ object LlmQueries {
       val t100 = docs.groupBy("lang")
         .agg(sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("toks"))
         .localCheckpoint(true)
+      // null-guarded like the SUM(toks) OVER () this replaced (which skips
+      // nulls): a lang whose docs all have null text sums to a null cell
       val total100 = graft.Bounded.collect(t100, cap = 64,
-        what = "q100 per-lang token totals").map(_.getLong(1)).sum
+        what = "q100 per-lang token totals")
+        .map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
       val rates = t100
         .selectExpr("lang", "toks",
           s"CAST($total100 AS BIGINT) AS total",
@@ -1077,8 +1104,11 @@ object LlmQueries {
         .groupBy("lang")
         .agg(sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("toks"))
         .localCheckpoint(true)
+      // null-guarded like the SUM(toks) OVER () this replaced (which skips
+      // nulls): a lang whose docs all have null text sums to a null cell
       val total = graft.Bounded.collect(t, cap = 64,
-        what = "q95 per-lang token totals").map(_.getLong(1)).sum
+        what = "q95 per-lang token totals")
+        .map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
       t.selectExpr("lang", "toks",
           s"CAST($total AS BIGINT) AS total",
           """CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
@@ -1237,7 +1267,12 @@ object LlmQueries {
           .limit(20)
           .as[(String, Long)],
         cap = 20, what = "q98 top-20 vocabulary")
-      top.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      // UTF-8-byte tie-break, not JVM String ordering: Spark's
+      // TakeOrderedAndProject and the DuckDB oracle both compare strings
+      // by UTF-8 binary (code-point order), while String.compareTo orders
+      // UTF-16 code units — supplementary-plane tokens at equal frequency
+      // would rank differently (ADVICE r15)
+      top.sortBy { case (t, f) => (-f, new Utf8Key(t)) }.zipWithIndex
         .map { case ((t, f), i) => (t, f, i + 1) }.toSeq
         .toDF("token", "freq", "rk")
         .withColumn("rk", col("rk").cast("int"))
@@ -2721,7 +2756,42 @@ object LlmQueries {
     * (a trigram seen outside the source puts its (w1,w2) bigram outside
     * the source too).
     */
-  def stupidBackoff(docs: DataFrame): DataFrame = {
+  /** q131/q150 shared pieces: the trigram occurrence stream, the three
+    * checkpointed per-source count tables, and the ENRICHED term-table
+    * input — one row per distinct (trigram, source) carrying every raw
+    * own/total count the scoring needs plus the leave-one-out differences.
+    * q131 projects (term, lvl) from it; q150 additionally probes the CMS
+    * six-pack on the same rows (count-table scale, never per occurrence).
+    */
+  private case class SbParts(tg: DataFrame, tcs: DataFrame, bcs: DataFrame,
+      ucs: DataFrame, enriched: DataFrame)
+
+  /** The exact (term, lvl) projection both q131 and q150 score with. */
+  private val sbTermExprs = Seq(
+    """CASE WHEN c123x > 0 THEN (c123x * 1000000L) div c12x
+      |     WHEN c23x > 0 THEN (c23x * 400000L) div c2x
+      |     WHEN c3x > 0 THEN (c3x * 160000L) div nx
+      |     ELSE 0L END AS term""".stripMargin,
+    """CASE WHEN c123x > 0 THEN 3 WHEN c23x > 0 THEN 2
+      |     WHEN c3x > 0 THEN 1 ELSE 0 END AS lvl""".stripMargin)
+
+  /** The shared probe join + per-doc aggregation (see the shuffle_hash
+    * rationale in [[sbParts]]' term-table comment): extras are q150's
+    * audit-boolean reductions, empty for q131.
+    */
+  private def sbScore(tg: DataFrame, term: DataFrame,
+      extras: Seq[Column] = Nil): DataFrame =
+    tg.join(term.hint("shuffle_hash"), Seq("w1", "w2", "w3", "source"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        (Seq(expr("sum(term) div count(1)").as("sb_score_micro"),
+          sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hit"),
+          sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_big_hit"),
+          sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni_hit"),
+          sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov")) ++
+          extras): _*)
+
+  private def sbParts(docs: DataFrame): SbParts = {
     val toks = docs.select(col("doc_id"), col("source"),
       split(col("text"), " ").as("t"))
     val tg = toks.filter(size(col("t")) >= 3)
@@ -2774,7 +2844,16 @@ object LlmQueries {
     val ucs2 = ucs.withColumn("cu_tot",
       sum(col("c")).over(Window.partitionBy(col("u"))))
       .localCheckpoint(true)
-    val term = tcs
+    // shuffle_hash on the final probe join, not sort-merge: the probe side
+    // is the CORPUS occurrence stream — sort-merge sorts all of it by four
+    // string columns (A/B at sf5: 24.0 s vs 3.5 s for the same join),
+    // while the hash build is the vocab-scale term table whose
+    // per-partition slice is bounded by vocab/shuffle-partitions. Same
+    // rationale on the two bigram enrichment joins above (build = the
+    // smaller bcs2 side). When the vocab outgrows per-partition memory,
+    // the exact form has already handed off to the CMS path — which is no
+    // longer only a comment: q150 IS that substitution, audited.
+    val enriched = tcs
       .withColumn("c123_tot", sum(col("c"))
         .over(Window.partitionBy(col("w1"), col("w2"), col("w3"))))
       .join(bcs2.select(col("b1").as("w1"), col("b2").as("w2"),
@@ -2794,36 +2873,186 @@ object LlmQueries {
       .join(ns, Seq("source"))
       .crossJoin(nTot)
       .selectExpr("w1", "w2", "w3", "source",
+        "c AS c123_own", "c123_tot",
+        "c12_own", "c12_tot", "c23_own", "c23_tot",
+        "c2_own", "c2_tot", "c3_own", "c3_tot",
         "c123_tot - c AS c123x",
         "c12_tot - c12_own AS c12x",
         "c23_tot - c23_own AS c23x",
         "c2_tot - c2_own AS c2x",
         "c3_tot - c3_own AS c3x",
         "n_tot - n_src AS nx")
-      .selectExpr("w1", "w2", "w3", "source",
-        """CASE WHEN c123x > 0 THEN (c123x * 1000000L) div c12x
-          |     WHEN c23x > 0 THEN (c23x * 400000L) div c2x
-          |     WHEN c3x > 0 THEN (c3x * 160000L) div nx
-          |     ELSE 0L END AS term""".stripMargin,
-        """CASE WHEN c123x > 0 THEN 3 WHEN c23x > 0 THEN 2
-          |     WHEN c3x > 0 THEN 1 ELSE 0 END AS lvl""".stripMargin)
+    SbParts(tg, tcs, bcs, ucs, enriched)
+  }
+
+  def stupidBackoff(docs: DataFrame): DataFrame = {
+    val p = sbParts(docs)
+    val term = p.enriched
+      .selectExpr(Seq("w1", "w2", "w3", "source") ++ sbTermExprs: _*)
       .localCheckpoint(true)
-    // shuffle_hash, not sort-merge: the probe side is the CORPUS
-    // occurrence stream — sort-merge sorts all of it by four string
-    // columns (A/B at sf5: 24.0 s vs 3.5 s for the same join), while the
-    // hash build is the vocab-scale term table whose per-partition slice
-    // is bounded by vocab/shuffle-partitions. Same rationale on the two
-    // bigram enrichment joins above (build = the smaller bcs2 side).
-    // When the vocab outgrows per-partition memory, the exact form has
-    // already handed off to q112's CMS path.
-    tg.join(term.hint("shuffle_hash"), Seq("w1", "w2", "w3", "source"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_trigrams"),
-        expr("sum(term) div count(1)").as("sb_score_micro"),
-        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hit"),
-        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_big_hit"),
-        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni_hit"),
-        sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"))
+    sbScore(p.tg, term)
+  }
+
+  /** The q150 sketch six-pack: (own, total) CMS per n-gram order, built in
+    * ONE aggregation pass over the union of the three checkpointed count
+    * tables. Keys are space-joined tokens (tokens are whitespace-split, so
+    * " " can never occur inside one — keys are collision-free by
+    * construction); the own-sketch key appends the source. CMS counters
+    * are linear, so weighted adds over the count tables reproduce the
+    * occurrence streams' counters exactly (the q112 argument): for the
+    * total sketches, Σ_src add(key, c(key,src)) == add(key, c_tot(key)).
+    */
+  private def sbSketches(p: SbParts, eps: Double, confidence: Double,
+      seed: Int): (DataFrame, Array[CountMinSketch]) = {
+    val spark = p.tcs.sparkSession
+    import spark.implicits._
+    def tagged(df: DataFrame, tag: Int, keyCols: Seq[String]): DataFrame =
+      df.select(lit(tag).as("tag"),
+        concat_ws(" ", keyCols.map(col): _*).as("key"),
+        concat_ws(" ", (keyCols :+ "source").map(col): _*).as("key_src"),
+        col("c").cast("long").as("c"))
+    val unioned = tagged(p.tcs, 0, Seq("w1", "w2", "w3"))
+      .unionByName(tagged(p.bcs, 1, Seq("b1", "b2")))
+      .unionByName(tagged(p.ucs, 2, Seq("u")))
+    val bytes = graft.Bounded.one(
+      unioned.as[(Int, String, String, Long)]
+        .select(new SixCmsAgg(eps, confidence, seed).toColumn),
+      "q150 merged CMS six-pack")
+    val in = new java.io.ByteArrayInputStream(bytes)
+    (unioned, Array.fill(6)(CountMinSketch.readFrom(in)))
+  }
+
+  /** q150 kernel — q131's exact leave-one-source-out Stupid Backoff PLUS
+    * the count-min-sketch audit that licenses the open-web substitution
+    * (the same anchor-vs-scale-path contract as q111→q112). At open-web
+    * vocabulary the exact (trigram, source) count tables stop fitting any
+    * join strategy comfortably; the scale path replaces each of the six
+    * count lookups a scoring row performs — (own, total) × (trigram,
+    * bigram, unigram) — with a probe of a fixed-size CMS (megabytes at ANY
+    * corpus size, plan-embedded, probed inside WholeStageCodegen via
+    * `graft_cms_estimate`). This query verifies that substitution's error
+    * contract on every lookup the scoring actually performs: probes run at
+    * COUNT-TABLE scale on the enriched term rows (never per corpus
+    * occurrence — the q112 distinct-key lesson), checking est ≥ exact and
+    * est ≤ exact + 3·eps·N per sketch (N = that sketch's own totalCount).
+    * The 3× slack is the audited-bool_and analogue of q112's 2×: each
+    * counter's expected overcount is ≤ eps·N/2, so by Markov one row
+    * exceeds 3·eps·N with probability ≤ 1/6 and the depth-10 minimum with
+    * ≤ 6⁻¹⁰ ≈ 1.7e-8 — far under one expected flip across the ~10⁷ probes
+    * a large-scale corpus audit runs, where q112's 2× doubling (4⁻¹⁰ ≈
+    * 1e-6) is sized for its ~10⁶. The leave-one-out corollary is stated,
+    * not separately audited: c_x = tot − own, and with est_tot ∈
+    * [tot, tot+s], est_own ∈ [own, own+s], the substituted difference sits
+    * within ±s of exact. Scores stay the exact integers (the oracle emits
+    * literal TRUEs for the audit booleans — the q74/q112 within-bound
+    * pattern).
+    */
+  def stupidBackoffCms(docs: DataFrame, eps: Double = 2e-4,
+      confidence: Double = 0.999, seed: Int = 42): DataFrame = {
+    val spark = docs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val p = sbParts(docs)
+    val (_, sk) = sbSketches(p, eps, confidence, seed)
+    val slack = sk.map(s => math.ceil(3 * eps * s.totalCount()).toLong)
+    def probe(i: Int, key: Column): Column =
+      call_function("graft_cms_estimate", lit(sketchBytes(sk(i))), key)
+    val triKey = concat_ws(" ", col("w1"), col("w2"), col("w3"))
+    val b12Key = concat_ws(" ", col("w1"), col("w2"))
+    val b23Key = concat_ws(" ", col("w2"), col("w3"))
+    def own(key: Column) = concat_ws(" ", key, col("source"))
+    // sketch index: 2·tag (total) / 2·tag+1 (own) — see SixCmsAgg. Each
+    // of the 10 estimates a row needs is PROJECTED once, then the bound
+    // booleans compare by attribute reference — inlining the probe into
+    // `est >= c && est <= c + s` would evaluate every sketch probe twice
+    // (interpreted-HOF-style duplication, the q78 lesson).
+    val probes: Seq[(String, Int, Column, String)] = Seq(
+      ("e123t", 0, triKey, "c123_tot"), ("e123o", 1, own(triKey), "c123_own"),
+      ("e12t", 2, b12Key, "c12_tot"), ("e12o", 3, own(b12Key), "c12_own"),
+      ("e23t", 2, b23Key, "c23_tot"), ("e23o", 3, own(b23Key), "c23_own"),
+      ("e2t", 4, col("w2"), "c2_tot"), ("e2o", 5, own(col("w2")), "c2_own"),
+      ("e3t", 4, col("w3"), "c3_tot"), ("e3o", 5, own(col("w3")), "c3_own"))
+    val estimated = probes.foldLeft(p.enriched) {
+      case (df, (name, i, key, _)) => df.withColumn(name, probe(i, key))
+    }
+    def ok(names: Seq[String]): Column = probes
+      .filter { case (n, _, _, _) => names.contains(n) }
+      .map { case (n, i, _, exact) =>
+        col(n) >= col(exact) && col(n) <= col(exact) + lit(slack(i)) }
+      .reduce(_ && _)
+    val audited = estimated
+      .withColumn("tri_ok", ok(Seq("e123t", "e123o")))
+      .withColumn("big_ok", ok(Seq("e12t", "e12o", "e23t", "e23o")))
+      .withColumn("uni_ok", ok(Seq("e2t", "e2o", "e3t", "e3o")))
+      .selectExpr(Seq("w1", "w2", "w3", "source") ++ sbTermExprs ++
+        Seq("tri_ok", "big_ok", "uni_ok"): _*)
+      .localCheckpoint(true)
+    sbScore(p.tg, audited, Seq(
+      expr("bool_and(tri_ok)").as("cms_tri_ok"),
+      expr("bool_and(big_ok)").as("cms_big_ok"),
+      expr("bool_and(uni_ok)").as("cms_uni_ok")))
+  }
+
+  /** q150's scale evidence for DEDUP_CANDIDATES: (count-table rows the
+    * exact form must keep joinable, serialized six-pack bytes — CONSTANT
+    * by construction, the whole point — and audit violations, which must
+    * be 0 at every scale for the substitution contract to hold).
+    */
+  def sbCmsReduction(docs: DataFrame, eps: Double = 2e-4,
+      confidence: Double = 0.999, seed: Int = 42): (Long, Long, Long) = {
+    val spark = docs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val p = sbParts(docs)
+    val (unioned, sk) = sbSketches(p, eps, confidence, seed)
+    val slack = sk.map(s => math.ceil(3 * eps * s.totalCount()).toLong)
+    val est = (i: Int, key: Column) =>
+      call_function("graft_cms_estimate", lit(sketchBytes(sk(i))), key)
+    val violations = unioned
+      .withColumn("tot", sum(col("c")).over(
+        Window.partitionBy(col("tag"), col("key"))))
+      .withColumn("eo", when(col("tag") === 0, est(1, col("key_src")))
+        .when(col("tag") === 1, est(3, col("key_src")))
+        .otherwise(est(5, col("key_src"))))
+      .withColumn("et", when(col("tag") === 0, est(0, col("key")))
+        .when(col("tag") === 1, est(2, col("key")))
+        .otherwise(est(4, col("key"))))
+      .withColumn("so", when(col("tag") === 0, slack(1))
+        .when(col("tag") === 1, slack(3)).otherwise(slack(5)))
+      .withColumn("st", when(col("tag") === 0, slack(0))
+        .when(col("tag") === 1, slack(2)).otherwise(slack(4)))
+      .filter(col("eo") < col("c") || col("eo") > col("c") + col("so") ||
+        col("et") < col("tot") || col("et") > col("tot") + col("st"))
+      .count()
+    (unioned.count(), sk.map(sketchBytes(_).length.toLong).sum, violations)
+  }
+
+  /** All six q150 sketches in one pass (the [[TwoCmsAgg]] idiom widened):
+    * rows are (tag ∈ {0 tri, 1 big, 2 uni}, total-key, own-key, count);
+    * sketch 2·tag gets the total key, 2·tag+1 the own key, both weighted
+    * by the row's count.
+    */
+  private class SixCmsAgg(eps: Double, confidence: Double, seed: Int)
+      extends Aggregator[(Int, String, String, Long), Array[CountMinSketch], Array[Byte]] {
+    def zero: Array[CountMinSketch] =
+      Array.fill(6)(CountMinSketch.create(eps, confidence, seed))
+    def reduce(b: Array[CountMinSketch],
+        r: (Int, String, String, Long)): Array[CountMinSketch] = {
+      b(2 * r._1).addString(r._2, r._4)
+      b(2 * r._1 + 1).addString(r._3, r._4)
+      b
+    }
+    def merge(a: Array[CountMinSketch],
+        b: Array[CountMinSketch]): Array[CountMinSketch] = {
+      a.indices.foreach(i => a(i).mergeInPlace(b(i)))
+      a
+    }
+    def finish(b: Array[CountMinSketch]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.foreach(_.writeTo(bos))
+      bos.toByteArray
+    }
+    def bufferEncoder: Encoder[Array[CountMinSketch]] =
+      Encoders.javaSerialization[Array[CountMinSketch]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
   /** q132 kernel — two-pass exact φ-heavy hitters (see the Q entry).
@@ -3200,7 +3429,8 @@ object LlmQueries {
     import s.implicits._
     val counts = docs.select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq")).persist()
-    val total = counts.agg(sum(col("freq"))).head.getLong(0)
+    val total = graft.Bounded.one(counts.agg(sum(col("freq"))),
+      "q124 total token occurrences (1-row aggregate)").getLong(0)
     val top = graft.Bounded.collect(
       counts.orderBy(col("freq").desc, col("token")).limit(ks.max),
       cap = ks.max, what = "q124 top-k token frequencies")
@@ -3889,7 +4119,9 @@ object LlmQueries {
     // not the corpus-sized count the r12 form paid (frontierN from round 1
     // on comes from the observed metrics, and round 1 never reads it)
     var frontierN =
-      ptime("docs nonempty probe")(if (docs.head(1).isEmpty) 0L else Long.MaxValue)
+      ptime("docs nonempty probe")(
+        if (graft.Bounded.nonEmpty(docs, "CC loop-entry probe")) Long.MaxValue
+        else 0L)
     var round = 0
     while (frontierN > 0) {
       round += 1

@@ -870,7 +870,9 @@ object VectorQueries {
     * parquet-statistics read, not a data scan.
     */
   def variantOffset(s: SparkSession, dir: String): Long = {
-    val mx = Tables.t(s, dir, "embeddings").agg(max(col("vec_id"))).head.getLong(0)
+    val mx = graft.Bounded.one(
+      Tables.t(s, dir, "embeddings").agg(max(col("vec_id"))),
+      "variantOffset max vec_id (1-row aggregate)").getLong(0)
     ("1" + "0" * mx.toString.length).toLong
   }
 

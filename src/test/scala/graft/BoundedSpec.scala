@@ -49,4 +49,44 @@ class BoundedSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("rdd over"))
   }
+
+  test("nonEmpty probes at most one row and answers both ways") {
+    import org.apache.spark.sql.functions._
+    assert(Bounded.nonEmpty(spark.range(1000000L), "big probe"))
+    assert(!Bounded.nonEmpty(spark.range(5).filter(col("id") > 100), "empty probe"))
+  }
+
+  // ---- Bench third-sample trigger (VERDICT r15 ask #2) ------------------
+
+  test("third sample fires on intra-round >2x disagreement (the r12 stall case)") {
+    assert(Bench.needsThirdSample(List(0.20, 0.62), prevMin = None))
+    assert(!Bench.needsThirdSample(List(0.50, 0.60), prevMin = None))
+  }
+
+  test("third sample fires when BOTH samples exceed the prior round's committed min by >2x (the r15 q78 case)") {
+    // q78 r15: committed [2.77, 2.77] vs r14's 0.31 min — agreement
+    // between two contended samples must no longer suppress the reprice
+    assert(Bench.needsThirdSample(List(2.77, 2.77), prevMin = Some(0.31)))
+    // in-family with the prior round: no extra sample
+    assert(!Bench.needsThirdSample(List(0.35, 0.40), prevMin = Some(0.31)))
+    // a prior-round failure marker (-1.0) is not a reference price
+    assert(!Bench.needsThirdSample(List(0.35, 0.40), prevMin = Some(-1.0)))
+  }
+
+  test("third sample never fires on failed samples or after one already ran") {
+    assert(!Bench.needsThirdSample(List(-1.0, 0.40), prevMin = Some(0.1)))
+    assert(!Bench.needsThirdSample(List(2.0, 2.1, 0.3), prevMin = Some(0.1)))
+  }
+
+  test("prevMins reads a committed sidecar's queries map and degrades to empty on junk") {
+    val dir = java.nio.file.Files.createTempDirectory("prevmins")
+    val good = dir.resolve("details.json")
+    java.nio.file.Files.writeString(good,
+      """{"queries":{"q1":0.25,"q2":1.5},"details":{}}""")
+    assert(Bench.prevMins(good.toString) == Map("q1" -> 0.25, "q2" -> 1.5))
+    val bad = dir.resolve("junk.json")
+    java.nio.file.Files.writeString(bad, "not json at all")
+    assert(Bench.prevMins(bad.toString).isEmpty)
+    assert(Bench.prevMins(dir.resolve("missing.json").toString).isEmpty)
+  }
 }

@@ -551,29 +551,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(!all.exists(_.nodeName.contains("CartesianProduct")))
   }
 
-  test("driver-fetch discipline: operators/* contains no raw .collect()/.head() — every driver fetch goes through Bounded with a declared cap") {
-    // VERDICT r14 ask #6: until round 15 the "every collect is bounded"
-    // claim was enforced by convention and re-audited by hand each round.
-    // This makes it mechanical: any new `.collect()`/`.head()`/`.first()`
-    // call site in query code fails the suite unless routed through
-    // graft.Bounded (which asserts a row cap via take(cap+1), so an
-    // unbounded frame crashes with a named culprit instead of OOMing the
-    // driver). Bounded's own take() calls live outside operators/.
-    val dir = new java.io.File("src/main/scala/graft/operators")
-    assert(dir.isDirectory, s"expected ${dir.getAbsolutePath}")
-    val offenders = dir.listFiles().filter(_.getName.endsWith(".scala")).flatMap { f =>
+  test("driver-fetch discipline: src/main contains no raw .collect()/.head()/.take() — every Dataset fetch goes through Bounded or a justified allowlist entry") {
+    // VERDICT r14 ask #6 made the audit mechanical over operators/*;
+    // VERDICT r15 ask #5 + ADVICE r15 make it TOTAL: the scan now covers
+    // ALL of src/main/scala/graft, and the pattern is a regex over every
+    // fetch-shaped method (including paren-less `.head` and `.take(n)`,
+    // which the r15 string-match missed). Text can't tell a Dataset from
+    // a Seq, so scala-collection hits are allowlisted EXPLICITLY, each
+    // with a one-line justification — a new raw Dataset fetch fails the
+    // suite with its file:line until it is routed through graft.Bounded
+    // or argued onto this list.
+    val fetch = ("""\.(collect|collectAsList|toLocalIterator|first|head|take)"""
+      + """\s*(\(|\.|\s|$)""").r
+    // (file-name substring, line substring) -> justification; a line is
+    // exempt iff some entry matches both.
+    val allow: Seq[(String, String, String)] = Seq(
+      ("Bounded.scala", ".take(", "Bounded itself: the cap-enforcing take is the audited primitive"),
+      ("Explain.scala", "df.collect()", "diagnostic main for .explain dumps, never a registered query; collects to finalize AQE"),
+      ("Bench.scala", ".take(12)", "Seq[(String,fn)] of query names, not a Dataset"),
+      ("Verify.scala", "args.take(2)", "Array[String] CLI args"),
+      ("Cli.scala", "args.head", "Seq[String] CLI args"),
+      ("FixedPointSum.scala", "newChildren.head", "Catalyst withNewChildren contract, Seq[Expression]"),
+      ("GraftExpressions.scala", "args.head", "Seq[Expression] in a FunctionBuilder"),
+      ("LlmQueries.scala", ".flatten.take(32)", "driver-local Array of BPE merge tokens (bounded by the 32-merge loop)"),
+      ("StatsQueries.scala", "aggs.head, aggs.tail", "Seq[Column] splat for agg(first, rest: _*)"),
+      ("StatsQueries.scala", "extras.getOrElse(g, Seq(0L)).head", "driver-local Map lookup over Bounded-collected rows"),
+      ("ShardSpoolSource.scala", ".last", "in-memory shard-offset Vector on the driver (source metadata, not data)"),
+      ("ShardSpoolSource.scala", "avail.take(", "in-memory per-shard offset Vector (admission control)"),
+      ("TopK.scala", ".sorted(ord).take(k)", "Seq buffer inside the UDAF, bounded by k by construction"))
+    def walk(d: java.io.File): Seq[java.io.File] =
+      d.listFiles().toSeq.flatMap(f =>
+        if (f.isDirectory) walk(f)
+        else if (f.getName.endsWith(".scala")) Seq(f) else Nil)
+    val root = new java.io.File("src/main/scala/graft")
+    assert(root.isDirectory, s"expected ${root.getAbsolutePath}")
+    val offenders = walk(root).flatMap { f =>
       val src = scala.io.Source.fromFile(f, "UTF-8")
       val lines = try src.getLines().toVector finally src.close()
       lines.zipWithIndex.collect {
-        case (l, i) if (l.contains(".collect()") || l.contains(".head()") ||
-          l.contains(".first()") || l.contains(".collectAsList()") ||
-          l.contains(".toLocalIterator()")) &&
-          !l.trim.startsWith("*") && !l.trim.startsWith("//") =>
+        case (l, i) if fetch.findFirstIn(l).isDefined &&
+          !l.trim.startsWith("*") && !l.trim.startsWith("//") &&
+          // `.collect { case ... }` is scala-collection PartialFunction
+          // syntax — Dataset.collect has no such overload, so the brace
+          // form is structurally never a driver fetch
+          !l.contains(".collect {") &&
+          !l.contains("Bounded.collect") && !l.contains("Bounded.one") &&
+          !l.contains("Bounded.nonEmpty") && !l.contains("Bounded.collectRdd") &&
+          !allow.exists { case (fn, sub, _) =>
+            f.getName.contains(fn) && l.contains(sub) } =>
           s"${f.getName}:${i + 1}: ${l.trim}"
       }
     }
     assert(offenders.isEmpty,
-      "raw driver fetches in operators/* (use graft.Bounded):\n" +
+      "raw driver fetches in src/main (use graft.Bounded or justify an allowlist entry):\n" +
         offenders.mkString("\n"))
   }
 

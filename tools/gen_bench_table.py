@@ -26,7 +26,10 @@ for scale, rows, tag in SCALES:
           f"{m['pipeline_rps'] // 1000} k | `{name}` |")
 
 sf1, sf5 = per_query["sf1"], per_query["sf5"]
-ratios = sorted((sf5[q] / sf1[q], q) for q in sf1 if sf1[q] > 0.0 and sf5[q] > 0)
+# membership-checked: a query present in one scale's sidecar but not the
+# other (added/failed mid-round) must not KeyError the table (ADVICE r15)
+ratios = sorted((sf5[q] / sf1[q], q)
+                for q in sf1 if q in sf5 and sf1[q] > 0.0 and sf5[q] > 0)
 mid = ratios[len(ratios) // 2]
 tot1 = sum(v for v in sf1.values() if v >= 0)
 tot5 = sum(v for v in sf5.values() if v >= 0)
