@@ -35,6 +35,7 @@ object Plans {
     "q129_bm25_topk" -> "BM25 retrieval with ZERO corpus exchanges: per-doc tf in one graft_token_tf kernel call, corpus stats as a 1-row broadcast aggregate, global top-k via TakeOrderedAndProject",
     "q130_source_overlap" -> "exact cross-source Jaccard matrix: md5-folded 8-byte shingle keys into ONE vocab-sized exchange aggregating a codegen'd bit_or source bitmask, vocab collapsed to distinct co-occurrence patterns, checkpoint-fed |sources|-squared expansion",
     "q131_stupid_backoff" -> "leave-one-source-out trigram LM: backoff terms precomputed per distinct (trigram, source) behind checkpoints; the occurrence stream meets the term table as a SHUFFLE-HASH probe (sort-merge would sort the corpus by four string keys — A/B'd 24 vs 3.5 s at sf5) and aggregates per doc",
+    "q150_stupid_backoff_cms" -> "q131's CMS scale path: six fixed-size sketches probed at count-table scale BEHIND the term checkpoint — the emitted scoring plan is bit-identical in shape to q131's (hash probe + doc agg), the audit costs the corpus-side plan nothing",
     "q132_heavy_hitters" -> "two-pass exact phi-heavy hitters: the Misra-Gries pass moved only k-bounded summaries (already run eagerly); the emitted plan is the audit — corpus scan through a broadcast semi on the guaranteed-superset candidates, one candidate-bounded agg exchange",
     "q133_containment_dedup" -> "Broder containment: one reused posting exchange serves the docfreq-cap window AND the pair self-join; true set sizes ride the posting rows so no sizes join-back exists",
     "q138_chunk_dedup" -> "CCNet-style paragraph dedup audit: non-overlapping 32-token chunk md5s, one map-side-combined chunk-frequency exchange, the join-back co-partitioned on the same hash, 11-row decile histogram — no window, no sort",

@@ -66,15 +66,23 @@ object VectorQueries {
         CAST(list_min(list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmin,
         CAST(list_max(list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmax
       FROM q""")) { (s, dir) =>
+      // the int8 code array is PROJECTED once and codes/qsum/qmin/qmax
+      // derive from the attribute reference — the r15 form inlined the
+      // same transform(...) lambda four times, and interpreted HOFs get
+      // no common-subexpression elimination (VERDICT r15 #5; A/B'd at
+      // sf5, see BASELINE.md). The quantization expression itself is
+      // unchanged, so the oracle stays bit-identical.
       Tables.t(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> abs(x)), CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, x))").as("scale"),
           col("embedding").cast("array<double>").as("v"))
+        .selectExpr("vec_id", "scale",
+          "transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END) AS q")
         .selectExpr("vec_id", "round(scale, 6) AS scale",
-          "array_join(transform(v, x -> CAST(CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END AS STRING)), ',') AS codes",
-          "CAST(aggregate(transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS qsum",
-          "CAST(array_min(transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmin",
-          "CAST(array_max(transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(x * 127.0 / scale) AS BIGINT) END)) AS BIGINT) AS qmax")
+          "array_join(transform(q, c -> CAST(c AS STRING)), ',') AS codes",
+          "CAST(aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS qsum",
+          "CAST(array_min(q) AS BIGINT) AS qmin",
+          "CAST(array_max(q) AS BIGINT) AS qmax")
     },
 
     // ---------------------------------------------------------------- Q89
