@@ -41,6 +41,7 @@ for path in sorted(glob.glob(f"bench_targeted_{ROUND}_*.json")):
     t = json.load(open(path))
     assert t.get("query_filter"), f"{path}: not a targeted run"
     scale = os.path.basename(path)[len(f"bench_targeted_{ROUND}_"):-len(".json")]
+    scale = {"local": "sf0.1"}.get(scale, scale)  # artifact tag -> table key
     for q, v in t["queries"].items():
         if v >= 0:
             overrides.setdefault(scale, {})[q] = (v, os.path.basename(path))
