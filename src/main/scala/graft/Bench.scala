@@ -14,6 +14,29 @@ object Bench {
       try src.getLines().next().split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** Cumulative (steal, total) jiffies from /proc/stat's aggregate cpu
+    * line, or (-1, -1) if unreadable. Sampled before and after each timed
+    * run: the delta ratio is the fraction of the sample window the
+    * HYPERVISOR took from this guest — the direct instrument for the
+    * box's documented stall windows (identical stages measuring 0.5 s and
+    * 10 s minutes apart at LOW loadavg — loadavg can't see steal, which
+    * is why r16's sf0.1 regime question needed three full runs and a
+    * cross-round comparison to adjudicate; from r17 on the artifact
+    * answers it per query).
+    */
+  private def cpuStealTotal(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+              finally src.close()
+      (if (f.length > 7) f(7) else -1L, f.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** steal% across a (before, after) cpuStealTotal window; -1 if unknown. */
+  def stealPct(before: (Long, Long), after: (Long, Long)): Double =
+    if (before._1 < 0 || after._1 < 0 || after._2 <= before._2) -1.0
+    else 100.0 * (after._1 - before._1) / (after._2 - before._2)
+
   /** Third-sample trigger (pure, spec-pinned in BoundedSpec): fire when the
     * two pass-separated samples disagree >2× (one stall poisoned one pass)
     * OR — new in r16, VERDICT r15 ask #2 — when even their MIN exceeds the
@@ -93,6 +116,7 @@ object Bench {
     val startedMs = scala.collection.mutable.Map.empty[String, Long]
     val runsBy = scala.collection.mutable.Map.empty[String, List[Double]]
     val lasBy = scala.collection.mutable.Map.empty[String, List[Double]]
+    val stealBy = scala.collection.mutable.Map.empty[String, List[Double]]
     val failedSet = scala.collection.mutable.Set.empty[String]
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       if (!failedSet(name)) {
@@ -110,12 +134,15 @@ object Bench {
         // window, so it speeds measurement fidelity, not the queries.
         System.gc()
         val la = loadavg1m()
+        val st0 = cpuStealTotal()
         try {
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
           runsBy(name) = runsBy.getOrElse(name, Nil) :+ sec
           lasBy(name) = lasBy.getOrElse(name, Nil) :+ la
+          stealBy(name) = stealBy.getOrElse(name, Nil) :+
+            stealPct(st0, cpuStealTotal())
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -128,6 +155,8 @@ object Bench {
             // fast pass.
             runsBy(name) = runsBy.getOrElse(name, Nil) :+ -1.0
             lasBy(name) = lasBy.getOrElse(name, Nil) :+ la
+            stealBy(name) = stealBy.getOrElse(name, Nil) :+
+              stealPct(st0, cpuStealTotal())
         }
       }
     (1 to 2).foreach(_ => selected.foreach { case (n, f) => sample(n, f) })
@@ -155,7 +184,8 @@ object Bench {
     val results = selected.map { case (name, _) =>
       val runs = runsBy.getOrElse(name, List(-1.0))
       (name, runs.min, startedMs.getOrElse(name, 0L), runs,
-        lasBy.getOrElse(name, List(-1.0)))
+        lasBy.getOrElse(name, List(-1.0)),
+        stealBy.getOrElse(name, List(-1.0)))
     }
     val failed = failedSet.toList
     // stdout seconds at 100 µs precision: the harness that consumes this
@@ -170,10 +200,12 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1.0"
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val details = results.map { case (k, _, ts, runs, las) =>
-      s"\"$k\":{\"ts_ms\":$ts,\"runs\":${runs.mkString("[", ",", "]")},\"loadavg\":${las.mkString("[", ",", "]")}}"
+    val details = results.map { case (k, _, ts, runs, las, steals) =>
+      s"\"$k\":{\"ts_ms\":$ts,\"runs\":${runs.mkString("[", ",", "]")}," +
+        s"\"loadavg\":${las.mkString("[", ",", "]")}," +
+        s"\"steal_pct\":${steals.map(s => fmt(math.max(s, -1.0))).mkString("[", ",", "]")}}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -78,6 +78,15 @@ class BoundedSpec extends SparkSpec {
     assert(!Bench.needsThirdSample(List(2.0, 2.1, 0.3), prevMin = Some(0.1)))
   }
 
+  test("stealPct: delta ratio of the sample window, -1 on unknown or empty windows") {
+    // 50 steal jiffies out of a 1000-jiffy window = 5%
+    assert(Bench.stealPct((100L, 10000L), (150L, 11000L)) == 5.0)
+    assert(Bench.stealPct((-1L, -1L), (150L, 11000L)) == -1.0)
+    assert(Bench.stealPct((100L, 10000L), (-1L, -1L)) == -1.0)
+    // zero-width window (two reads inside one jiffy) must not divide by 0
+    assert(Bench.stealPct((100L, 10000L), (100L, 10000L)) == -1.0)
+  }
+
   test("prevMins reads a committed sidecar's queries map and degrades to empty on junk") {
     val dir = java.nio.file.Files.createTempDirectory("prevmins")
     val good = dir.resolve("details.json")
