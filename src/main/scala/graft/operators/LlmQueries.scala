@@ -2002,7 +2002,9 @@ object LlmQueries {
     // emits literal TRUEs for the audit booleans (the q74/q112
     // within-bound pattern). DEDUP_CANDIDATES records the other half of
     // the scale argument: count-table rows grow with the corpus while the
-    // six-pack stays ~3 MB, with zero audit violations at every scale.
+    // six-pack stays a CONSTANT 4.8 MB (4,800,600 bytes at every measured
+    // scale, sf0.1 through sf10), with zero audit violations at every
+    // scale.
     Q("q150_stupid_backoff_cms", Some("""
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
                     FROM documents),
@@ -3033,8 +3035,17 @@ object LlmQueries {
     val p = sbParts(docs)
     val (_, sk) = sbSketches(p, eps, confidence, seed)
     val slack = sk.map(s => math.ceil(3 * eps * s.totalCount()).toLong)
+    // ONE serialized byte array per sketch, shared by every probe that
+    // reads it: the probe columns below reference sketches 2-5 twice each
+    // (b12/b23 and w2/w3 pairs), and a fresh `sketchBytes(sk(i))` per
+    // probe embedded 10 independent ~0.8 MB literals in the plan — ~3x
+    // the task-binary bytes actually needed (VERDICT r16 item #3; the
+    // driver's sf10 bench tail showed the 15.4 MB task binary). The task
+    // binary is Java-serialized, which back-references repeated object
+    // instances, so sharing the INSTANCE ships each sketch once.
+    val skBytes = sk.map(sketchBytes)
     def probe(i: Int, key: Column): Column =
-      call_function("graft_cms_estimate", lit(sketchBytes(sk(i))), key)
+      call_function("graft_cms_estimate", lit(skBytes(i)), key)
     val triKey = concat_ws(" ", col("w1"), col("w2"), col("w3"))
     val b12Key = concat_ws(" ", col("w1"), col("w2"))
     val b23Key = concat_ws(" ", col("w2"), col("w3"))
@@ -3083,8 +3094,9 @@ object LlmQueries {
     val p = sbParts(docs)
     val (unioned, sk) = sbSketches(p, eps, confidence, seed)
     val slack = sk.map(s => math.ceil(3 * eps * s.totalCount()).toLong)
+    val skBytes = sk.map(sketchBytes) // one shared instance per sketch (q150 idiom)
     val est = (i: Int, key: Column) =>
-      call_function("graft_cms_estimate", lit(sketchBytes(sk(i))), key)
+      call_function("graft_cms_estimate", lit(skBytes(i)), key)
     val violations = unioned
       .withColumn("tot", sum(col("c")).over(
         Window.partitionBy(col("tag"), col("key"))))

@@ -50,10 +50,38 @@ class BoundedSpec extends SparkSpec {
     assert(e.getMessage.contains("rdd over"))
   }
 
-  test("nonEmpty probes at most one row and answers both ways") {
+  test("nonEmpty probes at most one row (limit-1 plan) and answers both ways") {
     import org.apache.spark.sql.functions._
-    assert(Bounded.nonEmpty(spark.range(1000000L), "big probe"))
-    assert(!Bounded.nonEmpty(spark.range(5).filter(col("id") > 100), "empty probe"))
+    import org.apache.spark.sql.execution.{CollectLimitExec, QueryExecution}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // isolated child session: the listener must see OUR probes only, not
+    // whatever a concurrently-running suite happens to execute
+    val s = spark.newSession()
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.execution.SparkPlan]())
+    val l = new QueryExecutionListener {
+      def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan)
+      def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(l)
+    try {
+      assert(Bounded.nonEmpty(s.range(1000000L), "big probe"))
+      assert(!Bounded.nonEmpty(s.range(5).filter(col("id") > 100), "empty probe"))
+      // listener delivery is async; wait for both plans (bounded)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (plans.size < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+    } finally s.listenerManager.unregister(l)
+    // the at-most-one-row claim in the name, verified against the EXECUTED
+    // plans: every probe collected through a limit-1 (take(1)) plan — a
+    // regression of nonEmpty to e.g. `count() != 0` executes an aggregate
+    // with no CollectLimit and fails here (ADVICE r16)
+    import scala.jdk.CollectionConverters._
+    val captured = plans.asScala.toList
+    assert(captured.size == 2, s"expected 2 probe plans, saw ${captured.size}")
+    val limits = captured.flatMap(_.collect { case c: CollectLimitExec => c.limit })
+    assert(limits == List(1, 1),
+      s"nonEmpty must probe via limit-1 plans; executed: ${captured.map(_.nodeName)}")
   }
 
   // ---- Bench third-sample trigger (VERDICT r15 ask #2) ------------------
@@ -76,6 +104,25 @@ class BoundedSpec extends SparkSpec {
   test("third sample never fires on failed samples or after one already ran") {
     assert(!Bench.needsThirdSample(List(-1.0, 0.40), prevMin = Some(0.1)))
     assert(!Bench.needsThirdSample(List(2.0, 2.1, 0.3), prevMin = Some(0.1)))
+  }
+
+  test("third sample fires when BOTH samples' windows are high-steal (VERDICT r16 ask #2)") {
+    // agreeing runs, in-family with the prior round — but the hypervisor
+    // took >3% of both measurement windows, so neither is trustworthy
+    assert(Bench.needsThirdSample(List(0.50, 0.55), prevMin = Some(0.45),
+      steals = List(4.2, 3.1)))
+    // one clean window is enough to keep the committed min honest
+    assert(!Bench.needsThirdSample(List(0.50, 0.55), prevMin = Some(0.45),
+      steals = List(4.2, 0.3)))
+    // exactly at the gate is NOT above it
+    assert(!Bench.needsThirdSample(List(0.50, 0.55), prevMin = Some(0.45),
+      steals = List(Bench.StealPctGate, Bench.StealPctGate)))
+    // unknown steal (-1 markers) never fires the steal rule
+    assert(!Bench.needsThirdSample(List(0.50, 0.55), prevMin = Some(0.45),
+      steals = List(-1.0, -1.0)))
+    // steal rule is still bounded to the two-sample state
+    assert(!Bench.needsThirdSample(List(0.5, 0.55, 0.52), prevMin = None,
+      steals = List(9.0, 9.0, 9.0)))
   }
 
   test("stealPct: delta ratio of the sample window, -1 on unknown or empty windows") {

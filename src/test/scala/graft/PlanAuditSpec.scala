@@ -591,6 +591,7 @@ class PlanAuditSpec extends SparkSpec {
       ("Bounded.scala", ".take(", "Bounded itself: the cap-enforcing take is the audited primitive"),
       ("Explain.scala", "df.collect()", "diagnostic main for .explain dumps, never a registered query; collects to finalize AQE"),
       ("Bench.scala", ".take(12)", "Seq[(String,fn)] of query names, not a Dataset"),
+      ("Bench.scala", "f.take(8).sum", "Array[Long] of /proc/stat jiffy fields (steal_pct window total)"),
       ("Verify.scala", "args.take(2)", "Array[String] CLI args"),
       ("Cli.scala", "args.head", "Seq[String] CLI args"),
       ("FixedPointSum.scala", "newChildren.head", "Catalyst withNewChildren contract, Seq[Expression]"),

@@ -15,7 +15,15 @@ Fails (exit 1) if the committed bench evidence is internally inconsistent:
      targeted artifact it cites (query missing, or seconds off by >0.005);
   6. (round 16) any "N ScalaTest specs" claim in README.md/BASELINE.md
      disagrees with the committed SPECCOUNT.txt (itself regenerated from
-     `sbt test` output each round).
+     `sbt test` output each round);
+  7. (round 17) any BASELINE.md "> steal:" footnote disagrees with the
+     sidecar it cites (the committed min's window steal recomputed from
+     the file), or the CURRENT round's qualifying rows (>3% min-run
+     steal) are missing their footnotes;
+  8. (round 17) the current round's ORACLE_SF1_r<N>.json is missing, not
+     green, or stale — its recorded commit must have NO src/main or
+     oracle-tool diff against HEAD, so the sf1 gate claim is always
+     file-backed at the code it was run on (VERDICT r16 ask #1).
 
 Run it before every end-of-round commit:  python3 tools/check_artifacts.py
 """
@@ -23,6 +31,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -127,9 +136,19 @@ for path in sorted(glob.glob(os.path.join(ROOT, "bench_targeted_*.json"))):
     if not d.get("query_filter"):
         err(f"{name}: query_filter is null — not a targeted run")
         continue
-    mins = [v for v in d.get("queries", {}).values() if v >= 0]
-    if abs(sum(mins) - d["value"]) > 0.05:
-        err(f"{name}: total {d['value']:.2f} != sum of per-query mins "
+    # guarded like the section-2 summaries: a malformed targeted JSON is a
+    # counted err(), not a traceback (ADVICE r16)
+    total = d.get("value")
+    if not isinstance(total, (int, float)):
+        err(f"{name}: no numeric 'value' field")
+        continue
+    vals = d.get("queries", {}).values()
+    if not all(isinstance(v, (int, float)) for v in vals):
+        err(f"{name}: non-numeric per-query entry in 'queries'")
+        continue
+    mins = [v for v in vals if v >= 0]
+    if abs(sum(mins) - total) > 0.05:
+        err(f"{name}: total {total:.2f} != sum of per-query mins "
             f"{sum(mins):.2f}")
 
 # ---- 5. BASELINE.md "superseded" footnotes match their artifacts ------
@@ -185,9 +204,162 @@ else:
     err("SPECCOUNT.txt missing — regenerate it from `sbt test` output "
         "(Tests: succeeded N)")
 
+# ---- 7. "> steal:" footnotes match their sidecars, and the current ----
+# ----    round's qualifying rows all carry one (VERDICT r16 ask #2) ----
+STEAL_PCT_GATE = 3.0  # keep in sync with Bench.StealPctGate
+
+
+def min_run_steal(detail):
+    """Mirror of gen_bench_table.min_run_steal: steal_pct of the run that
+    produced the committed min, or None when unknown."""
+    runs = detail.get("runs", [])
+    steals = detail.get("steal_pct")
+    if not runs or steals is None or len(steals) != len(runs):
+        return None
+    good = [(v, i) for i, v in enumerate(runs) if v >= 0]
+    if not good:
+        return None
+    s = steals[min(good)[1]]
+    return None if s < 0 else s
+
+
+def current_round():
+    """Round number claimed by BASELINE.md's '(current)' section header."""
+    with open(os.path.join(ROOT, "BASELINE.md")) as f:
+        for line in f:
+            m = re.match(r"#+\s*Round\s+(\d+)\s*\(current\)", line)
+            if m:
+                return int(m.group(1))
+    return None
+
+
+CUR = current_round()
+if CUR is None:
+    err("BASELINE.md has no '### Round N (current)' header")
+
+# current-section lines (same scoping rule as the spec-count check)
+cur_lines = []
+with open(os.path.join(ROOT, "BASELINE.md")) as f:
+    in_scope = False
+    for line in f:
+        if line.startswith("#"):
+            in_scope = "(current)" in line
+            continue
+        if in_scope:
+            cur_lines.append(line.strip())
+
+STEAL = re.compile(
+    r"^>\s*steal:\s*(\S+)\s+(sf[\d.]+)\s+committed min under\s+([\d.]+)%\s+"
+    r"hypervisor steal \(gate\s+([\d.]+)%\)\s+—\s+`([A-Za-z0-9_.]+\.json)`")
+stated = set()  # (query, scale) pairs footnoted in the current section
+stated_none = any(l.startswith("> steal: no gate row") for l in cur_lines)
+for lineno_line in cur_lines:
+    m = STEAL.match(lineno_line)
+    if not m:
+        continue
+    q, scale, pct_s, gate_s, artifact = m.groups()
+    stated.add((q, scale))
+    path = os.path.join(ROOT, artifact)
+    if not os.path.exists(path):
+        err(f"steal footnote for {q} {scale} cites missing {artifact}")
+        continue
+    side = load(path)
+    if side is None:
+        continue
+    detail = side.get("details", {}).get(q)
+    if detail is None:
+        err(f"steal footnote: {artifact} has no details for {q}")
+        continue
+    got = min_run_steal(detail)
+    if got is None:
+        err(f"steal footnote: {artifact} records no usable steal for {q}")
+    elif abs(got - float(pct_s)) > 0.051:
+        err(f"steal footnote says {pct_s}% for {q} {scale} but {artifact} "
+            f"records {got:.2f}%")
+
+# completeness for the current round: recompute the qualifying set from
+# the committed sidecars (effective mins: targeted overrides first)
+if CUR is not None:
+    tag2scale = {"local": "sf0.1", "sf1": "sf1", "sf2": "sf2",
+                 "sf5": "sf5", "sf10": "sf10"}
+    expect = {}
+    for tag, scale in tag2scale.items():
+        side = sidecars.get(f"bench_details_r{CUR}_{tag}.json")
+        if side is None:
+            continue
+        overridden = set()
+        tname = f"bench_targeted_r{CUR}_{tag}.json"
+        tdet_path = os.path.join(
+            ROOT, f"bench_targeted_details_r{CUR}_{tag}.json")
+        if tname in targeted and os.path.exists(tdet_path):
+            tside = load(tdet_path) or {}
+            for q, d in tside.get("details", {}).items():
+                overridden.add(q)
+                s = min_run_steal(d)
+                if s is not None and s > STEAL_PCT_GATE:
+                    expect[(q, scale)] = s
+        for q, d in side.get("details", {}).items():
+            if q in overridden:
+                continue
+            s = min_run_steal(d)
+            if s is not None and s > STEAL_PCT_GATE:
+                expect[(q, scale)] = s
+    missing_notes = sorted(set(expect) - stated)
+    for q, scale in missing_notes:
+        err(f"{q} {scale}: committed min ran under "
+            f"{expect[(q, scale)]:.1f}% steal but BASELINE.md's current "
+            f"section has no steal footnote for it")
+    if not expect and not stated and not stated_none and \
+            any(f"bench_details_r{CUR}_{t}.json" in sidecars
+                for t in tag2scale):
+        err("current round has bench sidecars but BASELINE.md carries "
+            "neither a steal footnote nor the no-row-qualified note")
+
+# ---- 8. the sf1 oracle gate is file-backed at HEAD's code --------------
+if CUR is not None:
+    gate_path = os.path.join(ROOT, f"ORACLE_SF1_r{CUR}.json")
+    if not os.path.exists(gate_path):
+        err(f"ORACLE_SF1_r{CUR}.json missing — run tools/check_oracle_sf1.py "
+            f"(it writes the artifact) before closing the round")
+    else:
+        g = load(gate_path)
+        if g is not None:
+            if g.get("dirty"):
+                err(f"ORACLE_SF1_r{CUR}.json was generated from a dirty "
+                    f"tree — re-run on committed code")
+            qs = g.get("queries", {})
+            bad = [q for q, r in qs.items()
+                   if not (r.get("rows") and r.get("schema") and r.get("hash"))]
+            if bad:
+                err(f"ORACLE_SF1_r{CUR}.json: not green for {bad}")
+            if not qs:
+                err(f"ORACLE_SF1_r{CUR}.json records no queries")
+            sha = g.get("head_sha", "")
+            if not sha:
+                err(f"ORACLE_SF1_r{CUR}.json records no head_sha")
+            else:
+                # stale iff the oracle-relevant code changed since the gate
+                # ran: any src/main or oracle-tool diff sha..HEAD forces a
+                # re-run (doc/artifact commits after the gate are fine)
+                try:
+                    d = subprocess.run(
+                        ["git", "diff", "--name-only", sha, "HEAD", "--",
+                         "src/main", "tools/check_oracle.py",
+                         "tools/check_oracle_sf1.py"],
+                        cwd=ROOT, capture_output=True, text=True, timeout=30)
+                    if d.returncode != 0:
+                        err(f"ORACLE_SF1_r{CUR}.json head_sha {sha[:12]} not "
+                            f"resolvable in this repo: {d.stderr.strip()}")
+                    elif d.stdout.strip():
+                        err(f"ORACLE_SF1_r{CUR}.json is STALE: src/main or "
+                            f"oracle tools changed since {sha[:12]}: "
+                            f"{d.stdout.split()}")
+                except Exception as e:  # noqa: BLE001
+                    err(f"ORACLE_SF1_r{CUR}.json SHA check failed: {e}")
+
 if errors:
     print(f"\n{len(errors)} artifact-consistency error(s)")
     sys.exit(1)
 print(f"OK: {len(summaries)} summaries, {len(sidecars)} sidecars, "
-      f"{len(targeted)} targeted, gate table + footnotes + spec count "
-      f"consistent")
+      f"{len(targeted)} targeted, gate table + footnotes + steal notes + "
+      f"sf1 oracle artifact + spec count consistent")

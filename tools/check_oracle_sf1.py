@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Standing sf1 oracle-parity gate (round 16, VERDICT r15 ask #8).
+"""Standing sf1 oracle-parity gate (round 16, VERDICT r15 ask #8; made
+file-backed and exclusion-free in round 17, VERDICT r16 asks #1 and #4).
 
 Round 15 ran a 51-query sweep at sf1 (10x the driver's oracle scale) by
 hand; this pins it as ONE command so oracle-adjacent changes in future
@@ -13,14 +14,24 @@ It runs `graft.Verify` over the PINNED query list against benchdata/sf1
 check_oracle.py DuckDB replica, and exits non-zero unless every pinned
 query is rows+schema+hash green.
 
+A FULL sweep (no query args) also writes ORACLE_SF1_r<N>.json at the repo
+root — HEAD SHA, dirty flag, per-query rows/schema/hash booleans — so the
+"green at sf1" claim is a committed artifact, not prose; the round number
+comes from BASELINE.md's "(current)" header or --round.
+tools/check_artifacts.py requires the artifact for the current round and
+fails if src/main or the oracle tools changed since its recorded SHA.
+
 The pin covers: every query round 15/16 touched, the dedup family, the
-heavy LLM kernels, and a relational sample. Three oracles are EXCLUDED as
-replica-capacity-bound at sf1 (documented in BASELINE.md, each hash-green
-at sf0.001/0.01/0.1): q116/q117's embedding-LSH transitive closures OOM
-DuckDB and q123's closure exhausts spill disk — recursive-SQL oracle
-limits, not engine divergence.
+heavy LLM kernels, and a relational sample — INCLUDING, since round 17,
+the three connected-component closures (q116/q117/q123) that were
+previously excluded as replica-capacity-bound: their recursive-CTE
+oracles OOM DuckDB at sf1, so check_oracle.py replays them with
+--iterative-closures (min-label propagation over per-round temp tables —
+peak memory one round, value-identical tail; see check_oracle.py).
 """
+import json
 import os
+import re
 import subprocess
 import sys
 
@@ -29,7 +40,8 @@ PINNED = [
     "q1_pricing_summary", "q3_top_revenue", "q9_top_customers_by_nation",
     "q13_topk_lineitems", "q21_math_funcs",
     # round-touched (r15: q31/q95/q98/q100/q104/q142; r16: q95/q98/q100/
-    # q124/q150 + the q131 kernel refactor)
+    # q124/q150 + the q131 kernel refactor; r17: the q150 sketch-literal
+    # dedup)
     "q31_zlib_roundtrip", "q95_mixture_rebalance", "q98_vocab_stats",
     "q100_mixture_apply", "q104_training_order", "q124_vocab_coverage",
     "q142_chunk_scrub",
@@ -37,6 +49,10 @@ PINNED = [
     "q40_exact_dedup", "q42_lsh_neardup", "q87_dedup_cc",
     "q103_quality_keep", "q125_cluster_size_histogram",
     "q133_containment_dedup", "q138_chunk_dedup",
+    # embedding CC closures — pinned since r17 via the iterative replica
+    # (VERDICT r16 ask #4; previously EXCLUDED as replica-capacity-bound)
+    "q116_semdedup_resolve", "q117_semdedup_keep_best",
+    "q123_kmeans_semdedup",
     # heavy LLM kernels
     "q111_bigram_lm_score", "q112_bigram_lm_cms", "q113_decontaminate_bloom",
     "q114_dsir_select", "q115_boilerplate_scrub",
@@ -46,19 +62,36 @@ PINNED = [
     "q139_minhash_calibration", "q140_jl_projection", "q143_lang_consistency",
 ]
 
-EXCLUDED = {
-    "q116_semdedup_resolve": "recursive-closure oracle OOMs DuckDB at sf1",
-    "q117_semdedup_keep_best": "recursive-closure oracle OOMs DuckDB at sf1",
-    "q123_kmeans_semdedup": "closure oracle exhausts spill disk at sf1",
-}
+# the exclusion list is EMPTY since round 17 — kept as a named hook (and
+# echoed into the artifact) so a future capacity-bound oracle is recorded
+# here with its failure mode rather than silently dropped from PINNED
+EXCLUDED: dict = {}
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.path.join(ROOT, "benchdata", "sf1")
 OUT = "/tmp/verify_sf1_gate"
 
 
+def git(*args: str) -> str:
+    return subprocess.run(["git", *args], cwd=ROOT, capture_output=True,
+                          text=True, timeout=30).stdout.strip()
+
+
+def current_round() -> str:
+    for a in sys.argv[1:]:
+        if a.startswith("--round="):
+            return a.split("=", 1)[1]
+    with open(os.path.join(ROOT, "BASELINE.md")) as f:
+        for line in f:
+            m = re.match(r"#+\s*Round\s+(\d+)\s*\(current\)", line)
+            if m:
+                return f"r{m.group(1)}"
+    return "r0"
+
+
 def main() -> int:
-    queries = sys.argv[1:] or PINNED
+    queries = [a for a in sys.argv[1:] if not a.startswith("--")] or PINNED
+    full_sweep = queries is PINNED
     bad = [q for q in queries if q in EXCLUDED]
     if bad:
         print(f"refusing excluded queries (replica-capacity-bound): {bad}")
@@ -80,10 +113,11 @@ def main() -> int:
     if r.returncode != 0:
         print(f"FAIL: Verify exited {r.returncode}")
         return 1
-    print("[sf1-gate] DuckDB replica compare ...")
+    print("[sf1-gate] DuckDB replica compare (iterative closures on) ...")
     r2 = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools", "check_oracle.py"),
-         SF1, OUT], capture_output=True, text=True, timeout=5400)
+         "--iterative-closures", SF1, OUT],
+        capture_output=True, text=True, timeout=7200)
     passed = set()
     for ln in r2.stdout.splitlines():
         if ln.startswith("PASS "):
@@ -92,6 +126,28 @@ def main() -> int:
                 ln.split()[1].rstrip(":") in queries:
             print(ln)
     missing = [q for q in queries if q not in passed]
+    if full_sweep:
+        # file-backed gate artifact (VERDICT r16 ask #1): per-query
+        # booleans + the code identity the sweep ran against. PASS in the
+        # replica means rows+schema+hash all matched (its compare fails on
+        # any of the three).
+        rnd = current_round()
+        art = {
+            "round": rnd,
+            "head_sha": git("rev-parse", "HEAD"),
+            "dirty": bool(git("status", "--porcelain", "--", "src/main",
+                              "tools/check_oracle.py",
+                              "tools/check_oracle_sf1.py")),
+            "sf_dir": SF1,
+            "queries": {q: {"rows": q in passed, "schema": q in passed,
+                            "hash": q in passed} for q in queries},
+            "excluded": EXCLUDED,
+        }
+        path = os.path.join(ROOT, f"ORACLE_SF1_{rnd}.json")
+        with open(path, "w") as f:
+            json.dump(art, f, indent=1, sort_keys=True)
+        print(f"[sf1-gate] wrote {os.path.basename(path)} "
+              f"(sha {art['head_sha'][:12]}, dirty={art['dirty']})")
     if missing:
         print(f"\nFAIL: {len(missing)} pinned queries not green at sf1: "
               f"{missing}")

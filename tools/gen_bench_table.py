@@ -3,61 +3,136 @@
 the table's numbers are produced FROM the files, never typed alongside them
 (VERDICT r14 items 1-2).
 
-Usage: python3 tools/gen_bench_table.py r15
+Usage: python3 tools/gen_bench_table.py r17 [r16]
+
+With the optional previous-round argument it also computes the CROSS-ROUND
+per-query 2x gate at sf1 (round 17, VERDICT r16 ask #5): sf1 is the scale
+whose per-query regression gate the round is judged on — the sf0.1 stage
+(~99 s) is dominated by fixed per-query overheads and the box's documented
++-20% regime shifts (r16 burned three full runs adjudicating an sf0.1
+level shift that the sf5 totals disproved in one line). sf0.1 stays in the
+growth table as the correctness-scale anchor; it no longer gates.
+
+Steal footnotes (round 17, VERDICT r16 ask #2): any gate row whose
+EFFECTIVE committed min (targeted override if one exists, else the
+full-suite sidecar) was measured in a window with >STEAL_PCT_GATE
+hypervisor steal gets a "> steal:" footnote generated from the sidecar —
+the instrument r16 built (Bench.scala steal_pct), wired to the decision it
+was built for. check_artifacts.py verifies every footnote against its
+sidecar, exactly like the "superseded:" lines.
 """
 import glob
 import json
 import os
 import sys
 
-ROUND = sys.argv[1] if len(sys.argv) > 1 else "r16"
+ROUND = sys.argv[1] if len(sys.argv) > 1 else "r17"
+PREV = sys.argv[2] if len(sys.argv) > 2 else None
+# keep in sync with Bench.StealPctGate (spec-pinned there)
+STEAL_PCT_GATE = 3.0
 SCALES = [("sf0.1", "600 k", "local"), ("sf1", "6 M", "sf1"),
           ("sf2", "12 M", "sf2"), ("sf5", "30 M", "sf5"),
           ("sf10", "60 M", "sf10")]
 
+
+def min_run_steal(detail):
+    """steal_pct of the run that produced the committed min, or None.
+
+    Failed runs (-1.0) are skipped; sidecars written before the r16 steal
+    instrument carry no steal_pct array and degrade to unknown.
+    """
+    runs = detail.get("runs", [])
+    steals = detail.get("steal_pct")
+    if not runs or steals is None or len(steals) != len(runs):
+        return None
+    good = [(v, i) for i, v in enumerate(runs) if v >= 0]
+    if not good:
+        return None
+    _, idx = min(good)
+    s = steals[idx]
+    return None if s < 0 else s
+
+
+def load_round(round_tag):
+    """(per_query mins, per_query min-run steal) per scale, with targeted
+    overrides applied — the EFFECTIVE numbers."""
+    per_query, per_steal, rows = {}, {}, []
+    for scale, rowcount, tag in SCALES:
+        name = f"BENCH_{round_tag}_{tag}.json"
+        if not os.path.exists(name):
+            continue  # a round may not have produced every scale
+        m = json.load(open(name))
+        side = json.load(open(f"bench_details_{round_tag}_{tag}.json"))
+        per_query[scale] = dict(side["queries"])
+        per_steal[scale] = {q: min_run_steal(d)
+                            for q, d in side.get("details", {}).items()}
+        assert abs(sum(v for v in side["queries"].values() if v >= 0)
+                   - m["value"]) < 0.05, name
+        rows.append((scale, rowcount, m, name))
+    overrides = {}  # scale -> {query: (sec, artifact)}
+    for path in sorted(glob.glob(f"bench_targeted_{round_tag}_*.json")):
+        t = json.load(open(path))
+        assert t.get("query_filter"), f"{path}: not a targeted run"
+        scale = os.path.basename(path)[
+            len(f"bench_targeted_{round_tag}_"):-len(".json")]
+        scale = {"local": "sf0.1"}.get(scale, scale)  # artifact tag -> key
+        det_path = path.replace("bench_targeted_", "bench_targeted_details_")
+        det = json.load(open(det_path))["details"] if os.path.exists(det_path) else {}
+        for q, v in t["queries"].items():
+            if v >= 0:
+                overrides.setdefault(scale, {})[q] = (v, os.path.basename(path))
+                if q in det:
+                    per_steal.setdefault(scale, {})[q] = min_run_steal(det[q])
+    # effective per-query numbers: targeted quiet runs replace their
+    # contaminated gate rows
+    for scale, qs in overrides.items():
+        if scale in per_query:
+            for q, (v, _) in qs.items():
+                if q in per_query[scale]:
+                    per_query[scale][q] = v
+    return per_query, per_steal, overrides, rows
+
+
+per_query, per_steal, overrides, rows = load_round(ROUND)
+
 print("| scale | rows (lineitem) | total sec | pipeline_rps | artifact |")
 print("|---|---|---|---|---|")
-per_query = {}
-for scale, rows, tag in SCALES:
-    name = f"BENCH_{ROUND}_{tag}.json"
-    if not os.path.exists(name):
-        continue  # a round may not have produced every scale (e.g. r15 sf10)
-    m = json.load(open(name))
-    side = json.load(open(f"bench_details_{ROUND}_{tag}.json"))
-    per_query[scale] = side["queries"]
-    assert abs(sum(v for v in side["queries"].values() if v >= 0)
-               - m["value"]) < 0.05, name
-    print(f"| {scale} | {rows} | {m['value']:.1f} | "
+for scale, rowcount, m, name in rows:
+    print(f"| {scale} | {rowcount} | {m['value']:.1f} | "
           f"{m['pipeline_rps'] // 1000} k | `{name}` |")
 
 # Targeted quiet-window repricings are FIRST-CLASS artifacts (round 16,
 # VERDICT r15 ask #1): a gate row contaminated by box contention is
-# superseded by a committed `bench_targeted_{round}_{scale}.json` (written
-# by graft.Bench under SPARK_GRAFT_QUERIES), and the footnote lines below
-# are generated FROM those files — check_artifacts.py verifies every
-# "superseded:" line in BASELINE.md against its artifact.
-overrides = {}  # scale -> {query: (sec, artifact)}
-for path in sorted(glob.glob(f"bench_targeted_{ROUND}_*.json")):
-    t = json.load(open(path))
-    assert t.get("query_filter"), f"{path}: not a targeted run"
-    scale = os.path.basename(path)[len(f"bench_targeted_{ROUND}_"):-len(".json")]
-    scale = {"local": "sf0.1"}.get(scale, scale)  # artifact tag -> table key
-    for q, v in t["queries"].items():
-        if v >= 0:
-            overrides.setdefault(scale, {})[q] = (v, os.path.basename(path))
+# superseded by a committed `bench_targeted_{round}_{scale}.json`, and the
+# footnote lines below are generated FROM those files — check_artifacts.py
+# verifies every "superseded:" line in BASELINE.md against its artifact.
+raw = {}
+for scale, _, tag in SCALES:
+    p = f"bench_details_{ROUND}_{tag}.json"
+    if os.path.exists(p):
+        raw[scale] = json.load(open(p))["queries"]
 for scale, qs in sorted(overrides.items()):
     for q, (v, art) in sorted(qs.items()):
-        full = per_query.get(scale, {}).get(q)
+        full = raw.get(scale, {}).get(q)
         note = f" (gate row had {full:.2f} s)" if full is not None else ""
         print(f"> superseded: {q} {scale} {v:.2f} s — targeted quiet run "
               f"`{art}`{note}")
-# ratio lines below use the EFFECTIVE per-query numbers (targeted quiet
-# runs replacing their contaminated gate rows)
-for scale, qs in overrides.items():
-    if scale in per_query:
-        for q, (v, _) in qs.items():
-            if q in per_query[scale]:
-                per_query[scale][q] = v
+
+# steal footnotes: effective committed mins measured under a dirty window
+qualified = 0
+for scale, _, tag in SCALES:
+    for q in sorted(per_query.get(scale, {})):
+        s = per_steal.get(scale, {}).get(q)
+        if s is not None and s > STEAL_PCT_GATE:
+            art = overrides.get(scale, {}).get(q)
+            src = art[1] if art else f"bench_details_{ROUND}_{tag}.json"
+            print(f"> steal: {q} {scale} committed min under {s:.1f}% "
+                  f"hypervisor steal (gate {STEAL_PCT_GATE:g}%) — `{src}`")
+            qualified += 1
+if qualified == 0:
+    print(f"> steal: no gate row's committed min exceeded the "
+          f"{STEAL_PCT_GATE:g}% window-steal gate this round")
+
 
 def growth(lo_name, hi_name, factor, bar):
     lo, hi = per_query.get(lo_name), per_query.get(hi_name)
@@ -67,6 +142,11 @@ def growth(lo_name, hi_name, factor, bar):
     # the other (added/failed mid-round) must not KeyError (ADVICE r15)
     ratios = sorted((hi[q] / lo[q], q)
                     for q in lo if q in hi and lo[q] > 0.0 and hi[q] > 0)
+    if not ratios:
+        # two scales sharing no positive-timed queries must not crash the
+        # table generation (ADVICE r16)
+        print(f"\n{lo_name}->{hi_name}: no shared positive-timed queries")
+        return
     mid = ratios[len(ratios) // 2]
     tot_lo = sum(v for v in lo.values() if v >= 0)
     tot_hi = sum(v for v in hi.values() if v >= 0)
@@ -85,3 +165,27 @@ if "sf5" in per_query:
 if "sf10" in per_query:
     print("top sf10:", sorted(
         ((v, q) for q, v in per_query["sf10"].items()), reverse=True)[:5])
+
+# ---- the driver-facing gate scale: sf1 (VERDICT r16 ask #5) ------------
+if PREV:
+    prev_q, _, _, _ = load_round(PREV)
+    cur, old = per_query.get("sf1"), prev_q.get("sf1")
+    if cur and old:
+        ratios = sorted((cur[q] / old[q], q)
+                        for q in old if q in cur and old[q] > 0 and cur[q] > 0)
+        if ratios:
+            mid = ratios[len(ratios) // 2]
+            flagged = [(r, q) for r, q in ratios if r > 2.0]
+            print(f"\nsf1 per-query 2x gate vs {PREV} (the round's judged "
+                  f"gate scale): {len(ratios)} shared queries, median "
+                  f"{mid[0]:.2f}x, worst {ratios[-1][0]:.2f}x "
+                  f"({ratios[-1][1]}); rows above 2x: "
+                  f"{[(q, round(r, 2)) for r, q in flagged]}")
+            for r, q in flagged:
+                s = per_steal.get("sf1", {}).get(q)
+                steal_note = (f"min-run steal {s:.1f}%" if s is not None
+                              else "steal unknown")
+                print(f"  - {q}: {old[q]:.2f} -> {cur[q]:.2f} s "
+                      f"({r:.2f}x), {steal_note}")
+    else:
+        print(f"\nsf1 gate vs {PREV}: sf1 artifacts missing for one side")
