@@ -169,14 +169,16 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
     return problems
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    iterative = "--iterative-closures" in sys.argv[1:]
-    sf_dir, out_dir = args[0], args[1]
+def connect(sf_dir: str, memory_limit: str = "24GB",
+            threads: int = 0) -> duckdb.DuckDBPyConnection:
+    """A connection with views over <sfDir>'s parquet tables. Big oracles
+    (benchdata scales) spill to disk instead of dying; harmless at the
+    driver's sf0.01."""
     con = duckdb.connect()
-    # let big oracles (recursive closures at benchdata scales) spill to disk
-    # instead of dying; harmless at the driver's sf0.01
-    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET memory_limit='{memory_limit}'")
+    if threads:
+        con.execute(f"SET threads={threads}")
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -186,6 +188,14 @@ def main() -> int:
         elif not os.path.exists(p):
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    iterative = "--iterative-closures" in sys.argv[1:]
+    sf_dir, out_dir = args[0], args[1]
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_weak = 0
     result_dirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
@@ -205,7 +215,20 @@ def main() -> int:
             continue
         try:
             if iterative and name in ITERATIVE_CLOSURE:
-                want = iterative_closure(con, oracle[name], name)
+                # FRESH connection per closure query: DuckDB does not fully
+                # reclaim a long-lived connection's buffer state across the
+                # temp-table churn, and the second closure on a shared
+                # connection dies with tiny-block "bad allocation" failures
+                # while maxrss sits under 6 GB (measured at sf1: each query
+                # alone peaks 4.9-8.5 GB and passes; q116-then-q117 on one
+                # connection fails at any limit). 16 threads + a raised
+                # limit are the empirically validated envelope; the box is
+                # otherwise idle during the gate.
+                con2 = connect(sf_dir, memory_limit="64GB", threads=16)
+                try:
+                    want = iterative_closure(con2, oracle[name], name)
+                finally:
+                    con2.close()
             else:
                 want = con.execute(oracle[name]).df()
         except Exception as e:  # noqa: BLE001

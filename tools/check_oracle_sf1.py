@@ -118,6 +118,12 @@ def main() -> int:
         [sys.executable, os.path.join(ROOT, "tools", "check_oracle.py"),
          "--iterative-closures", SF1, OUT],
         capture_output=True, text=True, timeout=7200)
+    if r2.returncode not in (0, 1):
+        # a hard replica abort (not the normal FAIL exit) must be visible,
+        # not silently folded into "queries missing"
+        print(f"[sf1-gate] replica crashed rc={r2.returncode}; stderr tail:")
+        for ln in r2.stderr.splitlines()[-5:]:
+            print(f"  {ln}")
     passed = set()
     for ln in r2.stdout.splitlines():
         if ln.startswith("PASS "):
