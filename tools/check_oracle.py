@@ -43,6 +43,34 @@ REACH_MEMBER = ("select vec_id, vec_id from base union select r.src, e.dst "
                 "from reach r join edges e on r.dst = e.src")
 MAX_LP_ROUNDS = 200
 
+# The closure replays' candidate-generation SQL drives DuckDB's buffer
+# manager through ~126k simultaneously-mapped 256 KB blocks at sf1
+# (measured) — twice the kernel's default vm.max_map_count of 65530, and
+# the failure mode is a misleading tiny-block "bad allocation" while RSS
+# sits under 6 GB and free memory is abundant. Raise the cap up front when
+# privileged (the gate container runs as root); warn and continue when not.
+MIN_MAP_COUNT = 1048576
+
+
+def ensure_map_headroom() -> None:
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        cur = int(open(path).read())
+    except OSError:
+        return  # non-Linux or unreadable: nothing to do
+    if cur >= MIN_MAP_COUNT:
+        return
+    try:
+        with open(path, "w") as f:
+            f.write(str(MIN_MAP_COUNT))
+        print(f"[check_oracle] raised vm.max_map_count {cur} -> "
+              f"{MIN_MAP_COUNT} (closure replays hold ~126k mapped blocks "
+              f"at sf1)")
+    except OSError:
+        print(f"[check_oracle] WARNING: vm.max_map_count={cur} and not "
+              f"raisable (need root); iterative closures may die with "
+              f"'Failed to allocate block' at benchdata scales")
+
 
 def iterative_closure(con, sql: str, name: str) -> pd.DataFrame:
     """Run a reach-closure oracle with label propagation replacing the
@@ -195,6 +223,8 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     iterative = "--iterative-closures" in sys.argv[1:]
     sf_dir, out_dir = args[0], args[1]
+    if iterative:
+        ensure_map_headroom()
     con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_weak = 0
