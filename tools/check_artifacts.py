@@ -37,6 +37,12 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 errors = []
 
+# a markdown HEADING is #'s followed by whitespace — a naive
+# startswith("#") also matches prose lines that wrap onto a leading
+# "#4," (a VERDICT-ask reference did exactly that in round 17) and
+# silently truncates the "(current)" section scope
+HEADING = re.compile(r"#{1,6}\s")
+
 
 def err(msg):
     errors.append(msg)
@@ -191,7 +197,7 @@ if os.path.exists(spec_path):
             in_scope = doc != "BASELINE.md"
             with open(os.path.join(ROOT, doc)) as f:
                 for lineno, line in enumerate(f, 1):
-                    if doc == "BASELINE.md" and line.startswith("#"):
+                    if doc == "BASELINE.md" and HEADING.match(line):
                         in_scope = "(current)" in line
                     if not in_scope:
                         continue
@@ -242,7 +248,7 @@ cur_lines = []
 with open(os.path.join(ROOT, "BASELINE.md")) as f:
     in_scope = False
     for line in f:
-        if line.startswith("#"):
+        if HEADING.match(line):
             in_scope = "(current)" in line
             continue
         if in_scope:
