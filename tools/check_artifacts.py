@@ -23,19 +23,41 @@ Fails (exit 1) if the committed bench evidence is internally inconsistent:
   8. (round 17) the current round's ORACLE_SF1_r<N>.json is missing, not
      green, or stale — its recorded commit must have NO src/main or
      oracle-tool diff against HEAD, so the sf1 gate claim is always
-     file-backed at the code it was run on (VERDICT r16 ask #1).
+     file-backed at the code it was run on (VERDICT r16 ask #1);
+  9. (round 18) the checkers themselves are inside the drift surface
+     (VERDICT r17 ask #5): ORACLE_SF1_r<N>.json records the sha256 of
+     every enforcement tool (this file, gen_bench_table.py, the oracle
+     tools, bench_gate.py), and this check fails if any recorded hash
+     disagrees with the file on disk — editing an enforcement tool after
+     the artifact was generated invalidates the artifact until it is
+     regenerated. The STEAL_PCT_GATE constant is also asserted against
+     the Bench.scala literal (ADVICE r17 low #4) so the Python and Scala
+     copies cannot drift apart.
 
 Run it before every end-of-round commit:  python3 tools/check_artifacts.py
 """
 import glob
+import hashlib
 import json
 import os
 import re
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_gate import STEAL_PCT_GATE, min_run_steal, scala_steal_gate  # noqa: E402
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 errors = []
+
+# the enforcement tools whose identity the sf1 oracle artifact pins —
+# keep in sync with check_oracle_sf1.TOOL_HASH_FILES (it writes what this
+# file verifies; a mismatch in the LIST shows up as a missing/extra key)
+TOOL_HASH_FILES = [
+    "tools/bench_gate.py", "tools/check_artifacts.py",
+    "tools/check_oracle.py", "tools/check_oracle_sf1.py",
+    "tools/gen_bench_table.py",
+]
 
 # a markdown HEADING is #'s followed by whitespace — a naive
 # startswith("#") also matches prose lines that wrap onto a leading
@@ -212,21 +234,15 @@ else:
 
 # ---- 7. "> steal:" footnotes match their sidecars, and the current ----
 # ----    round's qualifying rows all carry one (VERDICT r16 ask #2) ----
-STEAL_PCT_GATE = 3.0  # keep in sync with Bench.StealPctGate
-
-
-def min_run_steal(detail):
-    """Mirror of gen_bench_table.min_run_steal: steal_pct of the run that
-    produced the committed min, or None when unknown."""
-    runs = detail.get("runs", [])
-    steals = detail.get("steal_pct")
-    if not runs or steals is None or len(steals) != len(runs):
-        return None
-    good = [(v, i) for i, v in enumerate(runs) if v >= 0]
-    if not good:
-        return None
-    s = steals[min(good)[1]]
-    return None if s < 0 else s
+# STEAL_PCT_GATE / min_run_steal come from the shared bench_gate module
+# (ADVICE r17 low #4); the Scala literal is the one remaining copy:
+_scala_gate = scala_steal_gate(ROOT)
+if _scala_gate is None:
+    err("Bench.scala StealPctGate declaration not found — bench_gate."
+        "scala_steal_gate cannot verify the cross-language constant")
+elif _scala_gate != STEAL_PCT_GATE:
+    err(f"STEAL_PCT_GATE drift: bench_gate.py says {STEAL_PCT_GATE} but "
+        f"Bench.scala declares {_scala_gate}")
 
 
 def current_round():
@@ -334,12 +350,50 @@ if CUR is not None:
                 err(f"ORACLE_SF1_r{CUR}.json was generated from a dirty "
                     f"tree — re-run on committed code")
             qs = g.get("queries", {})
-            bad = [q for q, r in qs.items()
-                   if not (r.get("rows") and r.get("schema") and r.get("hash"))]
+            # round 18 format: one "pass" boolean per query (check_oracle's
+            # compare gates on rows+schema+hash jointly; the r17 artifact's
+            # three booleans were three copies of that single bit and
+            # overstated the granularity — ADVICE r17 low #3). Pre-r18
+            # artifacts with the triple format stay readable.
+            def green(r):
+                if "pass" in r:
+                    return bool(r["pass"])
+                return bool(r.get("rows") and r.get("schema") and r.get("hash"))
+            bad = [q for q, r in qs.items() if not green(r)]
             if bad:
                 err(f"ORACLE_SF1_r{CUR}.json: not green for {bad}")
             if not qs:
                 err(f"ORACLE_SF1_r{CUR}.json records no queries")
+            # 9. enforcement-tool drift surface (VERDICT r17 ask #5): the
+            # artifact pins the sha256 of every checker/generator; any
+            # post-artifact edit to one — committed or not — invalidates
+            # the artifact until the sweep is re-run.
+            tool_sha = g.get("tool_sha256")
+            if tool_sha is None:
+                if CUR >= 18:  # the manifest exists from round 18 on
+                    err(f"ORACLE_SF1_r{CUR}.json records no tool_sha256 "
+                        f"manifest — regenerate with tools/check_oracle_sf1.py")
+            else:
+                for rel in TOOL_HASH_FILES:
+                    want = tool_sha.get(rel)
+                    if want is None:
+                        err(f"ORACLE_SF1_r{CUR}.json tool_sha256 missing "
+                            f"entry for {rel}")
+                        continue
+                    try:
+                        with open(os.path.join(ROOT, rel), "rb") as fh:
+                            got = hashlib.sha256(fh.read()).hexdigest()
+                    except OSError as e:
+                        err(f"tool_sha256: cannot hash {rel}: {e}")
+                        continue
+                    if got != want:
+                        err(f"{rel} changed since ORACLE_SF1_r{CUR}.json "
+                            f"was generated (sha256 {got[:12]} != recorded "
+                            f"{want[:12]}) — re-run the sf1 sweep")
+                for rel in sorted(set(tool_sha) - set(TOOL_HASH_FILES)):
+                    err(f"ORACLE_SF1_r{CUR}.json tool_sha256 lists {rel}, "
+                        f"which this checker does not enforce — sync "
+                        f"TOOL_HASH_FILES in both tools")
             sha = g.get("head_sha", "")
             if not sha:
                 err(f"ORACLE_SF1_r{CUR}.json records no head_sha")

@@ -41,6 +41,22 @@ ITERATIVE_CLOSURE = {"q116_semdedup_resolve", "q117_semdedup_keep_best",
 REACH_RE = re.compile(r"reach\(src,\s*dst\)\s+AS\s+\(", re.IGNORECASE)
 REACH_MEMBER = ("select vec_id, vec_id from base union select r.src, e.dst "
                 "from reach r join edges e on r.dst = e.src")
+# label propagation computes min-over-ANCESTORS while the recursive reach
+# computes min-over-DESCENDANTS; they coincide exactly when (a) the edge
+# set is symmetric and (b) the tail consumes reach only through the
+# component-min shape MIN(dst) ... GROUP BY src. Round 17 pinned only the
+# recursive member, so a directed-edge or non-min-tail drift in a listed
+# query would have passed the guard and silently diverged (ADVICE r17
+# low #2); both preconditions are now matched verbatim too.
+EDGES_RE = re.compile(r"edges\s+AS\s+\(", re.IGNORECASE)
+EDGES_MEMBER = ("select vec_id1 as src, vec_id2 as dst from sims "
+                "union select vec_id2, vec_id1 from sims")
+# the only tail shapes allowed to touch `reach`: the component-min
+# aggregate, with or without the q116 `kept` bit (src = MIN(dst) is a
+# function of the component min, so it is closure-formulation-invariant)
+TAIL_REACH_RE = re.compile(
+    r"select src as vec_id, min\(dst\) as canonical"
+    r"(?:, src = min\(dst\) as kept)? from reach group by src")
 MAX_LP_ROUNDS = 200
 
 # The closure replays' candidate-generation SQL drives DuckDB's buffer
@@ -91,6 +107,29 @@ def iterative_closure(con, sql: str, name: str) -> pd.DataFrame:
         raise ValueError(
             f"{name}: recursive member drifted from the shared shape — "
             f"refusing to transform: {member!r}")
+    # precondition (a): the edges CTE is the SYMMETRIZING union, verbatim
+    em = EDGES_RE.search(sql[:m.start()])
+    if not em:
+        raise ValueError(f"{name}: no edges CTE before reach — refusing")
+    depth, j = 1, em.end()
+    while depth and j < m.start():
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+        j += 1
+    edges_member = " ".join(sql[em.end():j - 1].split()).lower()
+    if edges_member != EDGES_MEMBER:
+        raise ValueError(
+            f"{name}: edges CTE drifted from the symmetrizing shape — "
+            f"label propagation requires symmetric edges: {edges_member!r}")
+    # precondition (b): the tail consumes reach ONLY via the component-min
+    # MIN(dst) ... GROUP BY src aggregate
+    tail_norm = " ".join(sql[i:].split()).lower()
+    if "reach" in TAIL_REACH_RE.sub("", tail_norm):
+        raise ValueError(
+            f"{name}: tail references reach outside the MIN(dst) GROUP BY "
+            f"src shape — refusing to transform")
     prefix = sql[:m.start()].strip()
     head = prefix[:len("WITH RECURSIVE")]
     if head.upper() != "WITH RECURSIVE":

@@ -29,11 +29,21 @@ oracles OOM DuckDB at sf1, so check_oracle.py replays them with
 --iterative-closures (min-label propagation over per-round temp tables —
 peak memory one round, value-identical tail; see check_oracle.py).
 """
+import hashlib
 import json
 import os
 import re
 import subprocess
 import sys
+
+# enforcement tools whose sha256 the artifact pins (VERDICT r17 ask #5) —
+# keep in sync with check_artifacts.TOOL_HASH_FILES (it verifies what this
+# file writes)
+TOOL_HASH_FILES = [
+    "tools/bench_gate.py", "tools/check_artifacts.py",
+    "tools/check_oracle.py", "tools/check_oracle_sf1.py",
+    "tools/gen_bench_table.py",
+]
 
 PINNED = [
     # relational sample
@@ -133,10 +143,14 @@ def main() -> int:
             print(ln)
     missing = [q for q in queries if q not in passed]
     if full_sweep:
-        # file-backed gate artifact (VERDICT r16 ask #1): per-query
-        # booleans + the code identity the sweep ran against. PASS in the
-        # replica means rows+schema+hash all matched (its compare fails on
-        # any of the three).
+        # file-backed gate artifact (VERDICT r16 ask #1): per-query pass
+        # boolean + the code identity the sweep ran against. ONE boolean
+        # per query since round 18 (ADVICE r17 low #3): the replica's
+        # compare gates on rows+schema+hash jointly and emits a single
+        # PASS bit, so recording three booleans overstated the artifact's
+        # granularity. tool_sha256 (round 18, VERDICT r17 ask #5) pins the
+        # enforcement tools themselves: check_artifacts fails if any of
+        # them changes after this artifact without a sweep re-run.
         rnd = current_round()
         art = {
             "round": rnd,
@@ -145,9 +159,12 @@ def main() -> int:
                               "tools/check_oracle.py",
                               "tools/check_oracle_sf1.py")),
             "sf_dir": SF1,
-            "queries": {q: {"rows": q in passed, "schema": q in passed,
-                            "hash": q in passed} for q in queries},
+            "queries": {q: {"pass": q in passed} for q in queries},
             "excluded": EXCLUDED,
+            "tool_sha256": {
+                rel: hashlib.sha256(
+                    open(os.path.join(ROOT, rel), "rb").read()).hexdigest()
+                for rel in TOOL_HASH_FILES},
         }
         path = os.path.join(ROOT, f"ORACLE_SF1_{rnd}.json")
         with open(path, "w") as f:

@@ -26,45 +26,33 @@ import json
 import os
 import sys
 
+from bench_gate import STEAL_PCT_GATE, min_run_steal
+
 ROUND = sys.argv[1] if len(sys.argv) > 1 else "r17"
 PREV = sys.argv[2] if len(sys.argv) > 2 else None
-# keep in sync with Bench.StealPctGate (spec-pinned there)
-STEAL_PCT_GATE = 3.0
 SCALES = [("sf0.1", "600 k", "local"), ("sf1", "6 M", "sf1"),
           ("sf2", "12 M", "sf2"), ("sf5", "30 M", "sf5"),
           ("sf10", "60 M", "sf10")]
 
 
-def min_run_steal(detail):
-    """steal_pct of the run that produced the committed min, or None.
-
-    Failed runs (-1.0) are skipped; sidecars written before the r16 steal
-    instrument carry no steal_pct array and degrade to unknown.
-    """
-    runs = detail.get("runs", [])
-    steals = detail.get("steal_pct")
-    if not runs or steals is None or len(steals) != len(runs):
-        return None
-    good = [(v, i) for i, v in enumerate(runs) if v >= 0]
-    if not good:
-        return None
-    _, idx = min(good)
-    s = steals[idx]
-    return None if s < 0 else s
-
-
 def load_round(round_tag):
-    """(per_query mins, per_query min-run steal) per scale, with targeted
-    overrides applied — the EFFECTIVE numbers."""
+    """(per_query mins, per_query (min-run steal, source artifact)) per
+    scale, with targeted overrides applied — the EFFECTIVE numbers. The
+    steal source is tracked per entry so the generated footnote cites the
+    file the number was actually computed FROM: a targeted override's
+    steal lives in bench_targeted_details_..., and citing the detail-less
+    bench_targeted_... summary made check_artifacts reject the footnote
+    it simultaneously demanded (ADVICE r17 medium)."""
     per_query, per_steal, rows = {}, {}, []
     for scale, rowcount, tag in SCALES:
         name = f"BENCH_{round_tag}_{tag}.json"
         if not os.path.exists(name):
             continue  # a round may not have produced every scale
         m = json.load(open(name))
-        side = json.load(open(f"bench_details_{round_tag}_{tag}.json"))
+        side_name = f"bench_details_{round_tag}_{tag}.json"
+        side = json.load(open(side_name))
         per_query[scale] = dict(side["queries"])
-        per_steal[scale] = {q: min_run_steal(d)
+        per_steal[scale] = {q: (min_run_steal(d), side_name)
                             for q, d in side.get("details", {}).items()}
         assert abs(sum(v for v in side["queries"].values() if v >= 0)
                    - m["value"]) < 0.05, name
@@ -82,7 +70,8 @@ def load_round(round_tag):
             if v >= 0:
                 overrides.setdefault(scale, {})[q] = (v, os.path.basename(path))
                 if q in det:
-                    per_steal.setdefault(scale, {})[q] = min_run_steal(det[q])
+                    per_steal.setdefault(scale, {})[q] = (
+                        min_run_steal(det[q]), os.path.basename(det_path))
     # effective per-query numbers: targeted quiet runs replace their
     # contaminated gate rows
     for scale, qs in overrides.items():
@@ -118,14 +107,16 @@ for scale, qs in sorted(overrides.items()):
         print(f"> superseded: {q} {scale} {v:.2f} s — targeted quiet run "
               f"`{art}`{note}")
 
-# steal footnotes: effective committed mins measured under a dirty window
+# steal footnotes: effective committed mins measured under a dirty window.
+# Iterates the STEAL map (every details entry, including the pipeline_rps
+# provenance row from round 18 on), not the queries map — this is the same
+# set check_artifacts.py recomputes its completeness expectation from, so
+# the two tools cannot disagree about which rows need a footnote.
 qualified = 0
 for scale, _, tag in SCALES:
-    for q in sorted(per_query.get(scale, {})):
-        s = per_steal.get(scale, {}).get(q)
+    for q in sorted(per_steal.get(scale, {})):
+        s, src = per_steal[scale][q]
         if s is not None and s > STEAL_PCT_GATE:
-            art = overrides.get(scale, {}).get(q)
-            src = art[1] if art else f"bench_details_{ROUND}_{tag}.json"
             print(f"> steal: {q} {scale} committed min under {s:.1f}% "
                   f"hypervisor steal (gate {STEAL_PCT_GATE:g}%) — `{src}`")
             qualified += 1
@@ -182,7 +173,7 @@ if PREV:
                   f"({ratios[-1][1]}); rows above 2x: "
                   f"{[(q, round(r, 2)) for r, q in flagged]}")
             for r, q in flagged:
-                s = per_steal.get("sf1", {}).get(q)
+                s = per_steal.get("sf1", {}).get(q, (None, None))[0]
                 steal_note = (f"min-run steal {s:.1f}%" if s is not None
                               else "steal unknown")
                 print(f"  - {q}: {old[q]:.2f} -> {cur[q]:.2f} s "
