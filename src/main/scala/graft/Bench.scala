@@ -72,6 +72,25 @@ object Bench {
         prevMin.exists(p => p > 0 && runs.min > 2.0 * p) ||
         (steals.size == 2 && steals.forall(_ > StealPctGate)))
 
+  /** steal_pct of the run that produced the committed min, or -1 when
+    * unknown — the JVM mirror of tools/bench_gate.min_run_steal, used for
+    * the stdout regime summary (VERDICT r17 ask #2). Failed runs (-1.0
+    * seconds) are skipped; mismatched array lengths degrade to unknown.
+    */
+  def minRunSteal(runs: List[Double], steals: List[Double]): Double = {
+    if (runs.isEmpty || steals.size != runs.size) return -1.0
+    val good = runs.zipWithIndex.filter(_._1 >= 0)
+    if (good.isEmpty) return -1.0
+    val idx = good.minBy(_._1)._2
+    math.max(steals(idx), -1.0)
+  }
+
+  /** Median of the non-negative entries, or -1 if none. */
+  def medianSteal(xs: Seq[Double]): Double = {
+    val good = xs.filter(_ >= 0).sorted
+    if (good.isEmpty) -1.0 else good(good.size / 2)
+  }
+
   /** Per-query mins from a committed bench_details_*.json sidecar (the
     * `queries` map written by this object). Jackson is on Spark's own
     * classpath; a missing/unparseable file degrades to "no reference"
@@ -91,9 +110,27 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** Min valid run-seconds of a `details` entry in a committed sidecar
+    * (provenance rows that live outside the `queries` map — pipeline_rps
+    * since round 18), or None. Same degrade-to-absent contract as
+    * [[prevMins]].
+    */
+  def prevDetailMin(path: String, key: String): Option[Double] =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(java.nio.file.Paths.get(path).toFile)
+      val runs = root.path("details").path(key).path("runs")
+      val vs = (0 until runs.size).map(runs.get(_).asDouble(-1.0)).filter(_ >= 0)
+      if (vs.isEmpty) None else Some(vs.min)
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // recorded into the stdout line so the one number the driver keeps
+    // self-adjudicates (VERDICT r17 ask #2): a run that STARTED at
+    // loadavg 4+ (the r17 driver session) declares its regime up front
+    val laStart = loadavg1m()
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -191,6 +228,60 @@ object Bench {
           needsThirdSample(rs, prev.get(n), stealBy.getOrElse(n, Nil)))
         sample(n, f)
     }
+    // Record-pipeline throughput, with the gate-row sampling discipline
+    // (round 18, VERDICT r17 ask #4 — the r17 number swung 803 k -> 259 k
+    // at sf10 round-over-round with no provenance while the suite moved
+    // 1.12x): samples are PASS-SEPARATED around the top-12 extra sweep
+    // (minutes apart at zero extra cost, same rationale as the suite's
+    // interleaved passes), each records its window's steal_pct + loadavg,
+    // a third sample fires under the identical needsThirdSample rule
+    // (cross-round reference = the previous sidecar's pipeline_rps detail
+    // entry), and the full provenance rides the details sidecar under the
+    // "pipeline_rps" key — which gen_bench_table.py / check_artifacts.py
+    // treat exactly like a gate row for "> steal:" footnotes.
+    // Work: synthesize 200k records, KPL-aggregate them (1000 keys,
+    // 100/frame), de-aggregate, render console lines — the full kitkat
+    // consume path; the reference's implied ceiling is ~5,000
+    // records/s/shard (BASELINE.md).
+    val rpsN = 200000L
+    val rpsStartedMs = System.currentTimeMillis()
+    val rpsRuns = scala.collection.mutable.ListBuffer.empty[Double]
+    val rpsLas = scala.collection.mutable.ListBuffer.empty[Double]
+    val rpsSteals = scala.collection.mutable.ListBuffer.empty[Double]
+    val framed =
+      try {
+        import org.apache.spark.sql.functions._
+        val recs = spark.range(rpsN).selectExpr(
+          "concat('key', id % 1000) AS partitionKey",
+          "cast(concat('payload-', id) AS binary) AS data")
+        val f = streaming.ProduceSink.aggregateRecords(recs, maxPerRecord = 100)
+          .withColumn("approximateArrivalTimestamp",
+            expr("timestamp_micros(1700000000000000 + CAST(crc32(data) AS BIGINT))"))
+          .persist()
+        f.count() // materialize: time the consume path, not the synth side
+        Some(f)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline_rps setup FAILED: ${e.getMessage}")
+        None
+      }
+    def rpsSample(): Unit = framed.foreach { f =>
+      System.gc()
+      val la = loadavg1m()
+      val st0 = cpuStealTotal()
+      try {
+        val t0 = System.nanoTime()
+        operators.RecordPipeline.consolePlain(
+          operators.RecordPipeline.deaggregate(f))
+          .write.format("noop").mode("overwrite").save()
+        rpsRuns += (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline_rps FAILED: ${e.getMessage}")
+        rpsRuns += -1.0
+      }
+      rpsLas += la
+      rpsSteals += stealPct(st0, cpuStealTotal())
+    }
+    rpsSample()
     // ... and unconditionally for the suite's most expensive queries: their
     // rows dominate the totals and the cross-round per-query ratios, and
     // two samples are routinely BOTH slow when a contended stretch spans
@@ -202,6 +293,17 @@ object Bench {
       .sortBy { case (n, _) => -runsBy.getOrElse(n, List(0.0)).min }
       .take(12)
       .foreach { case (n, f) => sample(n, f) }
+    rpsSample()
+    val prevRps = sys.env.get("SPARK_GRAFT_PREV_DETAILS")
+      .filter(_.nonEmpty).flatMap(prevDetailMin(_, "pipeline_rps"))
+    if (framed.nonEmpty && rpsRuns.forall(_ >= 0) &&
+        needsThirdSample(rpsRuns.toList, prevRps, rpsSteals.toList))
+      rpsSample()
+    framed.foreach(_.unpersist())
+    val rps = {
+      val valid = rpsRuns.filter(_ >= 0)
+      if (valid.isEmpty) -1.0 else rpsN / valid.min
+    }
     val results = selected.map { case (name, _) =>
       val runs = runsBy.getOrElse(name, List(-1.0))
       (name, runs.min, startedMs.getOrElse(name, 0L), runs,
@@ -223,43 +325,32 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val details = results.map { case (k, _, ts, runs, las, steals) =>
+    def detailEntry(k: String, ts: Long, runs: Seq[Double], las: Seq[Double],
+        steals: Seq[Double]): String =
       s"\"$k\":{\"ts_ms\":$ts,\"runs\":${runs.mkString("[", ",", "]")}," +
         s"\"loadavg\":${las.mkString("[", ",", "]")}," +
         s"\"steal_pct\":${steals.map(s => fmt(math.max(s, -1.0))).mkString("[", ",", "]")}}"
-    }.mkString("{", ",", "}")
+    // pipeline_rps provenance rides the details map (NOT the queries map,
+    // whose sum must equal the total) so the steal-footnote machinery
+    // covers it like any gate row
+    val details = (results.map { case (k, _, ts, runs, las, steals) =>
+      detailEntry(k, ts, runs, las, steals)
+    } ++ (if (rpsRuns.nonEmpty)
+            Seq(detailEntry("pipeline_rps", rpsStartedMs, rpsRuns.toSeq,
+              rpsLas.toSeq, rpsSteals.toSeq))
+          else Nil)).mkString("{", ",", "}")
+    // regime summary for the stdout line (VERDICT r17 ask #2): median/max
+    // min-run steal across the suite, loadavg at start, and how many
+    // queries bought a third (or later) sample — the three facts the r17
+    // 129.5-vs-90.5 adjudication needed sidecar forensics to establish
+    val minSteals = results.map { case (_, _, _, runs, _, steals) =>
+      minRunSteal(runs, steals) }
+    val stealMed = medianSteal(minSteals)
+    val stealMax = minSteals.filter(_ >= 0) match {
+      case s if s.isEmpty => -1.0; case s => s.max }
+    val thirdSamples = results.count(_._4.size > 2)
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Record-pipeline throughput: synthesize 200k records, KPL-aggregate
-    // them (1000 keys, 100/frame), de-aggregate, render console lines —
-    // the full kitkat consume path. The reference's implied ceiling is
-    // ~5,000 records/s/shard (BASELINE.md); this measures the engine-side
-    // records/s on the same logical work.
-    val rps =
-      try {
-        val n = 200000L
-        import org.apache.spark.sql.functions._
-        val recs = spark.range(n).selectExpr(
-          "concat('key', id % 1000) AS partitionKey",
-          "cast(concat('payload-', id) AS binary) AS data")
-        val framed = streaming.ProduceSink.aggregateRecords(recs, maxPerRecord = 100)
-          .withColumn("approximateArrivalTimestamp",
-            expr("timestamp_micros(1700000000000000 + CAST(crc32(data) AS BIGINT))"))
-          .persist()
-        framed.count() // materialize: time the consume path, not the synth/aggregate side
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          operators.RecordPipeline.consolePlain(
-            operators.RecordPipeline.deaggregate(framed))
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        val best = math.min(once(), once())
-        framed.unpersist()
-        n / best
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] pipeline_rps FAILED: ${e.getMessage}"); -1.0
-      }
     // selected/total counts make a filtered artifact self-identifying: an
     // accidentally inherited SPARK_GRAFT_QUERIES would otherwise emit a
     // partial-suite total that is format-identical to a full-suite run
@@ -276,7 +367,7 @@ object Bench {
     // observed window (targeted SPARK_GRAFT_QUERIES runs); a full-suite
     // line replaces it with the sidecar pointer and stays ~200 bytes.
     def lineWith(queriesJson: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries_selected":${selected.size},"queries_total":${SparkEntry.queries.size},"query_filter":$filterJson,"queries":$queriesJson,"failed":$failedJson,"pipeline_rps":${rps.toLong},"sf":"$sfDir","cpus":"$cpus","loadavg_end":${loadavg1m()}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries_selected":${selected.size},"queries_total":${SparkEntry.queries.size},"query_filter":$filterJson,"queries":$queriesJson,"failed":$failedJson,"pipeline_rps":${rps.toLong},"sf":"$sfDir","cpus":"$cpus","loadavg_start":$laStart,"loadavg_end":${loadavg1m()},"steal_med":${fmt(stealMed)},"steal_max":${fmt(stealMax)},"third_samples":$thirdSamples}"""
     val full = lineWith(qs)
     val line = if (full.length <= 1600) full else lineWith("\"see-details-sidecar\"")
     // Full-precision per-run provenance (raw runs + loadavg per sample)

@@ -145,4 +145,45 @@ class BoundedSpec extends SparkSpec {
     assert(Bench.prevMins(bad.toString).isEmpty)
     assert(Bench.prevMins(dir.resolve("missing.json").toString).isEmpty)
   }
+
+  // ---- stdout regime summary + pipeline_rps discipline (r18, VERDICT ----
+  // ---- r17 asks #2 and #4) ----------------------------------------------
+
+  test("minRunSteal picks the steal of the run that produced the committed min") {
+    // min run is index 1 (0.20 s): its window's steal is the committed one
+    assert(Bench.minRunSteal(List(0.62, 0.20), List(0.1, 4.2)) == 4.2)
+    // failed runs (-1.0 s) never hold the min, even though -1 < everything
+    assert(Bench.minRunSteal(List(-1.0, 0.40), List(9.9, 0.3)) == 0.3)
+    // unknown steal on the min run degrades to -1, not a phantom 0
+    assert(Bench.minRunSteal(List(0.5, 0.4), List(2.0, -1.0)) == -1.0)
+    // mismatched arrays / all-failed runs degrade to unknown
+    assert(Bench.minRunSteal(List(0.5, 0.4), List(2.0)) == -1.0)
+    assert(Bench.minRunSteal(List(-1.0, -1.0), List(1.0, 2.0)) == -1.0)
+    assert(Bench.minRunSteal(Nil, Nil) == -1.0)
+  }
+
+  test("medianSteal ignores unknown (-1) entries and is -1 when nothing is known") {
+    assert(Bench.medianSteal(Seq(0.1, 5.0, 0.3)) == 0.3)
+    assert(Bench.medianSteal(Seq(-1.0, 2.0, -1.0)) == 2.0)
+    assert(Bench.medianSteal(Seq(-1.0, -1.0)) == -1.0)
+    assert(Bench.medianSteal(Nil) == -1.0)
+  }
+
+  test("prevDetailMin reads a details-map entry's min valid run (the rps cross-round reference)") {
+    val dir = java.nio.file.Files.createTempDirectory("prevdetail")
+    val good = dir.resolve("details.json")
+    java.nio.file.Files.writeString(good,
+      """{"queries":{"q1":0.25},"details":{"pipeline_rps":
+        |{"ts_ms":1,"runs":[-1.0,0.31,0.25],"loadavg":[1,1,1],
+        |"steal_pct":[0,0,0]}}}""".stripMargin)
+    assert(Bench.prevDetailMin(good.toString, "pipeline_rps") == Some(0.25))
+    // absent key / junk file / missing file degrade to None, same
+    // contract as prevMins
+    assert(Bench.prevDetailMin(good.toString, "nope").isEmpty)
+    val bad = dir.resolve("junk.json")
+    java.nio.file.Files.writeString(bad, "{")
+    assert(Bench.prevDetailMin(bad.toString, "pipeline_rps").isEmpty)
+    assert(Bench.prevDetailMin(
+      dir.resolve("missing.json").toString, "pipeline_rps").isEmpty)
+  }
 }
