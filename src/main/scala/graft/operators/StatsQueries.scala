@@ -149,8 +149,8 @@ object StatsQueries {
     * algebraically-equal lo + frac*(hi - lo) differs by an ulp and fails
     * the bit-equality spec.
     */
-  private def interpolate(nByG: Map[String, Long], ps: Seq[Double],
-      picked: Map[(String, Long), Double]): Map[(String, Double), Double] =
+  private def interpolate[G](nByG: Map[G, Long], ps: Seq[Double],
+      picked: Map[(G, Long), Double]): Map[(G, Double), Double] =
     (for { (g, n) <- nByG; p <- ps } yield {
       val pos = p * (n - 1)
       val lower = math.floor(pos).toLong
@@ -163,12 +163,12 @@ object StatsQueries {
     }).toMap
 
   /** One in-flight bracket of a bucket-refinement rank selection: group
-    * `g`'s still-unresolved target ranks, the bucket-index path that
+    * code `g`'s still-unresolved target ranks, the bucket-index path that
     * pins the bracket's rows (each entry: that level's linear-map bounds
     * and the selected bucket), the bracket's observed value range, the
     * global rank of its first row, and its row count.
     */
-  private final case class Bkt(g: String, ranks: Seq[Long],
+  private final case class Bkt(g: Int, ranks: Seq[Long],
     path: List[(Double, Double, Int)], lo: Double, hi: Double,
     base: Long, rows: Long)
 
@@ -224,28 +224,35 @@ object StatsQueries {
     * all: a bracket whose min = max IS the value; a rank that is the
     * first/last of its bucket reads the bucket's min/max aggregate.
     *
-    * `data` must have a string `g` column, a double `x` column, and any
-    * columns the level-1-only `extra` aggregates reference (they must be
-    * additive LongType aggregates, e.g. conditional counts — summed per
-    * group across buckets and returned as the second element). `bounds`
+    * `data` must have an integer `gi` group-code column, a double `x`
+    * column, and any columns the level-1-only `extra` aggregates
+    * reference (they must be additive LongType aggregates, e.g.
+    * conditional counts — summed per group across buckets and returned
+    * as the second element). The INT group code (round 18 — the group
+    * key was a string through r17) is what keeps the cached projection
+    * primitive-only and every per-row CASE chain an integer compare:
+    * profiled at sf10, the string column rode the cache and every
+    * refinement pass burned UTF8String compares in the bracket/group
+    * CASE chains — the named mechanism behind q86's repeat sf5→sf10
+    * growth (VERDICT r17 ask #1). Callers collect the (driver-bounded)
+    * group dimension first and code groups by sorted position. `bounds`
     * must contain each targeted group's x-range (loose bounds are
-    * correct, just slower). Group cardinality is driver-bounded, same as
-    * the rank tables of the r9–r12 form. Ranks must lie in [0, n) per
-    * group. Values returned are exact executor-computed doubles.
+    * correct, just slower). Ranks must lie in [0, n) per group. Values
+    * returned are exact executor-computed doubles.
     */
   private def rankSelect(data: DataFrame,
-      targets: Map[String, Set[Long]],
-      bounds: Map[String, (Double, Double)],
+      targets: Map[Int, Set[Long]],
+      bounds: Map[Int, (Double, Double)],
       extra: Seq[Column] = Nil)
-      : (Map[(String, Long), Double], Map[String, Seq[Long]]) = {
+      : (Map[(Int, Long), Double], Map[Int, Seq[Long]]) = {
     val s = data.sparkSession
     import s.implicits._
     def pathCond(b: Bkt): Column =
       b.path.map { case (lo, hi, sel) =>
         bucketOf(col("x"), lit(lo), lit(hi)) === sel
       }.reduceOption(_ && _).getOrElse(lit(true))
-    var picked = Map.empty[(String, Long), Double]
-    var extras = Map.empty[String, Seq[Long]]
+    var picked = Map.empty[(Int, Long), Double]
+    var extras = Map.empty[Int, Seq[Long]]
     var active: Seq[Bkt] = targets.toSeq.sortBy(_._1).collect {
       case (g, ranks) if ranks.nonEmpty =>
         Bkt(g, ranks.toSeq.sorted, Nil, bounds(g)._1, bounds(g)._2, 0L,
@@ -269,7 +276,7 @@ object StatsQueries {
         active.foreach { bk =>
           val want = bk.ranks.map(_ - bk.base).toSet
           val got = graft.Bounded.collectRdd(
-            data.filter(col("g") === bk.g && pathCond(bk))
+            data.filter(col("gi") === bk.g && pathCond(bk))
               .select(col("x")).sort("x").as[Double].rdd
               .zipWithIndex().filter { case (_, i) => want.contains(i) },
             cap = want.size, what = s"rankSelect fallback ranks (${bk.g})")
@@ -282,7 +289,7 @@ object StatsQueries {
       // different bucket indices of a shared path prefix), so the CASE
       // chain assigns each row at most one bracket id
       val vgCol = active.zipWithIndex.foldLeft(lit(-1)) { case (acc, (b, i)) =>
-        when(col("g") === b.g && pathCond(b), lit(i)).otherwise(acc)
+        when(col("gi") === b.g && pathCond(b), lit(i)).otherwise(acc)
       }
       def perVg(f: Bkt => Double): Column =
         active.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (b, i)) =>
@@ -332,7 +339,7 @@ object StatsQueries {
       // differ; the literal bucket paths stay pairwise disjoint)
       val fs = toFetch.toList
       val vgCol = fs.zipWithIndex.foldLeft(lit(-1)) { case (acc, (b, i)) =>
-        when(col("g") === b.g && pathCond(b), lit(i)).otherwise(acc)
+        when(col("gi") === b.g && pathCond(b), lit(i)).otherwise(acc)
       }
       val got = rtime(s"fetch (${fs.size} brackets)")(
         graft.Bounded.collect(
@@ -379,30 +386,43 @@ object StatsQueries {
     */
   def exactGroupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): Map[(String, Double), Double] = {
-    val base = df
+    val src = df
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("x"))
-      .persist()
+    // group meta comes from the RAW scan: the primitive group codes the
+    // refinement cache carries aren't known until the group dimension is,
+    // and a pushed-down two-column parquet aggregate costs about what the
+    // old cache-build-plus-aggregate pass did without ever caching the
+    // string column
+    val meta = rtime("pcts meta")(graft.Bounded.collect(
+      src.groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("mn"), max(col("x")).as("mx")),
+      cap = 4096, what = "exactGroupPercentiles per-group meta (bounded class dim)"))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val groups = meta.keys.toSeq.sorted
+    val giCol = groups.zipWithIndex.foldLeft(lit(-1)) { case (acc, (g, i)) =>
+      when(col("g") === g, lit(i)).otherwise(acc) }
+    // the cached projection is primitive-only (int code + double value):
+    // see rankSelect's scaladoc for the measured string-column cost
+    val base = src.select(giCol.as("gi"), col("x")).persist()
     try {
-      val meta = rtime("pcts meta+cache")(graft.Bounded.collect(
-        base.groupBy("g")
-          .agg(count(lit(1)).as("n"),
-            min(col("x")).as("mn"), max(col("x")).as("mx")),
-        cap = 4096, what = "exactGroupPercentiles per-group meta (bounded class dim)"))
-        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
-        .toMap
       val nByG = meta.map { case (g, m) => g -> m._1 }
-      val targets = nByG.map { case (g, n) =>
-        g -> ps.flatMap { p =>
+      val targets = groups.zipWithIndex.map { case (g, i) =>
+        val n = meta(g)._1
+        i -> ps.flatMap { p =>
           val pos = p * (n - 1)
           val k = math.floor(pos).toLong
           Seq(k, math.min(k + 1, n - 1))
         }.toSet
-      }
-      val bounds = meta.map { case (g, m) => g -> ((m._2, m._3)) }
+      }.toMap
+      val bounds = groups.zipWithIndex.map { case (g, i) =>
+        i -> ((meta(g)._2, meta(g)._3)) }.toMap
       val (picked, _) = rankSelect(base, targets, bounds)
-      interpolate(nByG, ps, picked)
+      interpolate(nByG, ps,
+        picked.map { case ((gi, r), v) => (groups(gi), r) -> v })
     } finally base.unpersist()
   }
 
@@ -430,72 +450,83 @@ object StatsQueries {
     val s = df.sparkSession
     import s.implicits._
     val ps = Seq(0.25, 0.5, 0.75)
-    val base = df
+    val src = df
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-      .persist()
+    // group meta from the RAW scan, then a primitive-only (int, double)
+    // cache — the r17 form cached the string group column and paid
+    // UTF8String CASE-chain compares in every refinement pass (rankSelect
+    // scaladoc; the A/B for this change is AB_q86_r18_*.json)
+    val meta = rtime("robust meta")(graft.Bounded.collect(
+      src.groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).as("mn"), max(col("v")).as("mx")),
+      cap = 4096, what = "robustStats per-group meta (bounded class dim)"))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val groups = meta.keys.toSeq.sorted
+    val giCol = groups.zipWithIndex.foldLeft(lit(-1)) { case (acc, (g, i)) =>
+      when(col("g") === g, lit(i)).otherwise(acc) }
+    val base = src.select(giCol.as("gi"), col("v")).persist()
     val dev = try {
-      val meta = rtime("robust meta+cache")(graft.Bounded.collect(
-        base.groupBy("g")
-          .agg(count(lit(1)).as("n"),
-            min(col("v")).as("mn"), max(col("v")).as("mx")),
-        cap = 4096, what = "robustStats per-group meta (bounded class dim)"))
-        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
-        .toMap
-      val nByG = meta.map { case (g, m) => g -> m._1 }
-      val groups = nByG.keys.toSeq.sorted
-      val vTargets = nByG.map { case (g, n) =>
-        g -> ps.flatMap { p =>
+      val gidx = groups.indices
+      val nByGi = gidx.map(i => i -> meta(groups(i))._1).toMap
+      val vTargets = nByGi.map { case (i, n) =>
+        i -> ps.flatMap { p =>
           val pos = p * (n - 1)
           val k = math.floor(pos).toLong
           Seq(k, math.min(k + 1, n - 1))
         }.toSet
       }
-      val vBounds = meta.map { case (g, m) => g -> ((m._2, m._3)) }
+      val vBounds = gidx.map { i =>
+        i -> ((meta(groups(i))._2, meta(groups(i))._3)) }.toMap
       val (vPicked, _) =
-        rankSelect(base.select(col("g"), col("v").as("x")), vTargets, vBounds)
-      val pcts = interpolate(nByG, ps, vPicked)
+        rankSelect(base.select(col("gi"), col("v").as("x")), vTargets, vBounds)
+      val pcts = interpolate(nByGi, ps, vPicked)
       // median/fences rounded through Spark's own `round` (a local 3-row
       // plan — constant work) so the deviation expression below subtracts
       // doubles bit-identical to the r12 broadcast-join form
       val fences = graft.Bounded.collect(
-        groups.map(g => (g, pcts((g, 0.5)), pcts((g, 0.25)), pcts((g, 0.75))))
-          .toDF("g", "m_raw", "p25_raw", "p75_raw")
-          .select(col("g"), round(col("m_raw"), 6).as("med"),
+        gidx.map(i => (i, pcts((i, 0.5)), pcts((i, 0.25)), pcts((i, 0.75))))
+          .toDF("gi", "m_raw", "p25_raw", "p75_raw")
+          .select(col("gi"), round(col("m_raw"), 6).as("med"),
             round(col("p25_raw"), 6).as("p25"), round(col("p75_raw"), 6).as("p75")),
         cap = groups.size, what = "robustStats rounded fences (local frame)")
-        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+        .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
         .toMap
-      // per-group CASE chains (groups are driver-bounded, exactly like
-      // the bracket tables): no broadcast join, every pass stays a
-      // single-stage aggregate over the cache
-      def perG(f: String => Double): Column =
-        groups.foldLeft(lit(Double.NaN)) { (acc, g) =>
-          when(col("g") === g, lit(f(g))).otherwise(acc)
+      // per-group-code CASE chains (groups are driver-bounded, exactly
+      // like the bracket tables): no broadcast join, every pass stays a
+      // single-stage aggregate over the cache, and the compares are
+      // integer
+      def perG(f: Int => Double): Column =
+        gidx.foldLeft(lit(Double.NaN)) { (acc, i) =>
+          when(col("gi") === i, lit(f(i))).otherwise(acc)
         }
-      val dData = base.select(col("g"),
-        abs(col("v") - perG(g => fences(g)._1)).as("x"), col("v"))
-      val dTargets = nByG.map { case (g, n) =>
+      val dData = base.select(col("gi"),
+        abs(col("v") - perG(i => fences(i)._1)).as("x"), col("v"))
+      val dTargets = nByGi.map { case (i, n) =>
         val pos = 0.5 * (n - 1)
         val k = math.floor(pos).toLong
-        g -> Set(k, math.min(k + 1, n - 1))
+        i -> Set(k, math.min(k + 1, n - 1))
       }
       // loose-but-correct deviation bounds from the value extremes: the
       // max deviation is at a value extreme (|v − med| is V-shaped)
-      val dBounds = meta.map { case (g, m) =>
-        val med = fences(g)._1
-        g -> ((0.0, math.max(math.abs(m._2 - med), math.abs(m._3 - med))))
-      }
-      val p25c = perG(g => fences(g)._2)
-      val p75c = perG(g => fences(g)._3)
+      val dBounds = gidx.map { i =>
+        val med = fences(i)._1
+        val m = meta(groups(i))
+        i -> ((0.0, math.max(math.abs(m._2 - med), math.abs(m._3 - med))))
+      }.toMap
+      val p25c = perG(i => fences(i)._2)
+      val p75c = perG(i => fences(i)._3)
       val isOut = col("v") > p75c + (p75c - p25c) * 1.5 ||
         col("v") < p25c - (p75c - p25c) * 1.5
       val (dPicked, extras) = rankSelect(dData, dTargets, dBounds,
         Seq(sum(when(isOut, 1L).otherwise(0L)).as("o")))
-      val madRaw = interpolate(nByG, Seq(0.5), dPicked)
-      groups.map(g => (g, pcts((g, 0.5)), pcts((g, 0.25)), pcts((g, 0.75)),
-        madRaw((g, 0.5)), extras.getOrElse(g, Seq(0L)).head))
+      val madRaw = interpolate(nByGi, Seq(0.5), dPicked)
+      gidx.map(i => (groups(i), pcts((i, 0.5)), pcts((i, 0.25)),
+        pcts((i, 0.75)), madRaw((i, 0.5)),
+        extras.getOrElse(i, Seq(0L)).head))
     } finally base.unpersist()
     dev.toDF(groupCol, "m_raw", "p25_raw", "p75_raw", "mad_raw", "n_outliers")
       .select(col(groupCol), round(col("m_raw"), 6).as("median_price"),
