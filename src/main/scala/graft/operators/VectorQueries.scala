@@ -976,17 +976,20 @@ object VectorQueries {
     * sqrt-balanced corpus-derived value (a fixed k=8 measured 203 s at
     * sf5 — ~14k-vector cells made the pair join quadratic; the adaptive
     * k keeps assignment cost n·k·d·iters and pair cost n·(n/k)·d/2 in
-    * balance). Production at 100 TB sets k ∝ n instead, so cell size —
-    * and with it both the per-cell pair count and, via an ANN centroid
-    * index for assignment, the per-row cost — stays constant; both
-    * engines here derive the same k from the same COUNT, the
-    * [[hyperplaneBandBits]] pattern. Output adds the k-means cluster id
+    * balance). Production at 100 TB bounds CELL SIZE, not k: pass
+    * `maxCell` and over-cap cells re-split by rank before the pair
+    * kernel ([[boundCells]] — spec-pinned, measured across scales in
+    * DEDUP_CANDIDATES' q123_bounded_* columns), so the quadratic term
+    * stays ≤ maxCell²/2 per cell past the k=512 clamp (~1.6 M vectors)
+    * where the sqrt-balanced k alone turns quadratic. Both engines here
+    * derive the same k from the same COUNT, the [[hyperplaneBandBits]]
+    * pattern. Output adds the k-means cluster id
     * (`km_cluster`) to q117's schema — every semantic group lives inside
     * one k-means cluster by construction, and exposing it makes the
     * two-level structure auditable.
     */
   def kmeansSemDedup(corpus: DataFrame, k: Option[Int] = None, iters: Int = 3,
-      tau: Double = 0.9): DataFrame = {
+      tau: Double = 0.9, maxCell: Option[Int] = None): DataFrame = {
     // the kernel is a chain of ~8 driver-sequenced jobs (seed collect,
     // per-pass mean collects, pairs, CC rounds, final reduce) and EVERY
     // one re-reads the corpus; uncached, each re-ran the 3-scan
@@ -999,7 +1002,15 @@ object VectorQueries {
     val kk = k.getOrElse(kmProf("corpus count")(semDedupK(corpusP.count())))
     val asg = kmProf("kmeansAssign driver loop")(
       kmeansAssign(corpusP, kk, iters)).persist()
-    val sims = kmeansPairs(asg, tau)
+    // production cell-size posture (round 18, VERDICT r17 ask #3): with
+    // maxCell set, over-cap cells re-split before the pair kernel, so the
+    // quadratic within-cell term stays <= maxCell² per cell at ANY corpus
+    // size — the tested form of the "k ∝ n at 100 TB" scaladoc sentence.
+    // The registered q123 oracle runs maxCell = None (exact published
+    // recipe, k clamped at 512); the bounded mode trades the cross-subcell
+    // pairs away, the same recall contract as every capped generator.
+    val pairsAsg = maxCell.map(boundCells(asg, _)).getOrElse(asg)
+    val sims = kmeansPairs(pairsAsg, tau)
     val edges = sims.select(explode(array(
         struct(col("vec_id1").as("src"), col("vec_id2").as("dst")),
         struct(col("vec_id2").as("src"), col("vec_id1").as("dst")))).as("e"))
@@ -1070,6 +1081,40 @@ object VectorQueries {
     * (java.math.BigDecimal.valueOf + HALF_UP — the codegen formula), so
     * the oracle's DuckDB round stays bit-compatible.
     */
+  /** Bits reserved for the subcell index inside a bounded cell id:
+    * cluster ids (seed vec_ids) shift left 20 bits, so the composite
+    * stays collision-free for any cluster id < 2^43 and up to 2^20
+    * subcells per cluster (= 10^9 rows per cell at maxCell 1024 —
+    * beyond any single cluster this engine will see; [[boundCells]]
+    * requires it).
+    */
+  private[operators] val SubcellSpan = 1L << 20
+
+  /** Cell-size-bounded re-split of a k-means assignment (round 18,
+    * VERDICT r17 ask #3): every output cell holds AT MOST `maxCell`
+    * members, so [[kmeansPairs]]' within-cell quadratic term is bounded
+    * by maxCell²/2 per cell — linear total pair cost n·maxCell/2 at ANY
+    * corpus size, where the sqrt-balanced k's 512 clamp turns quadratic
+    * beyond ~1.6 M vectors. Members split by RANK within their cluster
+    * (row_number over vec_id, div maxCell): exact bound (a hash split
+    * only bounds in expectation — a hot hash bucket could exceed the cap
+    * it exists to enforce), deterministic across runs, and the rank
+    * window is O(cell) linear work on the same cluster key the pair
+    * kernel shuffles on. The recall trade is the standard capped-
+    * generator contract: a near-dup pair straddling a subcell boundary
+    * goes unseen, exactly like an LSH pair split across band buckets.
+    * Cluster identity stays recoverable: `cell div 2^20 = cluster`.
+    */
+  def boundCells(asg: DataFrame, maxCell: Int): DataFrame = {
+    require(maxCell > 0, s"maxCell must be positive: $maxCell")
+    asg
+      .withColumn("rn0", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("vec_id"))) - 1)
+      .withColumn("cluster",
+        col("cluster") * SubcellSpan + expr(s"CAST(rn0 AS BIGINT) div $maxCell"))
+      .drop("rn0")
+  }
+
   def kmeansPairs(asg: DataFrame, tau: Double = 0.9): DataFrame = {
     val s = asg.sparkSession
     import s.implicits._
@@ -1340,14 +1385,39 @@ object VectorQueries {
     // n·sqrt(n)-bounded (a fixed k=8 measured quadratic growth)
     val sem = semCorpus(s, dir)
     val k123 = semDedupK(sem.count())
-    val asg123 = kmeansAssign(sem, k123, iters = 3)
-    val q123 = asg123.select(col("vec_id").as("id1"), col("cluster"))
-      .hint("merge")
-      .join(asg123.select(col("vec_id").as("id2"), col("cluster").as("cl2")),
-        col("cluster") === col("cl2") && col("id1") < col("id2")).count()
+    val asg123 = kmeansAssign(sem, k123, iters = 3).persist()
+    def cellPairs(a: DataFrame): Long =
+      a.select(col("vec_id").as("id1"), col("cluster"))
+        .hint("merge")
+        .join(a.select(col("vec_id").as("id2"), col("cluster").as("cl2")),
+          col("cluster") === col("cl2") && col("id1") < col("id2")).count()
+    def maxCellOf(a: DataFrame): Long = graft.Bounded.collect(
+      a.groupBy("cluster").count().agg(max(col("count")).as("mx")),
+      cap = 1, what = "q123 max cell size (1-row aggregate)")
+      .headOption.map(_.getLong(0)).getOrElse(0L)
+    val q123 = cellPairs(asg123)
+    // the bounded-mode columns (round 18, VERDICT r17 ask #3): with the
+    // production cap the max cell size is CONSTANT across scales — the
+    // measurable form of "pair cost stays n·maxCell/2 past the k clamp" —
+    // while the unbounded max cell grows with the corpus
+    val q123MaxCell = maxCellOf(asg123)
+    val boundedAsg = boundCells(asg123, BoundedCellCap)
+    val q123BMaxCell = maxCellOf(boundedAsg)
+    val q123BPairs = cellPairs(boundedAsg)
+    asg123.unpersist()
     Seq("vectors" -> base.count(), "q46_pairs" -> q46, "q108_pairs" -> q108,
-      "q123_k" -> k123.toLong, "q123_pairs" -> q123)
+      "q123_k" -> k123.toLong, "q123_pairs" -> q123,
+      "q123_max_cell" -> q123MaxCell,
+      "q123_bounded_cap" -> BoundedCellCap.toLong,
+      "q123_bounded_max_cell" -> q123BMaxCell,
+      "q123_bounded_pairs" -> q123BPairs)
   }
+
+  /** The production cell cap [[candidateCounts]] measures the bounded
+    * mode at: pairs per cell ≤ cap²/2 ≈ 524k, total pair cost
+    * n·cap/2 — linear in the corpus.
+    */
+  val BoundedCellCap = 1024
 
   /** IVF multi-probe candidate scores, probe count as a parameter: each
     * query scores every vector in its HOME cell plus its `probes - 1`

@@ -404,6 +404,67 @@ class VectorSpec extends SparkSpec {
     assert(keep7 == 7L && n7 == 1L && km7 == 7L)
   }
 
+  test("boundCells re-splits over-cap cells to an EXACT bound, deterministically, inside their cluster") {
+    import spark.implicits._
+    // 25 members in cluster 100, 3 in cluster 200, cap 8: the rank split
+    // must give exactly 8/8/8/1 (a hash split only bounds in expectation)
+    // and leave the under-cap cluster whole
+    val asg = ((0 until 25).map(i => (i.toLong, 100L)) ++
+      Seq((100L, 200L), (101L, 200L), (102L, 200L)))
+      .toDF("vec_id", "cluster")
+    val b = operators.VectorQueries.boundCells(asg, 8)
+    val sizes = b.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.values.max <= 8, s"cap violated: $sizes")
+    assert(sizes.values.sum == 28, "re-split must not drop or duplicate rows")
+    // cluster identity stays recoverable from the composite cell id
+    val c100 = sizes.collect { case (c, n) if (c >> 20) == 100L => n }.toSeq.sorted
+    assert(c100 == Seq(1L, 8L, 8L, 8L), s"cluster-100 split: $c100")
+    assert(sizes.count { case (c, _) => (c >> 20) == 200L } == 1,
+      "an under-cap cluster must keep a single cell")
+    assert(sizes.keySet.forall(c => (c >> 20) == 100L || (c >> 20) == 200L))
+    // deterministic: the same input re-splits identically
+    val once = b.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val again = operators.VectorQueries.boundCells(asg, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(once == again)
+  }
+
+  test("q123 bounded mode re-splits over-cap cells before the pair kernel (VERDICT r17 ask #3)") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // md5 order over {1,2,3,7} is 7 < 1 < 2 < 3, so k=2 seeds are {7, 1}:
+    // the three parallel vectors {1,2,3} share seed-1's cell, orthogonal
+    // 7 sits alone. maxCell=2 splits the hot cell into {1,2} and {3}: the
+    // within-subcell dup (1,2) still closes (keeper 2, the argmax), the
+    // cross-subcell pairs are traded away so 3 becomes its own keeper —
+    // the standard capped-generator recall contract. The DEFAULT mode
+    // (the oracle-pinned q123) closes all three into one group.
+    val base = Seq(
+      (1L, Array.fill(64)(0.5)),
+      (2L, Array.fill(64)(0.6)),
+      (3L, Array.fill(64)(0.7)),
+      (7L, Array.tabulate(64)(i => if (i % 2 == 0) 0.5 else -0.5)))
+      .toDF("vec_id", "v")
+      .selectExpr("vec_id", "v", "sqrt(graft_vector_dot(v, v)) AS nrm")
+    val bounded = operators.VectorQueries
+      .kmeansSemDedup(base, k = Some(2), iters = 3, maxCell = Some(2))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(bounded.keySet == Set(1L, 3L, 7L), s"bounded groups: ${bounded.keySet}")
+    assert(bounded(1L) == ((1L, 2L, 2L)),
+      s"within-subcell dup must still close to the argmax keeper: ${bounded(1L)}")
+    assert(bounded(3L) == ((1L, 3L, 1L)),
+      "a cross-subcell near-dup is traded away under the cap")
+    assert(bounded(7L)._3 == 1L)
+    val full = operators.VectorQueries
+      .kmeansSemDedup(base, k = Some(2), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(full == Map(1L -> 3L, 7L -> 1L),
+      s"default mode (the registered oracle) must be unchanged: $full")
+  }
+
   test("q128 picks lowest-cosine positive / highest-cosine negative, ties to min id") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
