@@ -51,10 +51,11 @@ PINNED = [
     "q13_topk_lineitems", "q21_math_funcs",
     # round-touched (r15: q31/q95/q98/q100/q104/q142; r16: q95/q98/q100/
     # q124/q150 + the q131 kernel refactor; r17: the q150 sketch-literal
-    # dedup)
+    # dedup; r18: the rankSelect int-group-code rework -> q58/q86 join
+    # the pin alongside the already-pinned q123)
     "q31_zlib_roundtrip", "q95_mixture_rebalance", "q98_vocab_stats",
     "q100_mixture_apply", "q104_training_order", "q124_vocab_coverage",
-    "q142_chunk_scrub",
+    "q142_chunk_scrub", "q58_percentiles", "q86_robust_stats",
     # dedup family
     "q40_exact_dedup", "q42_lsh_neardup", "q87_dedup_cc",
     "q103_quality_keep", "q125_cluster_size_histogram",
