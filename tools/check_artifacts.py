@@ -315,7 +315,15 @@ if CUR is not None:
             ROOT, f"bench_targeted_details_r{CUR}_{tag}.json")
         if tname in targeted and os.path.exists(tdet_path):
             tside = load(tdet_path) or {}
+            # only entries the targeted SUMMARY's queries map actually
+            # overrides: the sidecar also carries an incidental
+            # pipeline_rps provenance row, but the gate table's rps
+            # column cites the full-suite artifact, so that row must not
+            # demand a footnote the generator (rightly) never emits
+            t_queries = targeted[tname].get("queries", {})
             for q, d in tside.get("details", {}).items():
+                if q not in t_queries:
+                    continue
                 overridden.add(q)
                 s = min_run_steal(d)
                 if s is not None and s > STEAL_PCT_GATE:
