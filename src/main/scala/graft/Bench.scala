@@ -85,10 +85,16 @@ object Bench {
     math.max(steals(idx), -1.0)
   }
 
-  /** Median of the non-negative entries, or -1 if none. */
+  /** Median of the non-negative entries (midpoint of the two middles for
+    * an even count — the upper-middle shorthand can overstate the suite's
+    * regime by half the middle gap, e.g. [0.5, 6.0] → 6.0), or -1 if
+    * none.
+    */
   def medianSteal(xs: Seq[Double]): Double = {
     val good = xs.filter(_ >= 0).sorted
-    if (good.isEmpty) -1.0 else good(good.size / 2)
+    if (good.isEmpty) -1.0
+    else if (good.size % 2 == 1) good(good.size / 2)
+    else (good(good.size / 2 - 1) + good(good.size / 2)) / 2.0
   }
 
   /** Per-query mins from a committed bench_details_*.json sidecar (the

@@ -1401,9 +1401,12 @@ object VectorQueries {
     // measurable form of "pair cost stays n·maxCell/2 past the k clamp" —
     // while the unbounded max cell grows with the corpus
     val q123MaxCell = maxCellOf(asg123)
-    val boundedAsg = boundCells(asg123, BoundedCellCap)
+    // persisted: the rank window otherwise re-evaluates for the max-cell
+    // aggregate and BOTH legs of the pair self-join
+    val boundedAsg = boundCells(asg123, BoundedCellCap).persist()
     val q123BMaxCell = maxCellOf(boundedAsg)
     val q123BPairs = cellPairs(boundedAsg)
+    boundedAsg.unpersist()
     asg123.unpersist()
     Seq("vectors" -> base.count(), "q46_pairs" -> q46, "q108_pairs" -> q108,
       "q123_k" -> k123.toLong, "q123_pairs" -> q123,

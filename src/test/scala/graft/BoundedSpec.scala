@@ -165,6 +165,10 @@ class BoundedSpec extends SparkSpec {
   test("medianSteal ignores unknown (-1) entries and is -1 when nothing is known") {
     assert(Bench.medianSteal(Seq(0.1, 5.0, 0.3)) == 0.3)
     assert(Bench.medianSteal(Seq(-1.0, 2.0, -1.0)) == 2.0)
+    // even count of known entries: midpoint of the two middles, not the
+    // upper-middle (which would report [0.5, 6.0] as 6.0)
+    assert(Bench.medianSteal(Seq(0.5, 6.0)) == 3.25)
+    assert(Bench.medianSteal(Seq(4.0, -1.0, 1.0, 2.0, 3.0)) == 2.5)
     assert(Bench.medianSteal(Seq(-1.0, -1.0)) == -1.0)
     assert(Bench.medianSteal(Nil) == -1.0)
   }

@@ -322,7 +322,13 @@ if CUR is not None:
             # demand a footnote the generator (rightly) never emits
             t_queries = targeted[tname].get("queries", {})
             for q, d in tside.get("details", {}).items():
-                if q not in t_queries:
+                # mirror gen_bench_table's v >= 0 guard exactly: a FAILED
+                # targeted rerun (-1 summary value) does not override the
+                # gate row there, so it must not claim the override here
+                # either — or the checker demands a footnote the generator
+                # can never emit (the ADVICE r17 deadlock class)
+                v = t_queries.get(q)
+                if not isinstance(v, (int, float)) or v < 0:
                     continue
                 overridden.add(q)
                 s = min_run_steal(d)
