@@ -76,13 +76,16 @@ object Bench {
     * unknown — the JVM mirror of tools/bench_gate.min_run_steal, used for
     * the stdout regime summary (VERDICT r17 ask #2). Failed runs (-1.0
     * seconds) are skipped; mismatched array lengths degrade to unknown.
+    * ANY negative steal maps to -1 (unknown), mirroring the Python
+    * side's `None if s < 0` rule exactly (ADVICE r18 — the old
+    * max(s, -1.0) passed a hypothetical -0.5 through as "known").
     */
   def minRunSteal(runs: List[Double], steals: List[Double]): Double = {
     if (runs.isEmpty || steals.size != runs.size) return -1.0
     val good = runs.zipWithIndex.filter(_._1 >= 0)
     if (good.isEmpty) return -1.0
-    val idx = good.minBy(_._1)._2
-    math.max(steals(idx), -1.0)
+    val s = steals(good.minBy(_._1)._2)
+    if (s < 0) -1.0 else s
   }
 
   /** Median of the non-negative entries (midpoint of the two middles for

@@ -2422,9 +2422,11 @@ object LlmQueries {
     // instead of dying, and a FULLY-duplicated doc (every chunk kept
     // elsewhere) drops out entirely, which IS its exact-dedup. Keeper
     // selection is a single argmin aggregate on the chunk hash (key =
-    // doc_id·10⁵ + chunk_id — exact while chunks/doc < 10⁵, i.e. docs
-    // under 3.2 M tokens); the join-back is co-partitioned on the same
-    // hash; the rebuild sorts only WITHIN a doc (array_sort of a
+    // doc_id·2³² + chunk_id, a plain LONG min); the join-back touches
+    // only the freq ≥ 2 keeper table — broadcast at any measured scale,
+    // q113-Bloom-split beyond it — so unique-chunk text never rides an
+    // `h` exchange (see the chunkScrub scaladoc, VERDICT r18 ask #1);
+    // the rebuild sorts only WITHIN a doc (array_sort of a
     // per-doc-bounded list — no corpus sort, no window). Corpus is
     // q40's planted-exact-dup fixture so the scrub mass is non-vacuous
     // at every scale.
@@ -4770,15 +4772,34 @@ object LlmQueries {
   }
 
   /** q142 kernel — paragraph-level dedup as a TRANSFORM: every chunk hash
-    * keeps exactly its first occurrence (argmin of doc_id·10⁵ + chunk_id,
-    * one aggregate on the hash), the join-back rides the same hash
-    * partitioning, and the per-doc rebuild is ONE aggregate whose
-    * array_sort is bounded by a document's own chunk count — no corpus
-    * sort, no window, no second doc-level join. A fully-duplicated doc
-    * keeps zero chunks and reports scrubbed_text = NULL (both engines by
-    * the same CASE), which is this operator's exact-dedup drop signal.
+    * keeps exactly its first occurrence (argmin of doc_id·2³² + chunk_id,
+    * one aggregate on the hash), and the per-doc rebuild is ONE aggregate
+    * whose array_sort is bounded by a document's own chunk count — no
+    * corpus sort, no window, no second doc-level join. A fully-duplicated
+    * doc keeps zero chunks and reports scrubbed_text = NULL (both engines
+    * by the same CASE), which is this operator's exact-dedup drop signal.
+    *
+    * Shuffle budget (round 19, VERDICT r18 ask #1): the r16–r18 form
+    * joined the full text-bearing chunk stream against the DISTINCT-hash
+    * keeper table — corpus-sized on both sides, so every unique chunk's
+    * text rode an `h` exchange it could never lose on (its only
+    * occurrence IS the keeper). Now the keeper table keeps only hashes
+    * with freq ≥ 2 (q113's candidate-reduction posture): at every
+    * measured scale dup hashes are a few % of distinct hashes, so the
+    * table broadcasts and the whole chunk stream flows MAP-ONLY into the
+    * per-doc rebuild — the one text-bearing exchange left is the rebuild
+    * itself. Past `broadcastDupCap` dup hashes (not reached below ~5 M
+    * dup hashes ≈ 250 MB) the kernel switches to the q113 Bloom shape:
+    * a membership pre-filter splits the stream, provably-unique chunks
+    * (Bloom negative = no false negatives) stay map-only with kept = 1,
+    * and only Bloom survivors (true dups + fpp·corpus) shuffle into the
+    * exact left join, where a false positive's null keeper marks it
+    * kept = 1 — bit-identical output on both paths (DedupSpec pins the
+    * forced-Bloom path against the broadcast path).
     */
-  def chunkScrub(docs: DataFrame): DataFrame = {
+  def chunkScrub(docs: DataFrame, broadcastDupCap: Long = 5000000L): DataFrame = {
+    val spark = docs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
     val ch = tokenChunks(docs, window = 32, stride = 32)
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         col("n_tokens").cast("long").as("n_tokens"), col("chunk_text"),
@@ -4789,12 +4810,36 @@ object LlmQueries {
     // beyond any real document; doc_id stays safe to 2^31 (ADVICE r14
     // widened this from a 10^5 stride that aliased at ~3.2 M tokens/doc).
     // ChunkSpec pins the packing against an explicit struct-min replay.
-    val keep = ch.groupBy("h")
-      .agg(min(col("doc_id") * 4294967296L + col("chunk_id")).as("keeper"))
-    ch.join(keep, "h")
-      .withColumn("kept",
-        when(col("doc_id") * 4294967296L + col("chunk_id") === col("keeper"), 1L)
-          .otherwise(0L))
+    // The aggregate's shuffle carries (h, packed) only — Catalyst prunes
+    // chunk_text out of it on both paths.
+    val packed = col("doc_id") * 4294967296L + col("chunk_id")
+    val dupKeep = ch.groupBy("h")
+      .agg(min(col("doc_id") * 4294967296L + col("chunk_id")).as("keeper"),
+        count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2L).select("h", "keeper")
+      .localCheckpoint(false) // lazy: the sizing count materializes it
+    val nDup = dupKeep.count()
+    val flagged =
+      if (nDup <= broadcastDupCap)
+        ch.join(broadcast(dupKeep), Seq("h"), "left")
+          .withColumn("kept",
+            when(col("keeper").isNull || packed === col("keeper"), 1L)
+              .otherwise(0L))
+      else {
+        val bloomLit = lit(sketchBytes(
+          dupKeep.stat.bloomFilter("h", math.max(nDup, 1L), 0.01)))
+        val maybe = call_function("graft_bloom_contains", bloomLit, col("h"))
+        ch.filter(!maybe)
+          .withColumn("kept", lit(1L))
+          .unionByName(
+            ch.filter(maybe)
+              .join(dupKeep, Seq("h"), "left")
+              .withColumn("kept",
+                when(col("keeper").isNull || packed === col("keeper"), 1L)
+                  .otherwise(0L)),
+            allowMissingColumns = true)
+      }
+    flagged
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("kept")).as("n_kept"),

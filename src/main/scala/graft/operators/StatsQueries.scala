@@ -383,6 +383,16 @@ object StatsQueries {
     * where the builtin would emit the group with a NULL percentile. A
     * caller that must preserve all-null groups has to pre-split them
     * (`count(valueCol)` = 0) and union the NULL rows back itself.
+    *
+    * SINGLE-SNAPSHOT contract (ADVICE r18): the group meta (n, min, max)
+    * comes from a raw scan of `df` and the refinement passes read a
+    * separately-built cached projection — two reads of the source. On an
+    * immutable source (parquet fixtures, any snapshot-isolated table)
+    * they cannot diverge; on a source mutating between the two reads a
+    * recorded rank can exceed the rows actually cached (missing picked
+    * entry → NoSuchElementException in interpolate) or a new group can
+    * arrive uncoded (gi = -1, silently excluded). Callers over
+    * non-static sources must materialize a snapshot first.
     */
   def exactGroupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): Map[(String, Double), Double] = {
@@ -444,7 +454,9 @@ object StatsQueries {
     * Returns (group, median_price, iqr, mad, n_outliers) as a
     * driver-local DataFrame — every heavy pass has already run by the
     * time this returns, and the caller's action on the result costs
-    * nothing.
+    * nothing. Same SINGLE-SNAPSHOT contract as
+    * [[exactGroupPercentiles]] (ADVICE r18): meta scan and refinement
+    * cache are two reads of `df` — immutable/snapshot sources only.
     */
   def robustStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val s = df.sparkSession

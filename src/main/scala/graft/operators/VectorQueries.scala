@@ -1086,7 +1086,7 @@ object VectorQueries {
     * stays collision-free for any cluster id < 2^43 and up to 2^20
     * subcells per cluster (= 10^9 rows per cell at maxCell 1024 —
     * beyond any single cluster this engine will see; [[boundCells]]
-    * requires it).
+    * enforces both bounds with per-row raise_error guards, ADVICE r18).
     */
   private[operators] val SubcellSpan = 1L << 20
 
@@ -1107,11 +1107,28 @@ object VectorQueries {
     */
   def boundCells(asg: DataFrame, maxCell: Int): DataFrame = {
     require(maxCell > 0, s"maxCell must be positive: $maxCell")
+    // Runtime guard (ADVICE r18): the composite id is collision-free only
+    // for cluster ids in [0, 2^43) with < 2^20 subcells per cluster. A
+    // violation must fail the job loudly — an unguarded overflow would
+    // silently spill subcell indices into a NEIGHBOR cluster's id space
+    // and merge unrelated cells. Both guards are integer compares in the
+    // same projection as the packing; the raise_error branches are never
+    // taken on valid data, so they cost nothing in the hot path
+    // (VectorSpec pins both failure modes).
     asg
       .withColumn("rn0", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("vec_id"))) - 1)
-      .withColumn("cluster",
-        col("cluster") * SubcellSpan + expr(s"CAST(rn0 AS BIGINT) div $maxCell"))
+      .withColumn("cluster", expr(
+        s"""CASE
+              WHEN cluster < 0 OR cluster >= ${1L << 43}
+                THEN CAST(raise_error(concat(
+                  'boundCells: cluster id out of [0, 2^43): ', cluster)) AS BIGINT)
+              WHEN CAST(rn0 AS BIGINT) div $maxCell >= $SubcellSpan
+                THEN CAST(raise_error(concat(
+                  'boundCells: cluster ', cluster,
+                  ' exceeds 2^20 subcells at maxCell $maxCell')) AS BIGINT)
+              ELSE cluster * $SubcellSpan + CAST(rn0 AS BIGINT) div $maxCell
+            END"""))
       .drop("rn0")
   }
 

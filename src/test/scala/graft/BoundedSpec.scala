@@ -160,6 +160,10 @@ class BoundedSpec extends SparkSpec {
     assert(Bench.minRunSteal(List(0.5, 0.4), List(2.0)) == -1.0)
     assert(Bench.minRunSteal(List(-1.0, -1.0), List(1.0, 2.0)) == -1.0)
     assert(Bench.minRunSteal(Nil, Nil) == -1.0)
+    // ANY negative steal is unknown, mirroring the Python mirror's
+    // `None if s < 0` rule exactly — the old max(s, -1.0) passed a
+    // hypothetical -0.5 through as a "known" value (ADVICE r18)
+    assert(Bench.minRunSteal(List(0.5, 0.4), List(2.0, -0.5)) == -1.0)
   }
 
   test("medianSteal ignores unknown (-1) entries and is -1 when nothing is known") {

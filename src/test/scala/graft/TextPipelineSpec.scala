@@ -385,6 +385,34 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(4L) == ((2L, 1L, 64L, 32L, Some(words("c", 32)))), s"doc4: ${got(4L)}")
   }
 
+  test("q142 chunk scrub: the forced Bloom scale path is bit-identical to " +
+    "the broadcast path (r19 shuffle-volume rework)") {
+    import spark.implicits._
+    def words(prefix: String, n: Int, from: Int = 1): String =
+      (from until from + n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("b", 32)
+    val docs = Seq(
+      (1L, words("a", 64)), (2L, words("a", 64)),
+      (3L, shared + " " + words("b", 8, from = 33)),
+      (4L, shared + " " + words("c", 32)),
+      (5L, words("u", 64)) // all-unique doc: must flow map-only, kept whole
+    ).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        Option(r.getString(5)))
+    // broadcastDupCap = -1 < nDup forces the Bloom split; the default cap
+    // takes the broadcast join. Same rows either way — a Bloom false
+    // positive dies on the left join's null keeper, a Bloom negative is
+    // PROVABLY unique (one-sided error), so the paths cannot diverge.
+    val bloom = operators.LlmQueries.chunkScrub(docs, broadcastDupCap = -1L)
+      .collect().map(key).toSet
+    val bcast = operators.LlmQueries.chunkScrub(docs)
+      .collect().map(key).toSet
+    assert(bloom == bcast, s"paths diverge:\n$bloom\nvs\n$bcast")
+    assert(bloom.exists(t => t._1 == 5L && t._6 == Some(words("u", 64))),
+      "the all-unique doc must survive intact through the Bloom path")
+  }
+
   test("q142 keeper packing: 2^32-stride packed min equals the struct min, " +
     "including pairs that aliased under the old 10^5 stride") {
     import spark.implicits._

@@ -430,6 +430,39 @@ class VectorSpec extends SparkSpec {
     assert(once == again)
   }
 
+  test("boundCells fails loudly on its documented preconditions instead of " +
+    "silently merging cells (ADVICE r18)") {
+    import spark.implicits._
+    // cluster id >= 2^43 would overflow cluster * 2^20 into another
+    // cluster's composite-id space: must raise, not wrap
+    val bigCluster = Seq((1L, 1L << 43), (2L, 1L << 43)).toDF("vec_id", "cluster")
+    val e1 = intercept[Exception] {
+      operators.VectorQueries.boundCells(bigCluster, 8).collect()
+    }
+    assert(e1.getMessage.contains("cluster id out of [0, 2^43)"),
+      s"wrong failure: ${e1.getMessage}")
+    // negative cluster ids are equally out of the packing's domain
+    val negCluster = Seq((1L, -1L)).toDF("vec_id", "cluster")
+    val e2 = intercept[Exception] {
+      operators.VectorQueries.boundCells(negCluster, 8).collect()
+    }
+    assert(e2.getMessage.contains("cluster id out of [0, 2^43)"),
+      s"wrong failure: ${e2.getMessage}")
+    // > 2^20 subcells in one cluster would spill into the next cluster's
+    // id space: 2^20 * maxCell + 1 members at maxCell = 1 must raise
+    val over = spark.range((1L << 20) + 1)
+      .selectExpr("id AS vec_id", "CAST(5 AS BIGINT) AS cluster")
+    val e3 = intercept[Exception] {
+      operators.VectorQueries.boundCells(over, 1).collect()
+    }
+    assert(e3.getMessage.contains("exceeds 2^20 subcells"),
+      s"wrong failure: ${e3.getMessage}")
+    // the guard is free on valid data: same composite ids as before
+    val ok = operators.VectorQueries.boundCells(
+      Seq((1L, (1L << 43) - 1)).toDF("vec_id", "cluster"), 8).collect()
+    assert(ok.head.getLong(1) == ((1L << 43) - 1) * (1L << 20))
+  }
+
   test("q123 bounded mode re-splits over-cap cells before the pair kernel (VERDICT r17 ask #3)") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)

@@ -33,6 +33,15 @@ Fails (exit 1) if the committed bench evidence is internally inconsistent:
      regenerated. The STEAL_PCT_GATE constant is also asserted against
      the Bench.scala literal (ADVICE r17 low #4) so the Python and Scala
      copies cannot drift apart.
+ 10. (round 19, VERDICT r18 asks #2/#3/#5) the anchored cross-round
+     ratchet: every sf1/sf5 gate row is compared to its best committed
+     clean-window effective time across ALL prior rounds
+     (bench_gate.anchored_rows — shared with gen_bench_table.py).
+     Flagged rows (> ANCHOR_GATE cumulative) must carry a matching
+     "> anchored:" footnote; watch-band rows a computed "> watch:" line;
+     and a flagged row whose committed min ran above the LOADAVG_QUIET
+     own-load allowance must have been repriced through the
+     bench_targeted quiet-window mechanism.
 
 Run it before every end-of-round commit:  python3 tools/check_artifacts.py
 """
@@ -45,7 +54,9 @@ import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from bench_gate import STEAL_PCT_GATE, min_run_steal, scala_steal_gate  # noqa: E402
+from bench_gate import (ANCHOR_GATE, ANCHOR_SCALES, LOADAVG_QUIET,  # noqa: E402
+                        STEAL_PCT_GATE, TAG_BY_SCALE, anchored_rows,
+                        min_run_steal, scala_steal_gate)
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 errors = []
@@ -350,6 +361,85 @@ if CUR is not None:
                 for t in tag2scale):
         err("current round has bench sidecars but BASELINE.md carries "
             "neither a steal footnote nor the no-row-qualified note")
+
+# ---- 10. anchored cross-round ratchet (round 19, VERDICT r18 #2/#5) ----
+# Recompute the anchored flags and computed watch-list from the committed
+# sidecars via the SAME bench_gate.anchored_rows the generator prints from,
+# then require: every flagged row carries its "> anchored:" footnote with
+# matching numbers (and none is stale), every watch row likewise, and any
+# flagged row whose committed min ran above the LOADAVG_QUIET own-load
+# allowance was repriced through the bench_targeted quiet mechanism — the
+# rule that closes the load-blind gap (q142's r17/r18 sf5 mins at loadavg
+# 14.9/19.8 passed the steal gate while 1.66x inflated).
+if CUR is not None:
+    arows = anchored_rows(ROOT, f"r{CUR}")
+    expect_anch = {(q, s): (cur, best, src, ratio, la, targeted)
+                   for s, q, cur, best, src, ratio, la, targeted in arows
+                   if ratio > ANCHOR_GATE}
+    expect_watch = {(q, s): (cur, best, src, ratio)
+                    for s, q, cur, best, src, ratio, _, _ in arows
+                    if ratio <= ANCHOR_GATE}
+    ANCH = re.compile(
+        r"^>\s*anchored:\s*(\S+)\s+(sf[\d.]+)\s+([\d.]+)\s*s\s+vs best\s+"
+        r"([\d.]+)\s*s\s+\((r\d+)\)\s*=\s*([\d.]+)x")
+    WATCHLN = re.compile(
+        r"^>\s*watch:\s*(\S+)\s+(sf[\d.]+)\s+([\d.]+)x of best\s+"
+        r"([\d.]+)\s*s\s+\((r\d+)\)")
+    stated_anch, stated_watch = {}, {}
+    anch_none = any(line.startswith("> anchored: no sf1/sf5 gate row")
+                    for line in cur_lines)
+    for line in cur_lines:
+        m = ANCH.match(line)
+        if m:
+            stated_anch[(m.group(1), m.group(2))] = (
+                float(m.group(3)), float(m.group(4)), m.group(5),
+                float(m.group(6)))
+        m = WATCHLN.match(line)
+        if m:
+            stated_watch[(m.group(1), m.group(2))] = (
+                float(m.group(3)), float(m.group(4)), m.group(5))
+    for q, s in sorted(set(expect_anch) - set(stated_anch)):
+        err(f"{q} {s}: {expect_anch[(q, s)][3]:.2f}x over its anchored best "
+            f"but BASELINE.md's current section has no anchored footnote")
+    for q, s in sorted(set(stated_anch) - set(expect_anch)):
+        err(f"anchored footnote for {q} {s} does not match any recomputed "
+            f">={ANCHOR_GATE:g}x row — stale or hand-typed")
+    for key in sorted(set(stated_anch) & set(expect_anch)):
+        cur_v, best_v, src, ratio = stated_anch[key]
+        e_cur, e_best, e_src, e_ratio, _, _ = expect_anch[key]
+        if (abs(cur_v - e_cur) > 0.006 or abs(best_v - e_best) > 0.006
+                or src != e_src or abs(ratio - e_ratio) > 0.011):
+            err(f"anchored footnote for {key[0]} {key[1]} says "
+                f"{cur_v}/{best_v} s ({src}) {ratio}x but sidecars recompute "
+                f"{e_cur:.2f}/{e_best:.2f} s ({e_src}) {e_ratio:.2f}x")
+    for q, s in sorted(set(expect_watch) - set(stated_watch)):
+        err(f"{q} {s}: {expect_watch[(q, s)][3]:.2f}x over its anchored "
+            f"best (watch band) but BASELINE.md has no computed watch line")
+    for q, s in sorted(set(stated_watch) - set(expect_watch)):
+        err(f"watch line for {q} {s} does not match any recomputed "
+            f"watch-band row — stale or hand-typed")
+    for key in sorted(set(stated_watch) & set(expect_watch)):
+        ratio, best_v, src = stated_watch[key]
+        e_cur, e_best, e_src, e_ratio = expect_watch[key]
+        if (abs(best_v - e_best) > 0.006 or src != e_src
+                or abs(ratio - e_ratio) > 0.011):
+            err(f"watch line for {key[0]} {key[1]} says {ratio}x of "
+                f"{best_v} s ({src}) but sidecars recompute {e_ratio:.2f}x "
+                f"of {e_best:.2f} s ({e_src})")
+    for (q, s), (_, _, _, ratio, la, was_targeted) in sorted(
+            expect_anch.items()):
+        if not was_targeted and la is not None and la > LOADAVG_QUIET:
+            err(f"{q} {s}: anchored-flagged at {ratio:.2f}x with its "
+                f"committed min measured at loadavg {la:.1f} > the "
+                f"{LOADAVG_QUIET:g} quiet allowance — record a "
+                f"bench_targeted_r{CUR}_{TAG_BY_SCALE[s]}.json quiet "
+                f"repricing before closing the round")
+    if (not arows and not stated_anch and not stated_watch and not anch_none
+            and any(f"bench_details_r{CUR}_{TAG_BY_SCALE[s]}.json" in sidecars
+                    for s in ANCHOR_SCALES)):
+        err("current round has anchor-scale sidecars but BASELINE.md "
+            "carries neither an anchored/watch footnote nor the "
+            "no-row-exceeded note")
 
 # ---- 8. the sf1 oracle gate is file-backed at HEAD's code --------------
 if CUR is not None:

@@ -26,7 +26,9 @@ import json
 import os
 import sys
 
-from bench_gate import STEAL_PCT_GATE, min_run_steal
+from bench_gate import (ANCHOR_GATE, LOADAVG_QUIET, STEAL_PCT_GATE,
+                        TAG_BY_SCALE, WATCH_RATIO, anchored_rows,
+                        min_run_steal, round_history)
 
 ROUND = sys.argv[1] if len(sys.argv) > 1 else "r17"
 PREV = sys.argv[2] if len(sys.argv) > 2 else None
@@ -113,7 +115,7 @@ for scale, qs in sorted(overrides.items()):
 # set check_artifacts.py recomputes its completeness expectation from, so
 # the two tools cannot disagree about which rows need a footnote.
 qualified = 0
-for scale, _, tag in SCALES:
+for scale in [s for s, _, _ in SCALES]:
     for q in sorted(per_steal.get(scale, {})):
         s, src = per_steal[scale][q]
         if s is not None and s > STEAL_PCT_GATE:
@@ -123,6 +125,44 @@ for scale, _, tag in SCALES:
 if qualified == 0:
     print(f"> steal: no gate row's committed min exceeded the "
           f"{STEAL_PCT_GATE:g}% window-steal gate this round")
+
+# anchored cross-round ratchet (round 19, VERDICT r18 asks #2/#3/#5): every
+# sf1/sf5 gate row is compared to its best committed clean-window effective
+# time across ALL prior rounds, so a <=2x/round slow boil (q142 r16->r18)
+# trips the gate mechanically. Rows past ANCHOR_GATE print as "> anchored:"
+# flags — and one whose committed min ran above the LOADAVG_QUIET own-load
+# allowance MUST be repriced through the bench_targeted quiet mechanism
+# (check_artifacts enforces both the footnotes and the repricing rule from
+# the same bench_gate.anchored_rows computation). Floor-clearing rows in
+# (WATCH_RATIO, ANCHOR_GATE] with a strictly-rising last-3-rounds history
+# print as the COMPUTED watch-list with that history — monotone-vs-noisy
+# is computed, never hand-typed (see bench_gate.py for the floor/band
+# rationale).
+anchored = anchored_rows(".", ROUND)
+cur_num = int(ROUND[1:])
+for scale, q, cur, best, src, ratio, la, targeted in anchored:
+    if ratio > ANCHOR_GATE:
+        if targeted:
+            load_note = " — quiet-repriced (targeted artifact)"
+        elif la is not None and la > LOADAVG_QUIET:
+            load_note = (f" — min-run loadavg {la:.1f} > {LOADAVG_QUIET:g} "
+                         f"quiet bar: REQUIRES a bench_targeted quiet "
+                         f"repricing")
+        else:
+            load_note = (f" — min-run loadavg "
+                         f"{'unknown' if la is None else format(la, '.1f')} "
+                         f"(quiet window)")
+        print(f"> anchored: {q} {scale} {cur:.2f} s vs best {best:.2f} s "
+              f"({src}) = {ratio:.2f}x (gate {ANCHOR_GATE:g}x){load_note}")
+for scale, q, cur, best, src, ratio, la, targeted in anchored:
+    if ratio <= ANCHOR_GATE:
+        hist = round_history(".", TAG_BY_SCALE[scale], q, cur_num)
+        hist_s = " -> ".join(f"{r} {v:.2f}" for r, v in hist[-4:])
+        print(f"> watch: {q} {scale} {ratio:.2f}x of best {best:.2f} s "
+              f"({src}); monotone climb, history {hist_s}")
+if not any(r[5] > ANCHOR_GATE for r in anchored):
+    print(f"> anchored: no sf1/sf5 gate row exceeded the {ANCHOR_GATE:g}x "
+          f"anchored ratchet this round")
 
 
 def growth(lo_name, hi_name, factor, bar):
