@@ -52,7 +52,8 @@ PINNED = [
     # round-touched (r15: q31/q95/q98/q100/q104/q142; r16: q95/q98/q100/
     # q124/q150 + the q131 kernel refactor; r17: the q150 sketch-literal
     # dedup; r18: the rankSelect int-group-code rework -> q58/q86 join
-    # the pin alongside the already-pinned q123)
+    # the pin alongside the already-pinned q123; r19: the q142 dup-only
+    # join-back rework rides the existing q142 pin)
     "q31_zlib_roundtrip", "q95_mixture_rebalance", "q98_vocab_stats",
     "q100_mixture_apply", "q104_training_order", "q124_vocab_coverage",
     "q142_chunk_scrub", "q58_percentiles", "q86_robust_stats",
