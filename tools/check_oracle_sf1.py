@@ -92,7 +92,12 @@ def git(*args: str) -> str:
 def current_round() -> str:
     for a in sys.argv[1:]:
         if a.startswith("--round="):
-            return a.split("=", 1)[1]
+            v = a.split("=", 1)[1]
+            # normalize bare numbers: --round=19 and --round=r19 must both
+            # name the artifact ORACLE_SF1_r19.json (a bare-number arg once
+            # produced a mislabeled ORACLE_SF1_19.json that check_artifacts
+            # would never find)
+            return v if v.startswith("r") else f"r{v}"
     with open(os.path.join(ROOT, "BASELINE.md")) as f:
         for line in f:
             m = re.match(r"#+\s*Round\s+(\d+)\s*\(current\)", line)
