@@ -54,9 +54,11 @@ import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from bench_gate import (ANCHOR_GATE, ANCHOR_SCALES, LOADAVG_QUIET,  # noqa: E402
-                        STEAL_PCT_GATE, TAG_BY_SCALE, anchored_rows,
-                        min_run_steal, scala_steal_gate)
+from bench_gate import (ANCHOR_GATE, ANCHOR_SCALES, HEAVY_TOP_N,  # noqa: E402
+                        LOADAVG_QUIET, STEAL_PCT_GATE, TAG_BY_SCALE,
+                        anchored_rows, gate_line, heavy_rows,
+                        min_run_loadavg, min_run_steal, scala_steal_gate,
+                        sf1_gate)
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 errors = []
@@ -121,9 +123,11 @@ for name, summ in summaries.items():
         err(f"{name}: no parsable metric object (parsed is null)")
         continue
     # r13-era sidecars carry only {details, stdout_line}; derive per-query
-    # mins from the runs arrays in that case
+    # mins from the runs arrays in that case — over NON-NEGATIVE runs
+    # only, mirroring bench_gate.effective_round (ADVICE r19 low #1)
     qmins = side.get("queries") or {
-        q: min(d["runs"]) for q, d in side["details"].items()}
+        q: min([r for r in d.get("runs", []) if r >= 0], default=-1.0)
+        for q, d in side["details"].items()}
     mins = [v for v in qmins.values() if v >= 0]
     if len(qmins) != metric.get("queries_selected"):
         err(f"{name}: queries_selected={metric.get('queries_selected')} but "
@@ -362,6 +366,10 @@ if CUR is not None:
         err("current round has bench sidecars but BASELINE.md carries "
             "neither a steal footnote nor the no-row-qualified note")
 
+quiet_forced = 0   # LOADAVG_QUIET-rule firings (set in section 10)
+heavy = []         # the standing heavy-row set (set in section 11)
+heavy_done = 0     # how many of them carry a quiet targeted repricing
+
 # ---- 10. anchored cross-round ratchet (round 19, VERDICT r18 #2/#5) ----
 # Recompute the anchored flags and computed watch-list from the committed
 # sidecars via the SAME bench_gate.anchored_rows the generator prints from,
@@ -428,18 +436,103 @@ if CUR is not None:
                 f"of {e_best:.2f} s ({e_src})")
     for (q, s), (_, _, _, ratio, la, was_targeted) in sorted(
             expect_anch.items()):
-        if not was_targeted and la is not None and la > LOADAVG_QUIET:
+        if was_targeted:
+            continue
+        if la is None:
+            # a flagged row with no loadavg instrument is UNRESOLVED, not
+            # exempt — silently passing it was fail-open on exactly the
+            # load-blind gap the rule closes (ADVICE r19 low #2)
+            err(f"{q} {s}: anchored-flagged at {ratio:.2f}x with its "
+                f"committed min's loadavg UNKNOWN (load-blind window) — "
+                f"record a bench_targeted_r{CUR}_{TAG_BY_SCALE[s]}.json "
+                f"quiet repricing before closing the round")
+        elif la > LOADAVG_QUIET:
             err(f"{q} {s}: anchored-flagged at {ratio:.2f}x with its "
                 f"committed min measured at loadavg {la:.1f} > the "
                 f"{LOADAVG_QUIET:g} quiet allowance — record a "
                 f"bench_targeted_r{CUR}_{TAG_BY_SCALE[s]}.json quiet "
                 f"repricing before closing the round")
+    # LOADAVG_QUIET-rule coverage (VERDICT r19 ask #7): count the rows
+    # the rule fired on this round — flagged in the RAW (pre-override)
+    # view with a loud-or-unknown min-run loadavg, i.e. each demanded a
+    # quiet repricing (done = the override exists; not done = an error
+    # above). Reported on the OK line so a round where the rule fired
+    # zero times reads differently from one where it was bypassed.
+    raw_rows = anchored_rows(ROOT, f"r{CUR}", apply_targeted=False)
+    quiet_forced = sum(
+        1 for _, _, _, _, _, ratio, la, _ in raw_rows
+        if ratio > ANCHOR_GATE and (la is None or la > LOADAVG_QUIET))
     if (not arows and not stated_anch and not stated_watch and not anch_none
             and any(f"bench_details_r{CUR}_{TAG_BY_SCALE[s]}.json" in sidecars
                     for s in ANCHOR_SCALES)):
         err("current round has anchor-scale sidecars but BASELINE.md "
             "carries neither an anchored/watch footnote nor the "
             "no-row-exceeded note")
+
+# ---- 11. the generated sf1-gate line and the standing heavy-row rule ---
+# (round 20, VERDICT r19 asks #2/#5.) The "> gate:" summary sentence in
+# BASELINE.md's current section must byte-match bench_gate.gate_line over
+# the recomputed sf1_gate result — two rounds running, the only factual
+# errors in this repo were hand-typed prose numbers (r18's finding #1,
+# r19's q76 "0.51 s"). And the top-HEAVY_TOP_N sf1 rows by RAW committed
+# min must each carry a QUIET bench_targeted repricing, so the anchored
+# ratchet's history for heavy rows records quiet prices instead of
+# drifting upward on the suite's own load.
+if CUR is not None:
+    prev_tag = f"r{CUR - 1}"
+    g = sf1_gate(ROOT, f"r{CUR}", prev_tag)
+    stated_gate = [l for l in cur_lines if l.startswith("> gate:")]
+    if g is not None:
+        want_line = gate_line(g)
+        if not stated_gate:
+            err(f"current round has sf1 sidecars for r{CUR} and "
+                f"{prev_tag} but BASELINE.md's current section carries "
+                f"no generated '> gate:' line — paste gen_bench_table's "
+                f"output verbatim")
+        else:
+            for line in stated_gate:
+                if line != want_line:
+                    err(f"'> gate:' line does not match the recomputed "
+                        f"sentence.\n  stated:   {line}\n  computed: "
+                        f"{want_line}")
+    elif stated_gate:
+        err(f"BASELINE.md's current section has a '> gate:' line but the "
+            f"r{CUR}/{prev_tag} sf1 sidecars cannot reproduce it")
+    heavy = heavy_rows(ROOT, f"r{CUR}")
+    if heavy:
+        tname = f"bench_targeted_r{CUR}_sf1.json"
+        t_q = targeted.get(tname, {}).get("queries", {})
+        tdet_p = os.path.join(ROOT, f"bench_targeted_details_r{CUR}_sf1.json")
+        tdet = (load(tdet_p) or {}).get("details", {}) \
+            if os.path.exists(tdet_p) else {}
+        for q in heavy:
+            v = t_q.get(q)
+            if not isinstance(v, (int, float)) or v < 0:
+                err(f"{q}: in the top-{HEAVY_TOP_N} sf1 rows by committed "
+                    f"time but has no quiet repricing in {tname} — the "
+                    f"standing heavy-row rule (VERDICT r19 #3/#5) requires "
+                    f"one before closing the round")
+                continue
+            la = min_run_loadavg(tdet.get(q, {}))
+            if la is not None and la > LOADAVG_QUIET:
+                err(f"{q}: heavy-row repricing in {tname} ran at loadavg "
+                    f"{la:.1f} > the {LOADAVG_QUIET:g} quiet allowance — "
+                    f"not a quiet price; re-run the targeted batch")
+                continue
+            heavy_done += 1
+        HEAVYLN = re.compile(r"^>\s*heavy:.*:\s*(.+)$")
+        stated_heavy = None
+        for line in cur_lines:
+            m = HEAVYLN.match(line)
+            if m:
+                stated_heavy = [q.strip() for q in m.group(1).split(",")]
+        if stated_heavy is None:
+            err(f"current round has an sf1 sidecar but BASELINE.md's "
+                f"current section has no '> heavy:' footnote listing the "
+                f"top-{HEAVY_TOP_N} standing-repricing rows")
+        elif sorted(stated_heavy) != sorted(heavy):
+            err(f"'> heavy:' footnote lists {stated_heavy} but the sidecar "
+                f"recomputes {heavy}")
 
 # ---- 8. the sf1 oracle gate is file-backed at HEAD's code --------------
 if CUR is not None:
@@ -526,4 +619,6 @@ if errors:
     sys.exit(1)
 print(f"OK: {len(summaries)} summaries, {len(sidecars)} sidecars, "
       f"{len(targeted)} targeted, gate table + footnotes + steal notes + "
-      f"sf1 oracle artifact + spec count consistent")
+      f"gate line + sf1 oracle artifact + spec count consistent; "
+      f"loadavg-quiet rule fired on {quiet_forced} row(s); heavy-row rule "
+      f"{heavy_done}/{len(heavy)} quiet-repriced")

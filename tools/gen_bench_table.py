@@ -26,9 +26,10 @@ import json
 import os
 import sys
 
-from bench_gate import (ANCHOR_GATE, LOADAVG_QUIET, STEAL_PCT_GATE,
-                        TAG_BY_SCALE, WATCH_RATIO, anchored_rows,
-                        min_run_steal, round_history)
+from bench_gate import (ANCHOR_GATE, HEAVY_TOP_N, LOADAVG_QUIET,
+                        STEAL_PCT_GATE, TAG_BY_SCALE, WATCH_RATIO,
+                        anchored_rows, gate_line, heavy_rows,
+                        min_run_steal, round_history, sf1_gate)
 
 ROUND = sys.argv[1] if len(sys.argv) > 1 else "r17"
 PREV = sys.argv[2] if len(sys.argv) > 2 else None
@@ -148,10 +149,16 @@ for scale, q, cur, best, src, ratio, la, targeted in anchored:
             load_note = (f" — min-run loadavg {la:.1f} > {LOADAVG_QUIET:g} "
                          f"quiet bar: REQUIRES a bench_targeted quiet "
                          f"repricing")
+        elif la is None:
+            # a load-blind window is UNRESOLVED, not quiet: labeling it
+            # "(quiet window)" was fail-open on exactly the gap the
+            # LOADAVG_QUIET rule closes (ADVICE r19 low #2) —
+            # check_artifacts demands the repricing either way
+            load_note = (" — min-run loadavg UNKNOWN (load-blind "
+                         "window): REQUIRES a bench_targeted quiet "
+                         "repricing")
         else:
-            load_note = (f" — min-run loadavg "
-                         f"{'unknown' if la is None else format(la, '.1f')} "
-                         f"(quiet window)")
+            load_note = f" — min-run loadavg {la:.1f} (quiet window)"
         print(f"> anchored: {q} {scale} {cur:.2f} s vs best {best:.2f} s "
               f"({src}) = {ratio:.2f}x (gate {ANCHOR_GATE:g}x){load_note}")
 for scale, q, cur, best, src, ratio, la, targeted in anchored:
@@ -163,6 +170,17 @@ for scale, q, cur, best, src, ratio, la, targeted in anchored:
 if not any(r[5] > ANCHOR_GATE for r in anchored):
     print(f"> anchored: no sf1/sf5 gate row exceeded the {ANCHOR_GATE:g}x "
           f"anchored ratchet this round")
+
+# standing heavy-row quiet repricing (round 20, VERDICT r19 #3/#5): the
+# top-N sf1 rows by RAW full-suite committed min are repriced in a
+# targeted quiet batch each round and the quiet price is what the
+# effective numbers (anchor + watch history) record. The footnote lists
+# the COMPUTED set; check_artifacts.py recomputes it and requires each
+# row to carry a quiet bench_targeted override.
+heavy = heavy_rows(".", ROUND)
+if heavy:
+    print(f"> heavy: top-{HEAVY_TOP_N} sf1 rows by committed time "
+          f"(standing quiet repricing): {', '.join(heavy)}")
 
 
 def growth(lo_name, hi_name, factor, bar):
@@ -198,25 +216,21 @@ if "sf10" in per_query:
         ((v, q) for q, v in per_query["sf10"].items()), reverse=True)[:5])
 
 # ---- the driver-facing gate scale: sf1 (VERDICT r16 ask #5) ------------
+# The summary sentence is GENERATED by bench_gate.sf1_gate/gate_line —
+# the same shared computation check_artifacts.py verifies any "> gate:"
+# line in BASELINE.md's current section against, so the median/worst/
+# total absolutes in the gate paragraph can no longer drift from the
+# sidecars by hand-typing (VERDICT r19 ask #2: the q76 "0.51 s" error).
 if PREV:
-    prev_q, _, _, _ = load_round(PREV)
-    cur, old = per_query.get("sf1"), prev_q.get("sf1")
-    if cur and old:
-        ratios = sorted((cur[q] / old[q], q)
-                        for q in old if q in cur and old[q] > 0 and cur[q] > 0)
-        if ratios:
-            mid = ratios[len(ratios) // 2]
-            flagged = [(r, q) for r, q in ratios if r > 2.0]
-            print(f"\nsf1 per-query 2x gate vs {PREV} (the round's judged "
-                  f"gate scale): {len(ratios)} shared queries, median "
-                  f"{mid[0]:.2f}x, worst {ratios[-1][0]:.2f}x "
-                  f"({ratios[-1][1]}); rows above 2x: "
-                  f"{[(q, round(r, 2)) for r, q in flagged]}")
-            for r, q in flagged:
-                s = per_steal.get("sf1", {}).get(q, (None, None))[0]
-                steal_note = (f"min-run steal {s:.1f}%" if s is not None
-                              else "steal unknown")
-                print(f"  - {q}: {old[q]:.2f} -> {cur[q]:.2f} s "
-                      f"({r:.2f}x), {steal_note}")
-    else:
+    g = sf1_gate(".", ROUND, PREV)
+    if g is None:
         print(f"\nsf1 gate vs {PREV}: sf1 artifacts missing for one side")
+    else:
+        print()
+        print(gate_line(g))
+        cur, old = per_query.get("sf1", {}), {}
+        for q, r in g["flagged"]:
+            s = per_steal.get("sf1", {}).get(q, (None, None))[0]
+            steal_note = (f"min-run steal {s:.1f}%" if s is not None
+                          else "steal unknown")
+            print(f"  - {q}: {r:.2f}x, {steal_note}")
