@@ -2456,7 +2456,16 @@ object LlmQueries {
         string_agg(CASE WHEN kept = 1 THEN chunk_text END,
                    ' ' ORDER BY chunk_id) AS scrubbed_text
       FROM fl GROUP BY doc_id""")) { (s, dir) =>
-      chunkScrub(dupCorpus(s, dir))
+      // SPARK_GRAFT_Q142_DUP_CAP (bench-only knob, round 20, VERDICT r19
+      // ask #4): forces the production Bloom fallback in a measured run
+      // (cap=0 -> every dup-hash count exceeds it) so the scale path has
+      // a benchmarked price, not just its parity spec. Unset everywhere
+      // else — Verify and the oracle always exercise the default path,
+      // and TextPipelineSpec pins the two paths bit-identical.
+      sys.env.get("SPARK_GRAFT_Q142_DUP_CAP").map(_.toLong) match {
+        case Some(cap) => chunkScrub(dupCorpus(s, dir), broadcastDupCap = cap)
+        case None      => chunkScrub(dupCorpus(s, dir))
+      }
     },
 
     // --------------------------------------------------------------- Q143
@@ -4433,6 +4442,34 @@ object LlmQueries {
       .join(post133.select(col("doc_id").as("doc_id2"), col("h").as("hb")),
         col("h") === col("hb") && col("doc_id1") < col("doc_id2"))
       .select("doc_id1", "doc_id2").distinct().count()
+    // q133 cap adjudication (round 20, VERDICT r19 ask #3): the distinct
+    // pair count above is the suite's only superlinear candidate family
+    // (3.8x pairs for the 2x sf5->sf10 step) while wall-time stays
+    // in-bars because fan-out is bounded at n*cap. These columns show
+    // WHERE the `df <= BucketCap` window starts binding: total postings,
+    // postings dropped by the cap (and their ppm share), shingles over
+    // the cap, the generated (pre-distinct) pair mass sum df*(df-1)/2
+    // over KEPT shingles, and the kept_postings*(cap-1)/2 bound the cap
+    // enforces on that mass. Growth flattens once the dropped share
+    // rises; until then pairs track the corpus's true 5-shingle
+    // collision curve.
+    val m133 = docs
+      .selectExpr("doc_id", "graft_shingles64(text, 5) AS sh")
+      .filter(size(col("sh")) > 0)
+      .select(explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(
+        sum(col("df")).as("postings"),
+        sum(when(col("df") > BucketCap, col("df")).otherwise(0L))
+          .as("dropped"),
+        count(when(col("df") > BucketCap, true)).as("capped_shingles"),
+        sum(when(col("df") <= BucketCap,
+          expr("df * (df - 1) div 2")).otherwise(0L)).as("gen_pairs"))
+    val m133Row = graft.Bounded.one(m133, "q133 cap-adjudication aggregate")
+    val q133Postings = m133Row.getLong(0)
+    val q133Dropped = m133Row.getLong(1)
+    val q133CappedShingles = m133Row.getLong(2)
+    val q133GenPairs = m133Row.getLong(3)
     // q138: duplicated 32-token chunks in the planted-exact-dup corpus —
     // the paragraph-dedup audit's working mass (must be non-zero and
     // scale-stable; a vacuous-0 audit knob is the q115-fraction lesson)
@@ -4448,6 +4485,14 @@ object LlmQueries {
     Seq("docs" -> nDocs,
       "q42_pairs" -> q42, "q83_neighbor_rows" -> q83, "q87_edges" -> q87,
       "q96_pairs" -> q96, "q97_pairs" -> q97, "q133_pairs" -> q133,
+      "q133_postings" -> q133Postings,
+      "q133_postings_dropped" -> q133Dropped,
+      "q133_capped_shingle_frac_ppm" ->
+        (q133Dropped * 1000000L) / math.max(q133Postings, 1L),
+      "q133_capped_shingles" -> q133CappedShingles,
+      "q133_gen_pairs" -> q133GenPairs,
+      "q133_pair_bound" ->
+        (q133Postings - q133Dropped) * (BucketCap - 1L) / 2L,
       "q113_shingle_rows" -> q113Total, "q113_bloom_kept" -> q113Kept,
       "q115_frequent_shingles" -> q115Frequent,
       "q115_frequent_frac_threshold" -> fracThreshold,
@@ -4794,8 +4839,8 @@ object LlmQueries {
     * (Bloom negative = no false negatives) stay map-only with kept = 1,
     * and only Bloom survivors (true dups + fpp·corpus) shuffle into the
     * exact left join, where a false positive's null keeper marks it
-    * kept = 1 — bit-identical output on both paths (DedupSpec pins the
-    * forced-Bloom path against the broadcast path).
+    * kept = 1 — bit-identical output on both paths (TextPipelineSpec
+    * pins the forced-Bloom path against the broadcast path).
     */
   def chunkScrub(docs: DataFrame, broadcastDupCap: Long = 5000000L): DataFrame = {
     val spark = docs.sparkSession
