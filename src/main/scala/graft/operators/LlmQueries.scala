@@ -4841,6 +4841,18 @@ object LlmQueries {
     * exact left join, where a false positive's null keeper marks it
     * kept = 1 — bit-identical output on both paths (TextPipelineSpec
     * pins the forced-Bloom path against the broadcast path).
+    *
+    * Measured fallback price (round 20, VERDICT r19 ask #4 — forced via
+    * the bench-only SPARK_GRAFT_Q142_DUP_CAP knob in clean windows,
+    * `AB_q142bloom_r20_{sf5,sf10}_{bcast,bloom}.json`): broadcast
+    * 2.68 / 3.82 s vs forced Bloom 4.29 / 4.44 s at sf5 / sf10 — a
+    * 1.16–1.60x premium covering the Bloom build, the split, and the
+    * exact join. The split's two `ch` passes (Bloom-negative and
+    * Bloom-positive each recompute tokenChunks) stay a deliberate
+    * two-pass: both are map-only parquet re-scans with pushed-down
+    * projection, whereas persisting `ch` would cache corpus-sized chunk
+    * TEXT — exactly the working set the fallback exists to keep off the
+    * executors at the >5 M-dup-hash scales that trigger it.
     */
   def chunkScrub(docs: DataFrame, broadcastDupCap: Long = 5000000L): DataFrame = {
     val spark = docs.sparkSession
