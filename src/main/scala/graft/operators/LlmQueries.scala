@@ -2855,8 +2855,8 @@ object LlmQueries {
     * q131 projects (term, lvl) from it; q150 additionally probes the CMS
     * six-pack on the same rows (count-table scale, never per occurrence).
     */
-  private case class SbParts(tg: DataFrame, tcs: DataFrame, bcs: DataFrame,
-      ucs: DataFrame, enriched: DataFrame)
+  private[operators] case class SbParts(tg: DataFrame, tcs: DataFrame,
+      bcs: DataFrame, ucs: DataFrame, enriched: DataFrame)
 
   /** The exact (term, lvl) projection both q131 and q150 score with. */
   private val sbTermExprs = Seq(
@@ -2871,7 +2871,7 @@ object LlmQueries {
     * rationale in [[sbParts]]' term-table comment): extras are q150's
     * audit-boolean reductions, empty for q131.
     */
-  private def sbScore(tg: DataFrame, term: DataFrame,
+  private[operators] def sbScore(tg: DataFrame, term: DataFrame,
       extras: Seq[Column] = Nil): DataFrame =
     tg.join(term.hint("shuffle_hash"), Seq("w1", "w2", "w3", "source"))
       .groupBy("doc_id")
@@ -2883,7 +2883,7 @@ object LlmQueries {
           sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov")) ++
           extras): _*)
 
-  private def sbParts(docs: DataFrame): SbParts = {
+  private[operators] def sbParts(docs: DataFrame): SbParts = {
     val toks = docs.select(col("doc_id"), col("source"),
       split(col("text"), " ").as("t"))
     val tg = toks.filter(size(col("t")) >= 3)
@@ -2911,11 +2911,14 @@ object LlmQueries {
       .union(lastTok)
       .groupBy("u", "source").agg(sum(col("c")).as("c"))
       .localCheckpoint(true)
-    // both bounded (≤ |sources| rows / 1 row); checkpointing keeps their
-    // aggregation exchanges out of the corpus-sized scoring plan
+    // both bounded (≤ |sources| rows / 1 row) and both LAZY (round 20):
+    // they aggregate the already-checkpointed ucs, so leaving them in the
+    // enriched plan costs two tiny parallel aggregates inside the one AQE
+    // query, where the old eager localCheckpoints paid two serial
+    // driver-job round-trips per query build (~0.2-0.4 s of pure job
+    // overhead at bench scale, nothing at 100 TB either way)
     val ns = ucs.groupBy("source").agg(sum(col("c")).as("n_src"))
-      .localCheckpoint(true)
-    val nTot = ns.agg(sum(col("n_src")).as("n_tot")).localCheckpoint(true)
+    val nTot = ns.agg(sum(col("n_src")).as("n_tot"))
     // TERM TABLE: the backoff score depends only on (trigram, source),
     // and every scored occurrence's (trigram, source) pair is a tcs key
     // (the occurrence itself was counted there) — so term and level are
@@ -2979,9 +2982,15 @@ object LlmQueries {
 
   def stupidBackoff(docs: DataFrame): DataFrame = {
     val p = sbParts(docs)
+    // the term table is consumed exactly ONCE (the sbScore probe join), so
+    // it stays LAZY (round 20): the join is hinted shuffle_hash regardless
+    // of size estimates, AQE still sees the term side's exact bytes at the
+    // shuffle boundary (and may legitimately downgrade to broadcast from
+    // MEASURED size, never from an estimate), and dropping the eager
+    // localCheckpoint removes a full serialize+reload of the vocabulary-
+    // sized table plus one driver-job round-trip.
     val term = p.enriched
       .selectExpr(Seq("w1", "w2", "w3", "source") ++ sbTermExprs: _*)
-      .localCheckpoint(true)
     sbScore(p.tg, term)
   }
 
@@ -2994,7 +3003,7 @@ object LlmQueries {
     * occurrence streams' counters exactly (the q112 argument): for the
     * total sketches, Σ_src add(key, c(key,src)) == add(key, c_tot(key)).
     */
-  private def sbSketches(p: SbParts, eps: Double, confidence: Double,
+  private[operators] def sbSketches(p: SbParts, eps: Double, confidence: Double,
       seed: Int): (DataFrame, Array[CountMinSketch]) = {
     val spark = p.tcs.sparkSession
     import spark.implicits._
@@ -3046,17 +3055,18 @@ object LlmQueries {
     val p = sbParts(docs)
     val (_, sk) = sbSketches(p, eps, confidence, seed)
     val slack = sk.map(s => math.ceil(3 * eps * s.totalCount()).toLong)
-    // ONE serialized byte array per sketch, shared by every probe that
-    // reads it: the probe columns below reference sketches 2-5 twice each
-    // (b12/b23 and w2/w3 pairs), and a fresh `sketchBytes(sk(i))` per
-    // probe embedded 10 independent ~0.8 MB literals in the plan — ~3x
-    // the task-binary bytes actually needed (VERDICT r16 item #3; the
-    // driver's sf10 bench tail showed the 15.4 MB task binary). The task
-    // binary is Java-serialized, which back-references repeated object
-    // instances, so sharing the INSTANCE ships each sketch once.
-    val skBytes = sk.map(sketchBytes)
+    // ONE TorrentBroadcast per sketch, shared by every probe that reads it
+    // (round 20; supersedes the r16 shared-literal form): a literal sketch
+    // rides the task binary and is re-deserialized by EVERY task — the
+    // six-pack measured as a 12.4 MiB task-binary broadcast per probe
+    // stage — while a Broadcast handle ships each sketch once per executor
+    // (zero-copy in local mode) and the task binary stays kilobytes. See
+    // [[graft.plans.CmsProbe]].
+    val skBc = sk.map(spark.sparkContext.broadcast(_))
     def probe(i: Int, key: Column): Column =
-      call_function("graft_cms_estimate", lit(skBytes(i)), key)
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.CmsProbe(skBc(i),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(key)))
     val triKey = concat_ws(" ", col("w1"), col("w2"), col("w3"))
     val b12Key = concat_ws(" ", col("w1"), col("w2"))
     val b23Key = concat_ws(" ", col("w2"), col("w3"))
@@ -3080,13 +3090,15 @@ object LlmQueries {
       .map { case (n, i, _, exact) =>
         col(n) >= col(exact) && col(n) <= col(exact) + lit(slack(i)) }
       .reduce(_ && _)
+    // LAZY like q131's term table (round 20, same argument): one consumer,
+    // hinted join, AQE sizing from measured shuffle bytes — the eager
+    // checkpoint only added a serialize+reload of the audited table.
     val audited = estimated
       .withColumn("tri_ok", ok(Seq("e123t", "e123o")))
       .withColumn("big_ok", ok(Seq("e12t", "e12o", "e23t", "e23o")))
       .withColumn("uni_ok", ok(Seq("e2t", "e2o", "e3t", "e3o")))
       .selectExpr(Seq("w1", "w2", "w3", "source") ++ sbTermExprs ++
         Seq("tri_ok", "big_ok", "uni_ok"): _*)
-      .localCheckpoint(true)
     sbScore(p.tg, audited, Seq(
       expr("bool_and(tri_ok)").as("cms_tri_ok"),
       expr("bool_and(big_ok)").as("cms_big_ok"),
@@ -3105,9 +3117,11 @@ object LlmQueries {
     val p = sbParts(docs)
     val (unioned, sk) = sbSketches(p, eps, confidence, seed)
     val slack = sk.map(s => math.ceil(3 * eps * s.totalCount()).toLong)
-    val skBytes = sk.map(sketchBytes) // one shared instance per sketch (q150 idiom)
+    val skBc = sk.map(spark.sparkContext.broadcast(_)) // one broadcast per sketch (q150 idiom)
     val est = (i: Int, key: Column) =>
-      call_function("graft_cms_estimate", lit(skBytes(i)), key)
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.CmsProbe(skBc(i),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(key)))
     val violations = unioned
       .withColumn("tot", sum(col("c")).over(
         Window.partitionBy(col("tag"), col("key"))))
@@ -3367,16 +3381,23 @@ object LlmQueries {
       val (w1, w2, c) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
       val pat = lit(s" $w1  $w2 ")
       val rep = lit(s" ${w1}_$w2 ")
+      // the applied-count rides the checkpoint job as an observed metric
+      // (round 20 — the CC loop's CollectMetrics idiom): the old separate
+      // sum(delta) aggregate was one extra driver job per merge round over
+      // rows the checkpoint had just materialized anyway
+      val obs = Observation(s"q137_merge_$rank")
       val next = cur
         .select(expr("t").as("t0"))
         .select(call_function("replace", col("t0"), pat, rep).as("t"),
           (length(col("t0"))
             - length(call_function("replace", col("t0"), pat, rep)))
             .cast("long").as("delta"))
+        .observe(obs, coalesce(sum(col("delta")), lit(0L)).as("applied"))
         .localCheckpoint(true)
-      val applied = graft.Bounded.one(
-        next.agg(coalesce(sum(col("delta")), lit(0L))),
-        s"q137 merge-round $rank applied count").getLong(0)
+      val applied = obs.get.get("applied") match {
+        case Some(l: java.lang.Long) => l.longValue
+        case _ => 0L
+      }
       out += ((rank, w1, w2, c, applied))
       cur = next.select("t")
     }
@@ -3865,11 +3886,16 @@ object LlmQueries {
     // evaluating ~|corpus occurrences| / |distinct bigrams| fewer
     // estimateCount calls and string concats — the probes now cost
     // vocab², whatever the corpus size.
+    // Broadcast handles, not plan literals (round 20 — the q150 CmsProbe
+    // rationale: the two ~1.6 MB sketches rode every probe stage's task
+    // binary twice each and re-deserialized per task).
+    def cmsProbe(cms: CountMinSketch, key: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.plans.CmsProbe(spark.sparkContext.broadcast(cms),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(key)))
     val audited = counts
-      .withColumn("e12", call_function("graft_cms_estimate",
-        lit(sketchBytes(cms12)), concat_ws(" ", col("w1"), col("w2"))))
-      .withColumn("e1", call_function("graft_cms_estimate",
-        lit(sketchBytes(cms1)), col("w1")))
+      .withColumn("e12", cmsProbe(cms12, concat_ws(" ", col("w1"), col("w2"))))
+      .withColumn("e1", cmsProbe(cms1, col("w1")))
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
         expr(s"e12 >= c12 AND e12 <= c12 + $slack12").as("b12"),
         expr(s"e1 >= c1 AND e1 <= c1 + $slack1").as("b1"))
@@ -3893,8 +3919,6 @@ object LlmQueries {
   }
   private def sketchBytes(cms: CountMinSketch): Array[Byte] =
     sketchBytes(cms.writeTo(_))
-  private def sketchBytes(bf: BloomFilter): Array[Byte] =
-    sketchBytes(bf.writeTo(_))
 
   /** q92/q113 shared shingle streams over the planted-leak corpus:
     * (all-doc 5-token shingle rows (doc_id, n_sh, sh), distinct eval
@@ -3935,9 +3959,8 @@ object LlmQueries {
     val spark = docs.sparkSession
     graft.plans.GraftExtensions.register(spark)
     val (sh, ev) = decontamShingles(docs)
-    val bloomLit = lit(sketchBytes(evalBloom(ev, fpp)))
     sh.filter(col("doc_id") % 50 =!= 0)
-      .filter(call_function("graft_bloom_contains", bloomLit, col("sh")))
+      .filter(bloomProbe(spark, evalBloom(ev, fpp), col("sh")))
       .join(ev, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"),
@@ -3958,6 +3981,17 @@ object LlmQueries {
   private def evalBloom(ev: DataFrame, fpp: Double): BloomFilter =
     ev.stat.bloomFilter("sh", math.max(ev.count(), 1L), fpp)
 
+  /** Bloom membership Column over a broadcast handle (round 20 — the
+    * [[graft.plans.CmsProbe]] rationale applied to every Bloom call site:
+    * a literal filter rides each probe stage's task binary twice and
+    * re-deserializes per task; the handle ships it once per executor).
+    */
+  private def bloomProbe(spark: SparkSession, bf: BloomFilter,
+      key: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.BloomProbe(spark.sparkContext.broadcast(bf),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(key)))
+
   /** (corpus shingle rows, rows surviving the Bloom pre-filter) — the
     * q113 candidate-reduction measurement shared by DedupMetrics and the
     * saturation pin in DedupSpec. Because the filter is sized from the
@@ -3967,9 +4001,8 @@ object LlmQueries {
     graft.plans.GraftExtensions.register(docs.sparkSession)
     val (sh, ev) = decontamShingles(docs)
     val corpusSh = sh.filter(col("doc_id") % 50 =!= 0)
-    val bloomLit = lit(sketchBytes(evalBloom(ev, fpp)))
-    (corpusSh.count(),
-      corpusSh.filter(call_function("graft_bloom_contains", bloomLit, col("sh"))).count())
+    val probe = bloomProbe(docs.sparkSession, evalBloom(ev, fpp), col("sh"))
+    (corpusSh.count(), corpusSh.filter(probe).count())
   }
 
   /** Both q112 sketches in one aggregation pass (see [[bigramLmCms]]):
@@ -4185,9 +4218,13 @@ object LlmQueries {
     // hash(src) is a subset of the (src, dst) grouping keys, so the
     // dedup aggregate satisfies its clustered distribution in place and
     // EnsureRequirements inserts no second exchange.
+    // LAZY persist (round 20): the old eager `edges.count()` added one
+    // full driver-job barrier per CC consumer purely to materialize the
+    // cache; round 1's groupBy(src) computes and caches the identical
+    // src-partitioned edge list inside its own checkpoint job, and rounds
+    // 2+ read the cache exactly as before. Same shuffles, one less job.
     val edges = edgesIn.repartition(col("src"))
       .dropDuplicates("src", "dst").persist()
-    ptime("edges repartition+dedup")(edges.count())
     // SPARSE-DELTA LABELS (the r10 rewrite; r9 carried a corpus-sized
     // label table through every round): labels only ever differ from the
     // identity for docs inside a non-trivial component, so the loop state
@@ -4883,9 +4920,8 @@ object LlmQueries {
             when(col("keeper").isNull || packed === col("keeper"), 1L)
               .otherwise(0L))
       else {
-        val bloomLit = lit(sketchBytes(
-          dupKeep.stat.bloomFilter("h", math.max(nDup, 1L), 0.01)))
-        val maybe = call_function("graft_bloom_contains", bloomLit, col("h"))
+        val maybe = bloomProbe(spark,
+          dupKeep.stat.bloomFilter("h", math.max(nDup, 1L), 0.01), col("h"))
         ch.filter(!maybe)
           .withColumn("kept", lit(1L))
           .unionByName(

@@ -503,6 +503,72 @@ final case class CmsEstimate(sketch: Expression, child: Expression)
     copy(sketch = newLeft, child = newRight)
 }
 
+/** Broadcast-handle twin of [[CmsEstimate]] (round 20, guide §5 task-closure
+  * rule): the literal form serializes the sketch TWICE into every stage's
+  * task binary that references it — once as the foldable BINARY literal in
+  * the expression tree and once as the deserialized
+  * [[org.apache.spark.util.sketch.CountMinSketch]] in the codegen references
+  * array — and every TASK re-deserializes both (q150's six-pack measured as
+  * a 12.4 MiB "Broadcasting large task binary" per probe stage). Holding a
+  * [[org.apache.spark.broadcast.Broadcast]] handle instead ships the sketch
+  * ONCE per executor through the torrent protocol (in local mode: zero
+  * copies — the value is the driver's own object) and the task binary
+  * carries only the handle. Cannot be built from the SQL function registry
+  * (the handle is not a literal), so call sites construct the Column via
+  * [[org.apache.spark.sql.graftbridge.ColumnBridge]].
+  */
+final case class CmsProbe(
+    bcast: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.CountMinSketch],
+    child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a STRING probe argument")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_probe"
+  override protected def nullSafeEval(value: Any): Any =
+    bcast.value.estimateCount(value.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCmsBc", bcast,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, v =>
+      s"((org.apache.spark.util.sketch.CountMinSketch)$ref.value()).estimateCount($v.getBytes())")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CmsProbe =
+    copy(child = newChild)
+}
+
+/** Broadcast-handle twin of [[BloomContains]] — same rationale as
+  * [[CmsProbe]].
+  */
+final case class BloomProbe(
+    bcast: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+    child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING or BIGINT probe argument")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_probe"
+  override protected def nullSafeEval(value: Any): Any = child.dataType match {
+    case StringType =>
+      bcast.value.mightContainBinary(value.asInstanceOf[UTF8String].getBytes)
+    case _ => bcast.value.mightContainLong(value.asInstanceOf[Long])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloomBc", bcast,
+      "org.apache.spark.broadcast.Broadcast")
+    val probe = child.dataType match {
+      case StringType => (v: String) => s"mightContainBinary($v.getBytes())"
+      case _ => (v: String) => s"mightContainLong($v)"
+    }
+    defineCodeGen(ctx, ev, v =>
+      s"((org.apache.spark.util.sketch.BloomFilter)$ref.value()).${probe(v)}")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+    copy(child = newChild)
+}
+
 /** Injector: `SparkSession.builder.withExtensions(new GraftExtensions)` at
   * session build time, or [[GraftExtensions.register]] on a live session.
   */

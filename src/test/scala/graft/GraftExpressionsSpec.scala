@@ -102,6 +102,73 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("CmsProbe (broadcast handle) is bit-identical to graft_cms_estimate and codegens") {
+    registered
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.999, 42)
+    cms.addString("alpha beta", 7); cms.addString("gamma", 3)
+    val bytes = { val o = new java.io.ByteArrayOutputStream(); cms.writeTo(o); o.toByteArray }
+    val in = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("alpha beta"), Row("gamma"), Row("zeta"), Row(null)), 2),
+      StructType(Seq(StructField("s", StringType))))
+    val bc = spark.sparkContext.broadcast(cms)
+    val probed = in.select(
+      ColumnBridge.column(graft.plans.CmsProbe(bc,
+        ColumnBridge.expression(col("s")))).as("est_bc"),
+      call_function("graft_cms_estimate", lit(bytes), col("s")).as("est_lit"))
+    val rows = probed.collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("BloomProbe (broadcast handle) is bit-identical to graft_bloom_contains and codegens") {
+    registered
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq("alpha beta", "gamma delta").foreach(bf.putString)
+    val bytes = { val o = new java.io.ByteArrayOutputStream(); bf.writeTo(o); o.toByteArray }
+    val in = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row("alpha beta"), Row("gamma delta"), Row("epsilon"), Row(null)), 2),
+      StructType(Seq(StructField("s", StringType))))
+    val bc = spark.sparkContext.broadcast(bf)
+    val probed = in.select(
+      ColumnBridge.column(graft.plans.BloomProbe(bc,
+        ColumnBridge.expression(col("s")))).as("hit_bc"),
+      call_function("graft_bloom_contains", lit(bytes), col("s")).as("hit_lit"))
+    probed.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getBoolean(0) == r.getBoolean(1))
+    }
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("BloomProbe over BIGINT probes mightContainLong") {
+    registered
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(42L, 7L).foreach(bf.putLong)
+    val in = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(42L), Row(7L), Row(999L)), 2),
+      StructType(Seq(StructField("h", LongType))))
+    val out = in.select(
+      ColumnBridge.column(graft.plans.BloomProbe(
+        spark.sparkContext.broadcast(bf),
+        ColumnBridge.expression(col("h")))).as("hit"))
+      .collect().map(_.getBoolean(0))
+    assert(out(0) && out(1))
+    assert(out(2) == bf.mightContainLong(999L))
+  }
+
   test("graft_vector_dot equals the left-fold dot product, bit-exact") {
     registered
     val df = spark.sql(

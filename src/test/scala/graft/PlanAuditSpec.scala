@@ -392,47 +392,63 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q131 stupid backoff: hash-joined scoring, corpus never sorted") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.{GenerateExec, SortExec}
     val all = executed("q131_stupid_backoff")
-    // the count tables build behind eager checkpoints; the registered
-    // scoring plan joins the occurrence stream with the vocab-scale term
-    // table HASH-wise (shuffle_hash pin — sort-merge sorts the corpus by
-    // four string keys, A/B'd 24 s vs 3.5 s at sf5) and aggregates per
-    // doc. No sort of the occurrence stream may ever appear.
+    // the count tables build behind eager checkpoints; the scoring plan
+    // joins the occurrence stream with the vocab-scale term table
+    // HASH-wise (shuffle_hash pin — sort-merge sorts the corpus by four
+    // string keys, A/B'd 24 s vs 3.5 s at sf5) and aggregates per doc.
+    // Since round 20 the term table is LAZY (one consumer — the eager
+    // checkpoint was a pure serialize+reload), so the plan legitimately
+    // carries the count-table WINDOW sorts; the pin is therefore scoped
+    // to what the old blanket no-Sort assert actually meant: the CORPUS
+    // occurrence stream (every subtree below the trigram Generate) is
+    // never sorted and crosses at most two exchanges (probe join + doc
+    // aggregate).
     assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
       "the scoring join must be hash-based, never sort-merge")
-    assert(!all.exists(_.nodeName.contains("Sort ")) &&
-      !all.exists(_.nodeName == "Sort"),
-      "no sort of the occurrence stream")
+    val corpusSorts = all.collect {
+      case s: SortExec if flatten(s).exists(_.isInstanceOf[GenerateExec]) => s
+    }
+    assert(corpusSorts.isEmpty, "no sort of the occurrence stream")
     assert(all.exists(p => p.nodeName.contains("ShuffledHashJoin") ||
       p.nodeName.contains("BroadcastHashJoin")),
       "term join must be a hash join")
-    // at most: occurrence-side exchange, term-side exchange, doc agg
-    val shuffles = all.collect { case e: ShuffleExchangeLike => e }
-      .map(System.identityHashCode).distinct
-    assert(shuffles.size <= 3,
-      s"expected occurrence + term + doc-agg exchanges at most, got ${shuffles.size}")
+    val corpusShuffles = all.collect {
+      case e: ShuffleExchangeLike
+          if flatten(e).exists(_.isInstanceOf[GenerateExec]) => e
+    }.map(System.identityHashCode).distinct
+    assert(corpusShuffles.size <= 2,
+      s"the occurrence stream crosses at most the probe-join + doc-agg " +
+        s"exchanges, got ${corpusShuffles.size}")
   }
 
-  test("q150 CMS stupid backoff: same scoring shape as q131 — hash-joined, corpus never sorted, probes pre-checkpoint") {
+  test("q150 CMS stupid backoff: same scoring shape as q131 — hash-joined, corpus never sorted, probes at count-table scale") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.{GenerateExec, SortExec}
     val all = executed("q150_stupid_backoff_cms")
-    // the CMS probes run at count-table scale BEHIND the term-table
-    // checkpoint, so the registered scoring plan must look exactly like
-    // q131's: hash join of the occurrence stream with the (now audited)
-    // term table, one doc aggregate, zero sorts, zero extra exchanges —
-    // the audit must cost the plan nothing where the corpus flows.
+    // the CMS probes run at count-table scale on the (since round 20
+    // lazy) audited term table, so where the CORPUS flows the plan must
+    // look exactly like q131's: hash join of the occurrence stream with
+    // the term table, one doc aggregate, no occurrence-stream sort, no
+    // extra occurrence-stream exchange — the audit must cost the plan
+    // nothing where the corpus flows (same Generate-scoped pin as q131).
     assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
       "the scoring join must be hash-based, never sort-merge")
-    assert(!all.exists(_.nodeName.contains("Sort ")) &&
-      !all.exists(_.nodeName == "Sort"),
-      "no sort of the occurrence stream")
+    val corpusSorts = all.collect {
+      case s: SortExec if flatten(s).exists(_.isInstanceOf[GenerateExec]) => s
+    }
+    assert(corpusSorts.isEmpty, "no sort of the occurrence stream")
     assert(all.exists(p => p.nodeName.contains("ShuffledHashJoin") ||
       p.nodeName.contains("BroadcastHashJoin")),
       "term join must be a hash join")
-    val shuffles = all.collect { case e: ShuffleExchangeLike => e }
-      .map(System.identityHashCode).distinct
-    assert(shuffles.size <= 3,
-      s"expected occurrence + term + doc-agg exchanges at most, got ${shuffles.size}")
+    val corpusShuffles = all.collect {
+      case e: ShuffleExchangeLike
+          if flatten(e).exists(_.isInstanceOf[GenerateExec]) => e
+    }.map(System.identityHashCode).distinct
+    assert(corpusShuffles.size <= 2,
+      s"the occurrence stream crosses at most the probe-join + doc-agg " +
+        s"exchanges, got ${corpusShuffles.size}")
   }
 
   test("q132 heavy hitters: audit pass broadcasts the k-bounded candidates, one agg exchange") {
