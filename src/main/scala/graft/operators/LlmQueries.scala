@@ -3015,8 +3015,22 @@ object LlmQueries {
     val unioned = tagged(p.tcs, 0, Seq("w1", "w2", "w3"))
       .unionByName(tagged(p.bcs, 1, Seq("b1", "b2")))
       .unionByName(tagged(p.ucs, 2, Seq("u")))
+    // COALESCE the agg input (round 20, guide §2.3 — shuffle fewer bytes):
+    // the flat typed aggregate serializes one ~4.8 MB six-sketch buffer
+    // PER INPUT PARTITION to the single merge task, and the three
+    // checkpointed count tables union to 3×|shuffle.partitions| partitions
+    // (~460 MB of java-serialized buffers at 32 shuffle partitions, for
+    // ~25 MB of count-table rows). Inserts are cheap hash updates, so a
+    // quarter of the cores keeps the insert pass parallel while the merge
+    // moves 12× fewer buffer bytes; defaultParallelism scales the knob
+    // with the cluster. coalesce is narrow (no shuffle), and CMS counters
+    // are linear with a commutative merge (the bigramLmCms linearity
+    // argument), so the merged sketches are bit-identical under any
+    // partitioning — the q150/q112 oracles re-verify the audit booleans
+    // either way.
+    val mergeParts = math.max(1, spark.sparkContext.defaultParallelism / 4)
     val bytes = graft.Bounded.one(
-      unioned.as[(Int, String, String, Long)]
+      unioned.coalesce(mergeParts).as[(Int, String, String, Long)]
         .select(new SixCmsAgg(eps, confidence, seed).toColumn),
       "q150 merged CMS six-pack")
     val in = new java.io.ByteArrayInputStream(bytes)
@@ -3849,9 +3863,15 @@ object LlmQueries {
     // partial-buffer merge is counter addition (commutative), so with
     // the fixed seed the sketches are bit-identical whatever the
     // partitioning/order.
+    // coalesced agg input — the q150 sbSketches rationale: one ~3.2 MB
+    // two-sketch buffer serializes per input partition toward the single
+    // merge task; the count table is vocab-scale, so a quarter of the
+    // cores keeps inserts parallel while the merge moves 4× fewer bytes
+    val mergeParts = math.max(1, spark.sparkContext.defaultParallelism / 4)
     val bytes = graft.Bounded.one(
       counts
         .select(concat_ws(" ", col("w1"), col("w2")), col("w1"), col("c12"))
+        .coalesce(mergeParts)
         .as[(String, String, Long)]
         .select(new TwoCmsAgg(eps, confidence, seed).toColumn),
       "q112 merged CMS pair")
