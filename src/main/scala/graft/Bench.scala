@@ -379,6 +379,24 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries_selected":${selected.size},"queries_total":${SparkEntry.queries.size},"query_filter":$filterJson,"queries":$queriesJson,"failed":$failedJson,"pipeline_rps":${rps.toLong},"sf":"$sfDir","cpus":"$cpus","loadavg_start":$laStart,"loadavg_end":${loadavg1m()},"steal_med":${fmt(stealMed)},"steal_max":${fmt(stealMax)},"third_samples":$thirdSamples}"""
     val full = lineWith(qs)
     val line = if (full.length <= 1600) full else lineWith("\"see-details-sidecar\"")
+    // Driver-visible per-query channel (VERDICT r20 ask #2). The inline map
+    // can NEVER ride the final line on a full suite: the consuming harness
+    // parses the final line out of a 2000-char output TAIL (measured: every
+    // driver BENCH artifact archives exactly 2000 chars, and the r12
+    // incident cut the long line mid-map — front-truncation — leaving
+    // "parsed": null), while the 147 query NAMES alone are 2503 bytes. So
+    // the full map goes out as its OWN JSON line at centisecond precision,
+    // printed immediately before the final line: a harness that keeps more
+    // than the archived tail (or greps the whole stream) gets all 147
+    // timings; a strict-2000 harness still parses the unchanged final line.
+    def fmt2(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val perQueryLine = {
+      val m = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt2(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"per_query","unit":"sec","queries":$m,"sf":"$sfDir","cpus":"$cpus"}"""
+    }
     // Full-precision per-run provenance (raw runs + loadavg per sample)
     // lives in a sidecar file so the stdout line stays inside the consuming
     // harness's output-tail window; override the path or set it empty to
@@ -404,6 +422,7 @@ object Bench {
       }
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(perQueryLine)
     println(line)
     System.out.flush()
   }

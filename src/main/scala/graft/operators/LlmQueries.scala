@@ -2936,9 +2936,16 @@ object LlmQueries {
     // bigrams/unigrams too.
     val bcs2 = bcs.withColumn("cb_tot",
       sum(col("c")).over(Window.partitionBy(col("b1"), col("b2"))))
+    // LAZY (round 21, extending the round-20 single-consumer rule): both
+    // unigram enrichment joins broadcast this table, but the two broadcast
+    // exchanges are canonically identical and AQE reuses the first build
+    // (ReusedExchange in plans/r21/q131_stupid_backoff_after.txt), so the
+    // window effectively has ONE consumer and the eager checkpoint only
+    // added a vocab-table serialize+reload plus a driver-job round-trip.
+    // A/B sf1 (AB_q131_r21_sf1_lazy vs _ucs2lazy): q131 4.94→4.24 s,
+    // q150 6.02→5.41 s.
     val ucs2 = ucs.withColumn("cu_tot",
       sum(col("c")).over(Window.partitionBy(col("u"))))
-      .localCheckpoint(true)
     // shuffle_hash on the final probe join, not sort-merge: the probe side
     // is the CORPUS occurrence stream — sort-merge sorts all of it by four
     // string columns (A/B at sf5: 24.0 s vs 3.5 s for the same join),

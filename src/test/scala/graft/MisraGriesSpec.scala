@@ -63,6 +63,70 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  // ---- boxed reference implementation: textbook Misra–Gries over an
+  // immutable-snapshot sweep — pins the r21 open-addressed rewrite to the
+  // exact counter values, not just the containment guarantee. (The r8
+  // HashMap form mutated the map INSIDE `foreach`, which Scala 2.13's
+  // mutable.HashMap does not support: the sweep visited only part of the
+  // map — a latent lazy-decrement bug. That form still satisfied every MG
+  // guarantee — skipped decrements only keep counters HIGHER, and a
+  // counter is incremented only when its item arrives, so est ≤ true and
+  // the superset containment both survive — and q132's exact audit pass
+  // made the query output identical either way. The rewrite implements
+  // the published sweep; this reference pins it.) ----
+  private case class RefSummary(counts: mutable.HashMap[String, Long], var n: Long)
+  private def refInsert(s: RefSummary, item: String, k: Int): RefSummary = {
+    s.n += 1
+    val cur = s.counts.getOrElse(item, 0L)
+    if (cur > 0L) s.counts.update(item, cur + 1L)
+    else if (s.counts.size < k - 1) s.counts.update(item, 1L)
+    else s.counts.toSeq.foreach { case (key, c) =>
+      if (c == 1L) s.counts.remove(key) else s.counts.update(key, c - 1L)
+    }
+    s
+  }
+  private def refMerge(a: RefSummary, b: RefSummary, k: Int): RefSummary = {
+    b.counts.toSeq.foreach { case (key, c) =>
+      a.counts.update(key, a.counts.getOrElse(key, 0L) + c)
+    }
+    a.n += b.n
+    if (a.counts.size > k - 1) {
+      val vs = a.counts.values.toArray
+      java.util.Arrays.sort(vs)
+      val kth = vs(vs.length - k)
+      a.counts.toSeq.foreach { case (key, c) =>
+        if (c - kth <= 0L) a.counts.remove(key) else a.counts.update(key, c - kth)
+      }
+    }
+    a
+  }
+
+  test("open-addressed summary is counter-exact vs the boxed reference over random merge trees") {
+    val rng = new Random(2101)
+    for (trial <- 0 until 30) {
+      val k = 2 + rng.nextInt(30)
+      val n = 200 + rng.nextInt(3000)
+      val items = stream(rng, n, 1 + rng.nextInt(60))
+      val nParts = 1 + rng.nextInt(8)
+      val parts = items.grouped(math.max(1, (items.size + nParts - 1) / nParts)).toSeq
+      val got = mgOver(parts, k)
+      val want = parts.map { p =>
+        p.foldLeft(RefSummary(mutable.HashMap.empty, 0L))((s, it) => refInsert(s, it, k))
+      }.reduceLeft((a, b) => refMerge(a, b, k))
+      assert(got.n == want.n, s"trial $trial: n")
+      assert(got.counts == want.counts,
+        s"trial $trial (k=$k, nParts=$nParts): counter values diverge")
+      // the serialization round-trip the Aggregator buffer pays
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(got); oos.close()
+      val back = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[MisraGries.Summary]
+      assert(back.n == got.n && back.counts == got.counts,
+        s"trial $trial: java-serialization round-trip must preserve the summary")
+    }
+  }
+
   test("heavyHitters output is exact and partitioning-invariant on a planted corpus") {
     import spark.implicits._
     // planted boilerplate shingles repeated across 30 docs + noise docs
