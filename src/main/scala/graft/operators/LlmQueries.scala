@@ -3082,7 +3082,13 @@ object LlmQueries {
     // six-pack measured as a 12.4 MiB task-binary broadcast per probe
     // stage — while a Broadcast handle ships each sketch once per executor
     // (zero-copy in local mode) and the task binary stays kilobytes. See
-    // [[graft.plans.CmsProbe]].
+    // [[graft.plans.CmsProbe]]. LIFETIME (ADVICE r20): these broadcasts
+    // are deliberately NOT destroy()ed here — the returned DataFrame has
+    // not executed yet at build time and may run multiple actions, so the
+    // only safe reclaim point is when the plan itself becomes unreachable;
+    // that is exactly ContextCleaner's job (driver GC → destroy), and the
+    // bench session pins spark.cleaner.periodicGC.interval=2min plus a
+    // System.gc() per sample so repeated builds drain instead of pooling.
     val skBc = sk.map(spark.sparkContext.broadcast(_))
     def probe(i: Int, key: Column): Column =
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
@@ -3417,7 +3423,9 @@ object LlmQueries {
         .localCheckpoint(true)
       val applied = obs.get.get("applied") match {
         case Some(l: java.lang.Long) => l.longValue
-        case _ => 0L
+        // fail loudly (ADVICE r20): a missing/mistyped metric silently
+        // emitting n_applied=0 would mask a wrong result until the oracle
+        case m => sys.error(s"q137 merge-$rank observation missing or mistyped: $m")
       }
       out += ((rank, w1, w2, c, applied))
       cur = next.select("t")
@@ -4791,6 +4799,15 @@ object LlmQueries {
     */
   def trainingFunnel(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
+    // NOT observe-fused (round 21, VERDICT r20 ask #7 — tried and measured
+    // counterproductive): riding each stage's (n_docs, n_tokens) aggregate
+    // on its checkpoint job as a CollectMetrics metric (the q137 idiom)
+    // puts the tokenize work on the SERIAL s0→s3 checkpoint chain, where
+    // the row() form below computes all four stage aggregates in ONE
+    // PARALLEL final job over already-materialized checkpoint blocks —
+    // sum-of-stage-costs vs max-of-stage-costs. A/B sf1
+    // (AB_q144_r21_sf1_before/after): 6.67 s → 7.29 s fused (control
+    // q111 1.54 → 1.61), so the fused form lost ~4-9% normalized.
     val s0 = funnelCorpus(s, dir).localCheckpoint(true)
     val k1 = s0.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")

@@ -16,15 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object RecordPipeline {
 
-  /** Child rows produced by de-aggregation. */
-  final case class KplChild(partitionKey: String, data: Array[Byte])
-
-  private val deaggUdf = udf { (data: Array[Byte]) =>
-    KplCodec.deaggregate(data).map { case (k, d) => KplChild(k, d) }
-  }
-
-  private val isAggUdf = udf { (data: Array[Byte]) => KplCodec.isAggregated(data) }
-
   /** De-aggregation flatMap — consumer.go:156-191 (§2 C3+C4+C5+C6).
     *
     * Expects columns `data: binary` and `partitionKey: string`; every other
@@ -33,20 +24,25 @@ object RecordPipeline {
     * through — consumer.go:183-188).
     *
     *  - KPL-framed records (magic prefix) explode into N children with the
-    *    looked-up partition keys; a decode error yields an empty array and
-    *    `explode` drops the parent row — the reference's silent whole-record
-    *    drop.
-    *  - Plain records pass through 1:1 with their own key and data.
+    *    looked-up partition keys; a decode error yields zero rows and the
+    *    Generate node drops the parent — the reference's silent
+    *    whole-record drop.
+    *  - Plain records pass through 1:1 with their own key and data (NULL
+    *    data included).
+    *
+    * One native [[graft.plans.KplDeaggregate]] Generate node (round 21):
+    * the r7 form paid two ScalaUDF crossings per frame plus a
+    * reflection-encoded child array that `explode` then re-walked; the
+    * generator emits child InternalRows directly.
     */
   def deaggregate(df: DataFrame): DataFrame = {
     val parentCols = df.columns.filterNot(c => c == "data" || c == "partitionKey")
-    val subs = when(isAggUdf(col("data")), deaggUdf(col("data")))
-      .otherwise(array(struct(col("partitionKey").as("partitionKey"), col("data").as("data"))))
-    df.withColumn("__subs", subs)
-      .select(parentCols.map(col) :+ explode(col("__subs")).as("__sub"): _*)
-      .withColumn("partitionKey", col("__sub.partitionKey"))
-      .withColumn("data", col("__sub.data"))
-      .drop("__sub")
+    val gen = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.KplDeaggregate(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("partitionKey")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("data"))))
+    df.select(parentCols.map(col) :+
+      gen.as(Seq("partitionKey", "data")): _*)
   }
 
   /** zlib inflate with raw-bytes-on-error passthrough — consumer.go:211-224
@@ -70,12 +66,17 @@ object RecordPipeline {
 
   /** Payload bytes → message string with ONLY a trailing `\n` trimmed —
     * consumer.go:203 (§2 C8). `rtrim`/`trim` would strip all trailing
-    * newlines and whitespace, and a bare `$` anchor matches before a final
-    * line terminator too (Java regex), which would strip "a\n\n" to "a";
-    * `\z` anchors at the absolute end so exactly one suffix is removed.
+    * newlines and whitespace, and a bare `$` regex anchor matches before a
+    * final line terminator too (Java regex), which would strip "a\n\n" to
+    * "a". endsWith + substr removes exactly one suffix — the r7 form was
+    * `regexp_replace(s, "\n\\z", "")`, identical semantics but a regex
+    * Matcher walk per row on the consume hot path (round 21); NULL maps to
+    * NULL through either form.
     */
-  def message(data: Column): Column =
-    regexp_replace(data.cast("string"), "\n\\z", "")
+  def message(data: Column): Column = {
+    val s = data.cast("string")
+    when(s.endsWith(lit("\n")), substr(s, lit(1), length(s) - 1)).otherwise(s)
+  }
 
   /** Arrival-timestamp render `yyyy-MM-dd HH:mm:ss` — consumer.go:193 (§2 C9). */
   def arrivalTs(ts: Column): Column = date_format(ts, "yyyy-MM-dd HH:mm:ss")

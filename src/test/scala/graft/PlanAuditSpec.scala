@@ -421,6 +421,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(corpusShuffles.size <= 2,
       s"the occurrence stream crosses at most the probe-join + doc-agg " +
         s"exchanges, got ${corpusShuffles.size}")
+    // loose TERM-SIDE backstop (ADVICE r20): the Generate-scoped pins above
+    // can't see a count-table-side plan blowup, so bound the WHOLE plan's
+    // distinct shuffle count too — measured 12 with the lazy term/unigram
+    // tables (corpus probe + doc agg + 3 window exchanges + enrichment
+    // joins + ns rollup), +2 headroom before CI fails
+    val allShuffles = all.collect { case e: ShuffleExchangeLike => e }
+      .map(System.identityHashCode).distinct
+    assert(allShuffles.size <= 14,
+      s"term-side exchange blowup: ${allShuffles.size} total shuffles")
   }
 
   test("q150 CMS stupid backoff: same scoring shape as q131 — hash-joined, corpus never sorted, probes at count-table scale") {
@@ -449,6 +458,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(corpusShuffles.size <= 2,
       s"the occurrence stream crosses at most the probe-join + doc-agg " +
         s"exchanges, got ${corpusShuffles.size}")
+    // same loose term-side backstop as q131 (ADVICE r20)
+    val allShuffles = all.collect { case e: ShuffleExchangeLike => e }
+      .map(System.identityHashCode).distinct
+    assert(allShuffles.size <= 14,
+      s"term-side exchange blowup: ${allShuffles.size} total shuffles")
   }
 
   test("q132 heavy hitters: audit pass broadcasts the k-bounded candidates, one agg exchange") {
