@@ -4698,9 +4698,23 @@ object LlmQueries {
 
   /** q146 kernel — q92 re-run at n = 5/8/13. Per n one corpus shingle
     * explode with the eval set broadcast; the three flagged sets union
-    * into a 3-row table with token mass joined from the (checkpointed)
-    * corpus. Monotone by construction: an n-gram hit contains an m-gram
-    * hit for every m < n.
+    * into a 3-row table. The per-doc token count rides the exploded rows
+    * THROUGH the hit dedup (round 21, guide §2.3/§3: the dedup key gains
+    * n_tok, functionally dependent on doc_id, so cardinality is
+    * unchanged) instead of joining a separate toks table back per arm —
+    * the r15 form's `.join(toks, "doc_id")` planned as a corpus-sized
+    * doc_id exchange PLUS an all-docs broadcast build in every arm
+    * (AQE-final plan, sf5), which at 100 TB is an OOM-or-SMJ fallback; now
+    * nothing docs-sized is built or shuffled after the probes (local A/B
+    * flat: sf5 min 3.67 -> 3.62 s — the deleted joins were idle-core
+    * overlap locally, the win is the scale shape). The three arms stay
+    * SEPARATE subtrees on purpose: a measured single-pass fusion (one
+    * explode tagging every shingle with its n, one (n,sh)-keyed probe,
+    * 12 -> 3 exchanges) lost 27% at sf5 / 2% at sf10
+    * (AB_q146_r21_sf5_after vs _before) because the independent arms
+    * overlap their stages across idle cores while the fused chain
+    * serializes — kept the overlap. Monotone by construction: an n-gram
+    * hit contains an m-gram hit for every m < n.
     */
   def decontamSweep(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
@@ -4710,15 +4724,13 @@ object LlmQueries {
           concat(lit("leak ctx pre "), col("text"), lit(" post trail"))
             .as("text")))
       .localCheckpoint(true)
-    val toks = corpus.selectExpr("doc_id",
-      "size(split(text, ' ')) AS n_tok")
     Seq(5, 8, 13).map { n =>
       val sh = corpus.selectExpr("doc_id",
+        "size(split(text, ' ')) AS n_tok",
         s"explode(graft_shingles(text, $n)) AS sh")
       val ev = sh.filter(col("doc_id") % 50 === 0).select("sh").distinct()
       sh.filter(col("doc_id") % 50 =!= 0)
-        .join(broadcast(ev), "sh").select("doc_id").distinct()
-        .join(toks, "doc_id")
+        .join(broadcast(ev), "sh").select("doc_id", "n_tok").distinct()
         .agg(count(lit(1)).as("n_flagged"),
           sum(col("n_tok")).cast("long").as("tok_flagged"))
         .select(lit(n).cast("int").as("ngram_n"), col("n_flagged"),

@@ -565,11 +565,18 @@ class PlanAuditSpec extends SparkSpec {
       s"stage aggregates must read the checkpointed survivors:\n$p")
   }
 
-  test("q146 decontam sweep: eval shingles broadcast at every n — corpus side never shuffles for the probe") {
+  test("q146 decontam sweep: eval shingles broadcast at every n — token mass rides the exploded rows, nothing docs-sized joins back") {
     val all = executed("q146_decontam_sweep")
     assert(!all.exists(_.nodeName.contains("Window")))
-    assert(all.count(_.nodeName.contains("BroadcastHashJoin")) >= 3,
-      "each n's eval-set probe must be a broadcast join")
+    // r21: exactly one broadcast join per arm — the eval-set probe. The
+    // r15 form had SIX (each arm also broadcast an all-docs (doc_id,
+    // n_tok) table for its token-mass join-back — a docs-sized build that
+    // at scale degrades to a corpus shuffle); n_tok now rides the
+    // exploded rows through the hit dedup instead.
+    assert(all.count(_.nodeName.contains("BroadcastHashJoin")) == 3,
+      "each n's eval-set probe must be its arm's ONLY broadcast join")
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
+      "corpus side never shuffles for the probe")
   }
 
   test("q147 threshold sweep: thresholds explode AFTER verification, at candidate scale — no window, no cartesian") {
